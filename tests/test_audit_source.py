@@ -1,0 +1,106 @@
+"""Audit file-source tests — JSON parse parity (``TestJson.java:21-33``) and
+date-directory pruning (``DateFileFilter.java:11-39``)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from flink_audit_sessions_example_spark.sources import (
+    parse_audit_json,
+    read_audit_lines,
+    read_audits,
+)
+
+# The reference's golden fixture (src/test/resources/audit-examples/
+# kafka-1.json), reconstructed field-by-field from FIXTURES.md §1.
+KAFKA_1 = {
+    "repoType": 9,
+    "repo": "cm_kafka",
+    "reqUser": "wdyson",
+    "evtTime": "2022-09-15 11:00:16.271",
+    "access": "publish",
+    "resource": "ATLAS_HOOK",
+    "resType": "topic",
+    "action": "publish",
+    "result": 1,
+    "agent": "kafka",
+    "policy": 26,
+    "policy_version": 2,
+    "enforcer": "ranger-acl",
+    "cliIP": "10.10.37.56",
+    "reqData": "ATLAS_HOOK",
+    "agentHost": "ps-aw-dl-master0",
+    "logType": "RangerAudit",
+    "id": "eb8d82d6-c1b4-48d0-9423-ef2bf15536e2-2885237",
+    "seq_num": 5770475,
+    "event_count": 1,
+    "event_dur_ms": 1,
+    "tags": [],
+    "cluster_name": "ps-aw-dl",
+}
+
+
+@pytest.fixture
+def audit_tree(tmp_path):
+    """JSONL tree with YYYYMMDD dirs + one non-date dir + junk lines."""
+    old = tmp_path / "20220101"
+    new = tmp_path / "20220915"
+    nodate = tmp_path / "misc"
+    for d in (old, new, nodate):
+        d.mkdir()
+    (new / "audit.log").write_text(
+        json.dumps(KAFKA_1)
+        + "\n"
+        + "this is not json\n"  # malformed -> dropped
+        + json.dumps({**KAFKA_1, "reqUser": None})  # null user -> dropped
+        + "\n"
+        + json.dumps({**KAFKA_1, "reqUser": "bob", "extraKey": "ignored"})
+        + "\n"
+    )
+    (old / "audit.log").write_text(
+        json.dumps({**KAFKA_1, "reqUser": "ancient"}) + "\n"
+    )
+    (nodate / "audit.log").write_text(
+        json.dumps({**KAFKA_1, "reqUser": "undated"}) + "\n"
+    )
+    return str(tmp_path)
+
+
+def test_parse_golden_record(spark, audit_tree):
+    audits = read_audits(spark, audit_tree)
+    row = next(r for r in audits.collect() if r["reqUser"] == "wdyson")
+    # spot checks mirroring TestJson.java:31-32
+    assert row["repoType"] == 9
+    assert row["result"] == 1
+    assert row["event_count"] == 1
+    assert row["evtTime"] == dt.datetime(2022, 9, 15, 11, 0, 16, 271000)
+    assert row["tags"] == []
+    assert row["seq_num"] == 5770475
+
+
+def test_malformed_and_null_user_dropped(spark, audit_tree):
+    users = {r["reqUser"] for r in read_audits(spark, audit_tree).collect()}
+    assert users == {"wdyson", "bob", "ancient", "undated"}
+
+
+def test_unknown_keys_ignored(spark, audit_tree):
+    audits = read_audits(spark, audit_tree)
+    assert "extraKey" not in audits.columns
+    assert audits.where(audits.reqUser == "bob").count() == 1
+
+
+def test_min_date_pruning(spark, audit_tree):
+    # min_date keeps >= date dirs AND non-date dirs (DateFileFilter.java:19-38)
+    users = {
+        r["reqUser"]
+        for r in read_audits(spark, audit_tree, min_date="20220601").collect()
+    }
+    assert users == {"wdyson", "bob", "undated"}  # "ancient" pruned
+
+
+def test_line_counts(spark, audit_tree):
+    assert read_audit_lines(spark, audit_tree).count() == 6
+    assert read_audit_lines(spark, audit_tree, min_date="20220601").count() == 5

@@ -1,0 +1,27 @@
+"""Every registered query must hash-match its DuckDB oracle (the driver's
+correctness gate, re-run locally at sf0.001 for speed; the driver uses
+sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_audit_sessions_example_spark.plans import ORACLES, QUERIES
+
+from conftest import SF_DIR
+from oracle_utils import assert_parity
+
+ORACLE_KEYS = sorted(k for k in QUERIES if k in ORACLES)
+ROWS_ONLY_KEYS = sorted(k for k in QUERIES if k not in ORACLES)
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_query_matches_oracle(spark, key):
+    df = QUERIES[key](spark, SF_DIR)
+    assert_parity(df, ORACLES[key], SF_DIR)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_query_runs(spark, key):
+    df = QUERIES[key](spark, SF_DIR)
+    assert df.count() >= 0
