@@ -1,0 +1,179 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst expressions (no Python UDFs anywhere): language ID,
+quality scoring, token counting, document fingerprinting. Every operator is
+a narrow map over the ``documents`` table — no shuffle, fully pipelined
+inside whole-stage codegen, embarrassingly parallel at 100 TB (the scan
+parallelism is the only knob).
+
+The expressions are deliberately restricted to functions with identical
+semantics in DuckDB (lower/length/split/regexp_extract_all/md5/…) so every
+operator is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer: letter runs, digit runs, single non-space symbols.
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+#: Tiny per-language stopword sets for the n-gram/stopword language-ID
+#: heuristic. Deterministic and SQL-expressible; langid for real corpora
+#: would swap in larger tables without changing the plan shape.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "es": ("el", "los", "de", "y", "que", "una", "es"),
+}
+
+#: Generic stopword list used by the quality score (union of English set).
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _words(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text (empty tokens dropped)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``text_stats`` — per-document surface statistics.
+
+    Adds: ``n_chars``, ``n_words``, ``n_tokens`` (BPE-ish regex),
+    ``avg_word_len``, ``punct_ratio``, ``stopword_ratio``. One projection,
+    no shuffle.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    n_punct = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[^a-z0-9\s]"), 0)
+    )
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]))
+    )
+    return (
+        df.withColumn("n_chars", n_chars.cast("bigint"))
+        .withColumn("n_words", n_words.cast("bigint"))
+        .withColumn(
+            "n_tokens",
+            F.size(
+                F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "avg_word_len",
+            (
+                F.aggregate(
+                    words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+                )
+                / n_words
+            ),
+        )
+        .withColumn("punct_ratio", n_punct / n_chars)
+        .withColumn("n_stopwords_distinct", n_stop.cast("bigint"))
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``text_langid`` — stopword-voting language identification.
+
+    Score per language = number of distinct language stopwords present in
+    the document; predicted language = argmax with alphabetical tie-break;
+    no hits at all → ``und`` (undetermined). Pure set-intersection
+    expressions — vectorized, shuffle-free, identical logic in the oracle.
+    """
+    words = _words(F.col(text_col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(words, F.array(*[F.lit(w) for w in sw]))
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # alphabetical order + "first match wins" = deterministic argmax
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    out = df.withColumn("pred_lang", pred)
+    for lang in sorted(LANG_STOPWORDS):
+        out = out.withColumn(f"score_{lang}", scores[lang].cast("bigint"))
+    return out
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``text_quality`` — heuristic document-quality score in [0, 1].
+
+    0.4·min(words/100, 1) + 0.3·(1 − punct_ratio) + 0.3·min(stop/5, 1):
+    rewards length, penalizes symbol soup, rewards natural-language
+    stopword presence. All double arithmetic over integer inputs with a
+    fixed evaluation order, so the oracle reproduces it exactly.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words).cast("double")
+    n_chars = F.length(text).cast("double")
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[^a-z0-9\s]"), 0))
+        / n_chars
+    )
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]))
+    ).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(n_stop / F.lit(5.0), F.lit(1.0))
+    )
+    return df.withColumn("quality", F.round(score, 6))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``text_fingerprint`` — deterministic document fingerprint.
+
+    ``md5(normalized text)`` where normalization = lowercase + collapse
+    whitespace + trim: the canonical cheap exact-dedup key (casing /
+    spacing variants collapse to one fingerprint). A content-defined
+    rolling-hash variant is in :func:`with_shingle_fingerprint`.
+    """
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def with_shingle_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over word ``k``-shingles.
+
+    The minimum shingle hash is stable under small edits anywhere except
+    the minimal shingle itself — a one-value sketch of the document used as
+    a cheap near-dup pre-filter (full MinHash generalizes this to H
+    minima; see :mod:`.dedup`).
+    """
+    words = _words(F.col(text_col))
+    shingles = shingle_array(words, k)
+    return df.withColumn(
+        "min_shingle_md5", F.array_min(F.transform(shingles, F.md5))
+    )
+
+
+def shingle_array(words: Column, k: int) -> Column:
+    """Distinct word ``k``-shingles (space-joined) of a token array.
+
+    Documents shorter than ``k`` words yield an empty array (guarded:
+    ``sequence`` would otherwise produce a *descending* range).
+    """
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    mk = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return F.when(n >= k, F.array_distinct(mk)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -6,4 +6,11 @@ equivalent DuckDB SQL. ``__spark_entry__.py`` re-exports both for the
 driver's correctness gate.
 """
 
-from .queries import ORACLES, QUERIES, flagship, load_table  # noqa: F401
+from ..sources.tables import load_table  # noqa: F401
+from .queries import ORACLES as _CORE_ORACLES
+from .queries import QUERIES as _CORE_QUERIES
+from .queries import flagship  # noqa: F401
+from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
+
+QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}
+ORACLES = {**_CORE_ORACLES, **EXTENDED_ORACLES}

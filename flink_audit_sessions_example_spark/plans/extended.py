@@ -1,0 +1,551 @@
+"""Extended query surface: dedup / similarity / text / multimodal /
+relational (SURVEY.md §2.2 — the LLM-data-pipeline operators the driver's
+north-star mandates beyond the reference's own operators).
+
+Oracle notes (hard-won cross-engine parity rules):
+
+- Spark ``aggregate`` folds sequentially; DuckDB ``list_sum`` matches it
+  element-for-element, so double dot products are bit-identical — no
+  rounding games needed (``round(x, 6)`` is additionally safe because a
+  double can never be an exact 6-decimal tie: 5·10⁻⁷ is not dyadic).
+- Double *column* sums are order-dependent → money aggregates cast each
+  row to DECIMAL first (exact, commutative), cast the exact sum back to
+  DOUBLE at the end.
+- ``array_intersect`` (Spark) and ``list_intersect`` (DuckDB) both return
+  distinct elements; only their lengths are compared.
+- DuckDB list slices clamp out-of-range, so shingle ranges use
+  ``generate_series(0, n−k)`` to guarantee full-width shingles only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+#: Shared DuckDB fragments mirroring operators/text.py exactly.
+_SQL_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _sql_shingles(k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(0, len({_SQL_WORDS}) - {k}), "
+        f"i -> array_to_string(({_SQL_WORDS})[i+1:i+{k}], ' ')))"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_exact`` — content dedup: group by normalized-text md5
+    fingerprint, keep min doc_id (deterministic survivor). One shuffle,
+    map-side partial agg collapses local dups first."""
+    docs = X.with_fingerprint(load_table(spark, sf_dir, "documents"))
+    return D.exact_dedup(docs, ["fingerprint"], "doc_id")
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup sizing pre-pass: total rows vs distinct texts."""
+    return D.distinct_count(load_table(spark, sf_dir, "documents"), ["text"])
+
+
+_DEDUP_COUNT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_ngram`` — exact 3-shingle Jaccard ≥ 0.5 near-dup pairs via
+    inverted-index join (no cross join; see operators/dedup.py)."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+    )
+
+
+_DEDUP_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest({_sql_shingles(3)}) AS shingle FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = common.id_a
+JOIN sizes sb ON sb.id = common.id_b
+WHERE c / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash`` — MinHash→LSH-band candidates→exact-Jaccard
+    verify. Probabilistic recall (xxhash64 family not reproducible in
+    SQL) → rows-only driver check; the exact-Jaccard twin ``dedup_ngram``
+    is the hash-checked equivalent."""
+    return D.minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.5,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_simhash`` — 32-bit SimHash fingerprint per document
+    (md5-bit votes over distinct tokens; operators/dedup.py)."""
+    return D.simhash(load_table(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_oracle() -> str:
+    digit = lambda p: f"(instr('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+    bit_sums = ",\n  ".join(
+        f"SUM((CAST(FLOOR({digit(j // 4 + 1)} / POW(2, {j % 4})) AS INT) % 2) * 2 - 1) AS s{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct({_SQL_WORDS})) AS tok FROM documents
+), sums AS (
+  SELECT id, {bit_sums}
+  FROM toks GROUP BY id
+)
+SELECT id AS doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity
+# --------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    d = _SQL_DOT.format(a=a, b=b)
+    na = f"sqrt({_SQL_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_SQL_DOT.format(a=b, b=b)})"
+    return f"({d} / ({na} * {nb}))"
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_topk`` — exact cosine top-10 for query vectors
+    (vec_id % 50 == 0) against the full corpus; broadcast the queries,
+    stream the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 0), k=10
+    )
+
+
+_SIM_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_cos("q.qv", "e.embedding")} AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_embed`` — embedding-cosine near-dup pairs (cos ≥ 0.35;
+    exact at oracle scale, LSH path in ``sim_topk_lsh``)."""
+    return S.cosine_pairs_above(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+_DEDUP_EMBED_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_sql_cos("a.embedding", "b.embedding")}, 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.35
+"""
+
+
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_topk_lsh`` — the ANN scale path: random-hyperplane sketch →
+    banded bucket join → exact cosine on candidates only. Approximate
+    recall → rows-only check (the exact twin ``sim_topk`` is hash-checked).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") % 50 == 0),
+        dim=64,
+        k=10,
+        nbits=16,
+        bands=4,
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.with_text_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_tokens",
+        "avg_word_len",
+        "punct_ratio",
+        "n_stopwords_distinct",
+    )
+
+
+_STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in X.QUALITY_STOPWORDS) + "]"
+
+_TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform({_SQL_WORDS}, w -> length(w))) AS BIGINT)
+         / CAST(len({_SQL_WORDS}) AS BIGINT) AS avg_word_len,
+       CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT)
+         / CAST(length(text) AS BIGINT) AS punct_ratio,
+       CAST(len(list_intersect({_SQL_WORDS}, {_STOP_EN_SQL})) AS BIGINT) AS n_stopwords_distinct
+FROM documents
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.with_language_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "pred_lang",
+        *[f"score_{lang}" for lang in sorted(X.LANG_STOPWORDS)],
+    )
+
+
+def _langid_oracle() -> str:
+    scores = {
+        lang: (
+            f"len(list_intersect({_SQL_WORDS}, "
+            f"[{', '.join(repr(w) for w in sw)}]))"
+        )
+        for lang, sw in X.LANG_STOPWORDS.items()
+    }
+    best = "GREATEST(" + ", ".join(scores.values()) + ")"
+    pred = "'und'"
+    for lang in sorted(X.LANG_STOPWORDS, reverse=True):
+        pred = f"CASE WHEN score_{lang} = best THEN '{lang}' ELSE {pred} END"
+    score_cols = ",\n  ".join(
+        f"CAST(score_{lang} AS BIGINT) AS score_{lang}"
+        for lang in sorted(X.LANG_STOPWORDS)
+    )
+    inner = ",\n    ".join(
+        f"{expr} AS score_{lang}" for lang, expr in scores.items()
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {best} AS best,
+    {inner}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN best <= 0 THEN 'und' ELSE {pred} END AS pred_lang,
+  {score_cols}
+FROM scored
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.with_quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+
+
+_TEXT_QUALITY_ORACLE = f"""
+SELECT doc_id,
+  ROUND(
+    0.4 * LEAST(CAST(len({_SQL_WORDS}) AS DOUBLE) / 100.0, 1.0)
+  + 0.3 * (1.0 - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT)
+                 / CAST(length(text) AS DOUBLE))
+  + 0.3 * LEAST(CAST(len(list_intersect({_SQL_WORDS}, {_STOP_EN_SQL})) AS DOUBLE) / 5.0, 1.0)
+  , 6) AS quality
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.with_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+_TEXT_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_cols`` — binary payload + typed metadata, projected to
+    scalar metadata columns for the oracle (payload bytes stay opaque)."""
+    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha").alias("sha"),
+    )
+
+
+_MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_decode`` — Arrow-batched mapInPandas decode stub
+    (genuinely non-SQL: Python codec boundary) → rows-only check."""
+    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.decode_media(docs)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_frames`` — payload frame-sampling (stride slices),
+    decoded back to strings for oracle comparability."""
+    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.frame_sample(docs, stride=4).select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_bytes").cast("string").alias("frame_str"),
+    )
+
+
+_MULTIMODAL_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, LEAST(CAST(FLOOR(octet_length(encode(text)) / 4) AS INT), 16) - 1)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       substr(text, frame_idx * 4 + 1, 4) AS frame_str
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational (beyond the reference: joins, sort/limit, window analytics)
+# --------------------------------------------------------------------------
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,6)")
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_pricing_summary`` — TPC-H Q1-shaped scan+agg on lineitem.
+    Money math in DECIMAL per-row then exact sums (order-independent),
+    final cast to DOUBLE. Pure scan → partial agg → final agg: the ideal
+    100 TB plan (no joins, one small shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(_dec("l_quantity")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_REL_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_top_customers`` — join + sort/limit: revenue per customer
+    with nation/region context; dimensions broadcast (customer/nation/
+    region are tiny next to orders at every scale), deterministic top-20.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    )
+    return (
+        revenue.join(
+            F.broadcast(customer), revenue.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("n_name"),
+            F.col("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_REL_TOP_CUSTOMERS_ORACLE = """
+WITH revenue AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, revenue
+FROM revenue
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_win_rank_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_rank_sessions`` — OVER-window analytics on top of the
+    streaming core's output: rank each user's sessions by denies
+    (category the reference lacks entirely; SURVEY.md §2.1)."""
+    from pyspark.sql.window import Window
+
+    from .queries import q_win_session
+
+    sessions = q_win_session(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("denies").desc(), F.col("start").asc()
+    )
+    return (
+        sessions.withColumn("sess_rank", F.row_number().over(w))
+        .where(F.col("sess_rank") <= 3)
+        .select(
+            "user_id",
+            F.col("sess_rank").cast("bigint").alias("sess_rank"),
+            "denies",
+            "start",
+        )
+    )
+
+
+def _win_rank_oracle() -> str:
+    from .queries import _SESSION_ORACLE
+
+    return f"""
+WITH base AS ({_SESSION_ORACLE}),
+ranked AS (
+  SELECT user_id, denies, start,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY denies DESC, start ASC) AS sess_rank
+  FROM base
+)
+SELECT user_id, CAST(sess_rank AS BIGINT) AS sess_rank, denies, start
+FROM ranked WHERE sess_rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_count": q_dedup_count,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embed": q_dedup_embed,
+    "sim_topk": q_sim_topk,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers": q_rel_top_customers,
+    "win_rank_sessions": q_win_rank_sessions,
+}
+
+EXTENDED_ORACLES: dict[str, str] = {
+    "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "dedup_count": _DEDUP_COUNT_ORACLE,
+    "dedup_ngram": _DEDUP_NGRAM_ORACLE,
+    # dedup_minhash: rows-only (xxhash64 LSH not SQL-reproducible)
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embed": _DEDUP_EMBED_ORACLE,
+    "sim_topk": _SIM_TOPK_ORACLE,
+    # sim_topk_lsh: rows-only (approximate recall by design)
+    "text_stats": _TEXT_STATS_ORACLE,
+    "text_langid": _langid_oracle(),
+    "text_quality": _TEXT_QUALITY_ORACLE,
+    "text_fingerprint": _TEXT_FINGERPRINT_ORACLE,
+    "multimodal_meta": _MULTIMODAL_META_ORACLE,
+    # multimodal_decode: rows-only (mapInPandas codec boundary)
+    "multimodal_frames": _MULTIMODAL_FRAMES_ORACLE,
+    "rel_pricing_summary": _REL_PRICING_ORACLE,
+    "rel_top_customers": _REL_TOP_CUSTOMERS_ORACLE,
+    "win_rank_sessions": _win_rank_oracle(),
+}
