@@ -1,0 +1,182 @@
+"""Streaming pipeline assembly + sinks — the ``App.main`` analog.
+
+Reference pipeline (``App.java:136-162``):
+
+    properties file → continuous file source (poll = ``audit.poll`` s)
+      → JSON parse → user filter → 2-day watermark
+      → per-user session windows (gap = ``session.duration`` s)
+      → denied-count aggregate → count != 0
+      → format string → Kafka (at-least-once) | stdout
+
+Spark re-expression: one streaming DataFrame plan; the file stream source
+discovers new files per micro-batch (trigger interval = the reference's
+poll interval); ``withWatermark`` + ``session_window`` replace the
+hand-written merge-able accumulator; the Kafka sink with a
+``checkpointLocation`` gives the same at-least-once guarantee
+(``DeliveryGuarantee.AT_LEAST_ONCE``, ``App.java:97``).
+
+Streaming semantics notes (SURVEY.md §4 deltas):
+
+- Append output mode emits a session only after the watermark passes its
+  end — the exact analog of Flink firing the window when the watermark
+  passes ``window.end``.
+- Spark advances the watermark *between* micro-batches (global max event
+  time − delay); Flink advances it periodically within the running job.
+  Borderline-late events can differ; both engines drop events later than
+  the bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import AppConfig
+from ..functions.formatting import format_session_result
+from ..operators.sessionize import audit_denied_sessions
+from ..sources.audit_source import stream_audits
+
+
+def stream_denied_sessions(
+    spark: SparkSession,
+    cfg: AppConfig,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The full streaming plan, unformatted: (reqUser, denies, start, end).
+
+    Composition of ``src_file_monitor`` + ``src_file_datefilter`` +
+    ``xform_parse_json`` + ``flt_valid_user`` (``readAuditsFromFS``,
+    ``App.java:30-62``) and the session core
+    (``extractDeniedAuditCountsUserSession``, ``App.java:126-134``).
+    """
+    audits = stream_audits(
+        spark,
+        cfg.audit_path,
+        min_date=cfg.audit_min_date,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    return audit_denied_sessions(
+        audits,
+        gap_seconds=cfg.session_gap_seconds,
+        watermark_delay=cfg.watermark_delay,
+    )
+
+
+# --------------------------------------------------------------------------
+# Sinks
+# --------------------------------------------------------------------------
+
+
+def write_console(
+    df: DataFrame,
+    *,
+    checkpoint_dir: str,
+    poll_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """``snk_stdout`` (``App.java:64-77``): append-mode console sink."""
+    writer = (
+        df.writeStream.format("console")
+        .outputMode("append")
+        .option("truncate", "false")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("audit-denied-sessions-print")
+    )
+    writer = _with_trigger(writer, poll_seconds, available_now)
+    return writer.start()
+
+
+def write_kafka(
+    df: DataFrame,
+    *,
+    topic: str,
+    kafka_options: dict[str, str],
+    checkpoint_dir: str,
+    poll_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """``snk_kafka`` (``App.java:79-110``): at-least-once Kafka sink.
+
+    ``df`` must carry a single string ``value`` column (the formatted
+    result). The reference forwards every ``kafka.``-prefixed property to
+    the producer (``App.java:112-124``); Spark's Kafka sink uses the same
+    prefix, so ``cfg.kafka_options`` passes through verbatim. At-least-once
+    comes from checkpointed offsets + non-transactional producer — the same
+    guarantee as ``DeliveryGuarantee.AT_LEAST_ONCE``.
+    """
+    writer = (
+        df.selectExpr("CAST(value AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("audit-denied-sessions-kafka")
+    )
+    for k, v in kafka_options.items():
+        writer = writer.option(k, v)
+    writer = _with_trigger(writer, poll_seconds, available_now)
+    return writer.start()
+
+
+def write_memory(
+    df: DataFrame,
+    *,
+    query_name: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """``snk_collect`` (test sink, ``TestAuditSession.java:84-92``): results
+    land in the in-memory table ``query_name`` for assertions."""
+    writer = (
+        df.writeStream.format("memory")
+        .outputMode("append")
+        .queryName(query_name)
+    )
+    writer = _with_trigger(writer, None, available_now)
+    return writer.start()
+
+
+def _with_trigger(writer, poll_seconds: int | None, available_now: bool):
+    if available_now:
+        return writer.trigger(availableNow=True)
+    if poll_seconds is not None:
+        return writer.trigger(processingTime=f"{poll_seconds} seconds")
+    return writer
+
+
+# --------------------------------------------------------------------------
+# App entry (``main``, App.java:136-162)
+# --------------------------------------------------------------------------
+
+
+def start_session_query(
+    spark: SparkSession,
+    cfg: AppConfig,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Assemble and start the full job; sink dispatch on
+    ``cfg.session_output`` ∈ {"kafka", "print"} (``App.java:150-159``)."""
+    sessions = stream_denied_sessions(spark, cfg)
+    formatted = format_session_result(sessions)
+    if cfg.session_output == "kafka":
+        if not cfg.kafka_topic:
+            raise ValueError("kafka.topic is required for kafka output")
+        return write_kafka(
+            formatted,
+            topic=cfg.kafka_topic,
+            kafka_options=cfg.kafka_options,
+            checkpoint_dir=checkpoint_dir,
+            poll_seconds=cfg.audit_poll_seconds,
+            available_now=available_now,
+        )
+    if cfg.session_output == "print":
+        return write_console(
+            formatted,
+            checkpoint_dir=checkpoint_dir,
+            poll_seconds=cfg.audit_poll_seconds,
+            available_now=available_now,
+        )
+    raise ValueError(
+        f"session.output must be 'kafka' or 'print', got {cfg.session_output!r}"
+    )

@@ -1,0 +1,140 @@
+"""Streaming end-to-end: file source → watermark → session windows → sink.
+
+Port of the reference's mini-cluster test (``TestAuditSession.java:30-82``)
+to Structured Streaming with an ``availableNow`` trigger and a memory sink.
+
+Watermark mechanics under test: append mode emits a session only after the
+watermark (max event time − 2 days) passes its end, so the fixture ships a
+*flush* file — one allowed event 3 days later — in a second micro-batch
+(``maxFilesPerTrigger=1``); the engine's no-data batch then finalizes both
+fixture sessions. This is exactly Flink's "watermark passes window.end"
+firing rule (SURVEY.md §4 delta 1).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from flink_audit_sessions_example_spark.config import AppConfig
+from flink_audit_sessions_example_spark.streaming import (
+    start_session_query,
+    stream_denied_sessions,
+    write_memory,
+)
+
+
+def _line(user, result, event_count, ts, **extra):
+    rec = {
+        "repoType": 9,
+        "repo": "cm_kafka",
+        "reqUser": user,
+        "evtTime": ts,
+        "result": result,
+        "event_count": event_count,
+        "seq_num": 1,
+        **extra,
+    }
+    return json.dumps(rec)
+
+
+@pytest.fixture
+def audit_tree(tmp_path):
+    """Dated audit dirs: a pruned-too-old day, the fixture day, the flush
+    day, plus malformed/userless lines that the lenient parse must drop."""
+    old = tmp_path / "20190101"
+    day = tmp_path / "20220926"
+    flush = tmp_path / "20220929"
+    for d in (old, day, flush):
+        d.mkdir()
+    # pruned by min_date: would otherwise create a denied session
+    (old / "audit.log").write_text(
+        _line("ghost", 0, 99, "2019-01-01 09:00:00.000") + "\n"
+    )
+    (day / "audit.log").write_text(
+        "\n".join(
+            [
+                _line("wdyson", 0, 10, "2022-09-26 10:00:00.000"),
+                _line("wdyson", 1, 1, "2022-09-26 10:10:00.000", tags=["x"]),
+                _line("bob", 0, 1, "2022-09-26 10:10:00.000"),
+                _line("bob", 0, 1, "2022-09-26 10:20:00.000"),
+                "{not valid json",  # malformed → null struct → dropped
+                _line(None, 0, 5, "2022-09-26 10:05:00.000"),  # null user
+            ]
+        )
+        + "\n"
+    )
+    # flush: allowed-only (HAVING-filtered) event that advances the
+    # watermark past both fixture windows' ends
+    (flush / "audit.log").write_text(
+        _line("flush", 1, 1, "2022-09-29 12:00:00.000") + "\n"
+    )
+    return tmp_path
+
+
+def _cfg(audit_tree, **over):
+    base = dict(
+        audit_path=str(audit_tree),
+        audit_min_date="20220101",
+        session_gap_seconds=1200,
+        session_output="print",
+    )
+    base.update(over)
+    return AppConfig(**base)
+
+
+def test_streaming_sessions_end_to_end(spark, audit_tree):
+    sessions = stream_denied_sessions(
+        spark, _cfg(audit_tree), max_files_per_trigger=1
+    )
+    assert sessions.isStreaming
+    query = write_memory(sessions, query_name="t_stream_sessions")
+    query.awaitTermination(120)
+    rows = {r["reqUser"]: r for r in spark.table("t_stream_sessions").collect()}
+
+    # ghost (pruned dir), null-user, malformed, and the allowed-only flush
+    # session must all be absent
+    assert set(rows) == {"wdyson", "bob"}
+    w = rows["wdyson"]
+    assert w["denies"] == 10
+    assert w["start"] == dt.datetime(2022, 9, 26, 10, 0, 0)
+    assert w["end"] == dt.datetime(2022, 9, 26, 10, 30, 0)
+    b = rows["bob"]
+    assert b["denies"] == 2
+    assert b["start"] == dt.datetime(2022, 9, 26, 10, 10, 0)
+    assert b["end"] == dt.datetime(2022, 9, 26, 10, 40, 0)
+
+
+def test_start_session_query_print_path(spark, audit_tree, tmp_path):
+    """The full ``main`` dispatch (``App.java:150-159``), print branch,
+    runs to completion on an availableNow trigger."""
+    query = start_session_query(
+        spark,
+        _cfg(audit_tree),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    query.awaitTermination(120)
+    assert query.exception() is None
+
+
+def test_start_session_query_rejects_bad_sink(spark, audit_tree, tmp_path):
+    with pytest.raises(ValueError, match="kafka' or 'print"):
+        start_session_query(
+            spark,
+            _cfg(audit_tree, session_output="elastic"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            available_now=True,
+        )
+
+
+def test_kafka_sink_requires_topic(spark, audit_tree, tmp_path):
+    with pytest.raises(ValueError, match="kafka.topic"):
+        start_session_query(
+            spark,
+            _cfg(audit_tree, session_output="kafka"),
+            checkpoint_dir=str(tmp_path / "ckpt3"),
+            available_now=True,
+        )
