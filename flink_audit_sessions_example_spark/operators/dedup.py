@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingle_array, _words
+from .text import shingle_rows, _words
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -84,9 +84,11 @@ def ngram_jaccard_pairs(
 
     Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_array(_words(F.col(text_col)), k)).alias("shingle"),
+    # join/group on the 8-byte xxhash64 of each shingle, not the string:
+    # identical counts (collision probability ~2⁻⁶⁴ per distinct-shingle
+    # pair) with a fraction of the shuffle bytes
+    shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k).select(
+        "id", F.xxhash64("sh").alias("shingle")
     )
     if max_shingle_df is not None:
         rare = (
@@ -139,24 +141,21 @@ def minhash_signatures(
     64·8 bytes regardless of document size, which is what makes the
     LSH join's shuffle volume independent of text length.
     """
-    # Materialize the shingle array once, then derive the 64 minima from
-    # the column — otherwise each hash function would re-split and
-    # re-shingle the raw text (64× redundant work; observed 20×+ slowdown).
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        shingle_array(_words(F.col(text_col)), k).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    sig = F.array(
+    # Explode shingles to rows and compute the minima as ``num_hashes``
+    # plain min() aggregations: every xxhash64 is then a whole-stage-codegen
+    # projection (array higher-order functions are interpreted per element —
+    # observed ~4× slower), and the map-side partial aggregation collapses
+    # each task to one row per doc before the shuffle.
+    shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
+    mins = shingled.withColumnRenamed("sh", "shingle").groupBy("id").agg(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))
-                )
-            )
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    return shingled.select("id", sig.alias("sig"))
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
@@ -227,9 +226,8 @@ def minhash_near_dup_pairs(
     candidates = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=rows_per_band
     )
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_array(_words(F.col(text_col)), k)).alias("shingle"),
+    shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k).select(
+        "id", F.xxhash64("sh").alias("shingle")
     )
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     common = (

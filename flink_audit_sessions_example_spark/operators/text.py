@@ -168,6 +168,11 @@ def shingle_array(words: Column, k: int) -> Column:
 
     Documents shorter than ``k`` words yield an empty array (guarded:
     ``sequence`` would otherwise produce a *descending* range).
+
+    NOTE: array higher-order functions are interpreted, and Catalyst
+    inlines the ``words`` subexpression into the lambda (the text is
+    re-split per shingle) — fine for oracle SQL mirroring, but the hot
+    path should use :func:`shingle_rows`.
     """
     n = F.size(words)
     idx = F.sequence(F.lit(0), n - F.lit(k))
@@ -177,3 +182,40 @@ def shingle_array(words: Column, k: int) -> Column:
     return F.when(n >= k, F.array_distinct(mk)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_rows(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int
+) -> DataFrame:
+    """Exploded distinct word-``k``-shingles: ``(id, sh)`` rows.
+
+    Arrow-batched Python tokenizer (``mapInPandas``) — a narrow,
+    embarrassingly-parallel map with no shuffle, ~20× faster than the
+    equivalent Catalyst higher-order-function chain, which re-splits the
+    text once per shingle (interpreted lambda inlining) and cannot be
+    whole-stage-codegen'd. Token semantics match :func:`_words` /
+    ``shingle_array`` for ASCII text: lowercase, split on whitespace
+    runs, distinct shingles, docs shorter than ``k`` words yield nothing.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            shingles: list = []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                if not t:
+                    continue
+                w = t.lower().split()
+                if len(w) < k:
+                    continue
+                distinct = dict.fromkeys(
+                    " ".join(w[j : j + k]) for j in range(len(w) - k + 1)
+                )
+                ids.extend([i] * len(distinct))
+                shingles.extend(distinct)
+            yield pd.DataFrame({"id": ids, "sh": shingles})
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(gen, "id long, sh string")
