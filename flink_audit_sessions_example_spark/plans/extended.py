@@ -505,10 +505,203 @@ FROM ranked WHERE sess_rank <= 3
 
 
 # --------------------------------------------------------------------------
+# Streaming-window analogs in batch (tumbling/sliding — categories the
+# reference lacks, SURVEY.md §2.1) and more relational breadth
+# --------------------------------------------------------------------------
+
+
+def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_tumbling`` — fixed 1-hour event-time windows per event_type
+    (the reference only has session windows; tumbling is the other
+    first-class Spark window). Same plan shape as the flagship: one
+    shuffle, map-side partial aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor("value")).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total"
+        )
+    )
+
+
+_WIN_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_sliding`` — 1-hour windows sliding every 30 min (each event
+    lands in exactly 2 windows)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n",
+        )
+    )
+
+
+_WIN_SLIDING_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('hour', ts)
+         + to_minutes(CASE WHEN minute(ts) >= 30 THEN 30 ELSE 0 END) AS t30
+  FROM events
+), w AS (
+  SELECT unnest([t30, t30 - to_minutes(30)]) AS win_start FROM b
+)
+SELECT win_start, win_start + to_minutes(60) AS win_end,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY 1
+"""
+
+
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_rollup`` — hierarchical grouping-sets aggregation (ROLLUP) with
+    grouping id, another category absent from the reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+_REL_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``set_except`` — customers with no orders (distinct EXCEPT)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.select("c_custkey").subtract(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+_SET_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``set_intersect`` — customer keys that do have orders (INTERSECT)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.select("c_custkey").intersect(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+_SET_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+"""
+
+
+def q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_revenue_by_nation`` — the big shuffle join: lineitem ⨝ orders
+    on orderkey (two large tables → sort-merge/shuffled hash, AQE decides),
+    then broadcast joins to the small customer/nation dims; revenue summed
+    in DECIMAL for exactness. The canonical 100 TB join topology: exactly
+    one big-big shuffle, dims never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+_REL_REVENUE_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``join_asof`` — point-in-time join: each purchase event picks up the
+    timestamp of that user's most recent strictly-preceding view event
+    (operators/asof.py — sorted-union + carry-forward window; one shuffle,
+    no range cross-join)."""
+    from ..operators.asof import asof_prior_value
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.where(F.col("event_type").isin("purchase", "view")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = asof_prior_value(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        tiebreak_col="event_id",
+        source_pred=F.col("event_type") == "view",
+        value_col="ts",
+        out_col="prior_view_ts",
+    )
+    return out.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "prior_view_ts"
+    )
+
+
+_JOIN_ASOF_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('purchase', 'view')
+), j AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+  FROM ev
+)
+SELECT event_id, user_id, ts, prior_view_ts FROM j WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "win_tumbling": q_win_tumbling,
+    "win_sliding": q_win_sliding,
+    "rel_rollup": q_rel_rollup,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    "rel_revenue_by_nation": q_rel_revenue_by_nation,
+    "join_asof": q_join_asof,
     "dedup_exact": q_dedup_exact,
     "dedup_count": q_dedup_count,
     "dedup_ngram": q_dedup_ngram,
@@ -530,6 +723,13 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
+    "win_tumbling": _WIN_TUMBLING_ORACLE,
+    "win_sliding": _WIN_SLIDING_ORACLE,
+    "rel_rollup": _REL_ROLLUP_ORACLE,
+    "set_except": _SET_EXCEPT_ORACLE,
+    "set_intersect": _SET_INTERSECT_ORACLE,
+    "rel_revenue_by_nation": _REL_REVENUE_ORACLE,
+    "join_asof": _JOIN_ASOF_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_count": _DEDUP_COUNT_ORACLE,
     "dedup_ngram": _DEDUP_NGRAM_ORACLE,

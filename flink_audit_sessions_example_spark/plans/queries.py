@@ -248,11 +248,61 @@ GROUP BY event_type
 """
 
 
+def q_src_file_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``src_file_monitor`` + ``xform_parse_json`` + ``flt_valid_user`` on a
+    real on-disk JSONL tree (``App.java:36-53``): the events table is
+    materialized once into the reference's ``YYYYMMDD/`` layout
+    (sources/audit_tree.py), scanned back with the recursive text source,
+    leniently parsed, and aggregated by allow/deny result."""
+    from ..sources.audit_source import read_audits
+    from ..sources.audit_tree import audit_tree_path
+
+    audits = read_audits(spark, audit_tree_path(sf_dir))
+    return audits.groupBy("result").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("event_count").cast("bigint")).alias("total_count"),
+    )
+
+
+_SRC_MONITOR_ORACLE = """
+SELECT CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS result,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total_count
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_src_file_datefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``src_file_datefilter`` — date-directory pruning
+    (``DateFileFilter.java:11-39``): scan the same tree keeping only
+    ``YYYYMMDD`` dirs >= 2024-01-15, count raw lines per kept day."""
+    from ..sources.audit_source import read_audit_lines
+    from ..sources.audit_tree import audit_tree_path
+
+    lines = read_audit_lines(
+        spark, audit_tree_path(sf_dir), min_date="20240115", keep_file_date=True
+    )
+    return lines.groupBy("file_date").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+_SRC_DATEFILTER_ORACLE = """
+SELECT strftime(ts, '%Y%m%d') AS file_date,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM events
+WHERE strftime(ts, '%Y%m%d') >= '20240115'
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "src_file_monitor": q_src_file_monitor,
+    "src_file_datefilter": q_src_file_datefilter,
     "win_session": q_win_session,
     "win_wrap_result": q_win_wrap_result,
     "xform_format_string": q_xform_format_string,
@@ -265,6 +315,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "src_file_monitor": _SRC_MONITOR_ORACLE,
+    "src_file_datefilter": _SRC_DATEFILTER_ORACLE,
     "win_session": _SESSION_ORACLE,
     "win_wrap_result": _WRAP_ORACLE,
     "xform_format_string": _FORMAT_ORACLE,

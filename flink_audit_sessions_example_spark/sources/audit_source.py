@@ -50,23 +50,30 @@ def with_file_date(df: DataFrame) -> DataFrame:
     )
 
 
-def _apply_min_date(lines: DataFrame, min_date: str | None) -> DataFrame:
+def _apply_min_date(
+    lines: DataFrame, min_date: str | None, keep_file_date: bool = False
+) -> DataFrame:
     """Keep files in date dirs >= min_date; keep non-date paths.
 
     Mirrors ``DateFileFilter.java:19-38``: a directory that does not parse
     as a date is NOT filtered (returns false → kept), and files in dated
     dirs are kept only when ``date >= min_date``.
     """
-    if min_date is None:
+    if min_date is None and not keep_file_date:
         return lines
     lines = with_file_date(lines)
-    return lines.where(
-        (F.col("file_date") == "") | (F.col("file_date") >= min_date)
-    ).drop("file_date")
+    if min_date is not None:
+        lines = lines.where(
+            (F.col("file_date") == "") | (F.col("file_date") >= min_date)
+        )
+    return lines if keep_file_date else lines.drop("file_date")
 
 
 def read_audit_lines(
-    spark: SparkSession, path: str, min_date: str | None = None
+    spark: SparkSession,
+    path: str,
+    min_date: str | None = None,
+    keep_file_date: bool = False,
 ) -> DataFrame:
     """Batch: recursive text scan of the audit tree (one row per line)."""
     lines = (
@@ -74,7 +81,7 @@ def read_audit_lines(
         .option("recursiveFileLookup", "true")
         .load(path)
     )
-    return _apply_min_date(lines, min_date)
+    return _apply_min_date(lines, min_date, keep_file_date)
 
 
 def stream_audit_lines(
