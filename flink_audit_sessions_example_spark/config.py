@@ -46,6 +46,9 @@ class AppConfig:
     kafka_topic: str | None = None
     kafka_options: dict[str, str] = field(default_factory=dict)
     watermark_delay: str = "2 days"  # hard-coded in the reference, App.java:57
+    #: Spark addition (no reference analog — Flink savepoints are cluster
+    #: config): streaming checkpoint location, key ``session.checkpoint``.
+    checkpoint_dir: str | None = None
 
     @classmethod
     def from_properties(cls, props: dict[str, str]) -> "AppConfig":
@@ -62,6 +65,7 @@ class AppConfig:
             session_output=props.get("session.output", "print"),
             kafka_topic=props.get("kafka.topic"),
             kafka_options=kafka_options,
+            checkpoint_dir=props.get("session.checkpoint"),
         )
 
     @classmethod

@@ -7,6 +7,7 @@ sink dispatch (console / Kafka / memory), and the query lifecycle
 (``App.java:136-162``'s ``main``).
 """
 
+from .custom_state import audit_denied_sessions_custom_state
 from .pipeline import (
     start_session_query,
     stream_denied_sessions,
@@ -16,6 +17,7 @@ from .pipeline import (
 )
 
 __all__ = [
+    "audit_denied_sessions_custom_state",
     "stream_denied_sessions",
     "start_session_query",
     "write_console",

@@ -107,6 +107,45 @@ def test_streaming_sessions_end_to_end(spark, audit_tree):
     assert b["end"] == dt.datetime(2022, 9, 26, 10, 40, 0)
 
 
+def test_custom_state_sessionizer_matches_builtin(spark, audit_tree):
+    """The applyInPandasWithState twin must produce the exact golden
+    sessions the built-in session_window path produces (same merge,
+    weighting, HAVING, and watermark-firing semantics)."""
+    from flink_audit_sessions_example_spark.sources.audit_source import (
+        stream_audits,
+    )
+    from flink_audit_sessions_example_spark.streaming import (
+        audit_denied_sessions_custom_state,
+    )
+
+    cfg = _cfg(audit_tree)
+    audits = stream_audits(
+        spark, cfg.audit_path, min_date=cfg.audit_min_date,
+        max_files_per_trigger=1,
+    )
+    sessions = audit_denied_sessions_custom_state(
+        audits, gap_seconds=cfg.session_gap_seconds,
+        watermark_delay=cfg.watermark_delay,
+    )
+    query = write_memory(sessions, query_name="t_custom_state_sessions")
+    query.awaitTermination(120)
+    rows = {
+        r["reqUser"]: r for r in spark.table("t_custom_state_sessions").collect()
+    }
+    assert set(rows) == {"wdyson", "bob"}
+    w, b = rows["wdyson"], rows["bob"]
+    assert (w["denies"], w["start"], w["end"]) == (
+        10,
+        dt.datetime(2022, 9, 26, 10, 0, 0),
+        dt.datetime(2022, 9, 26, 10, 30, 0),
+    )
+    assert (b["denies"], b["start"], b["end"]) == (
+        2,
+        dt.datetime(2022, 9, 26, 10, 10, 0),
+        dt.datetime(2022, 9, 26, 10, 40, 0),
+    )
+
+
 def test_start_session_query_print_path(spark, audit_tree, tmp_path):
     """The full ``main`` dispatch (``App.java:150-159``), print branch,
     runs to completion on an availableNow trigger."""
