@@ -60,12 +60,14 @@ def asof_join(
 ) -> DataFrame:
     """Two-table backward as-of join via the sorted-union composition.
 
-    For each left row: the ``value_col`` of the latest right row at-or-
-    before it in the total order (``time``, ``tiebreak``, side) — i.e.
-    exact timestamp matches are allowed and resolved by ``tiebreak_col``
-    (which must exist on both sides), with the right row winning when both
-    tie (pandas ``merge_asof(allow_exact_matches=True)`` semantics).
-    Returns the left rows plus ``out_col``; NULL when no prior right row.
+    For each left row: the ``value_col`` of the latest right row with
+    ``right_time <= left_time`` (pandas
+    ``merge_asof(allow_exact_matches=True)`` semantics — right rows sort
+    before left rows at equal timestamps, so exact matches are always
+    visible). Among equal-time right rows the greatest ``tiebreak_col``
+    wins; ``tiebreak_col`` must exist on both sides and make ordering
+    total so results are deterministic. Returns the left rows plus
+    ``out_col``; NULL when no at-or-before right row exists.
     """
     lt = left.select(
         key_col,
@@ -86,7 +88,7 @@ def asof_join(
     unioned = lt.unionByName(rt)
     w = (
         Window.partitionBy(key_col)
-        .orderBy("_t", "_tb", "_side")
+        .orderBy("_t", "_side", "_tb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carried = F.last(F.col("_v"), ignorenulls=True).over(w)

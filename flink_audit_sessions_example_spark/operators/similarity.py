@@ -388,7 +388,27 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    return _exact_topk_on_candidates(
+        cands, corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+
+
+def _exact_topk_on_candidates(
+    cands: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared ANN verify tail: join (query_id, neighbor_id) candidate pairs
+    back to their vectors, exact-cosine score (vectorized einsum per Arrow
+    batch), per-query top-k window. Query vectors broadcast; corpus joined
+    once on the candidate ids."""
     import numpy as np
+
+    from pyspark.sql.window import Window
 
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -425,4 +445,101 @@ def lsh_topk(
             F.col("rank").cast("bigint").alias("rank"),
             F.round("sim", 6).alias("sim"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF scale path
+# --------------------------------------------------------------------------
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 3,
+    max_train: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """``sim_topk_ivf`` — the IVF (inverted-file) ANN path.
+
+    Classic two-stage design (the centroid analog of :func:`lsh_topk`):
+
+    1. **Train** spherical k-means centroids driver-side on a deterministic
+       hash-ordered sample (``orderBy(xxhash64(id)).limit(max_train)`` — a
+       distributed top-k, no full sort; at any corpus scale the trainer
+       only ever sees ``max_train`` vectors).
+    2. **Assign** every corpus vector to its nearest centroid in one
+       ``mapInPandas`` matmul — a narrow map producing the inverted lists.
+    3. **Probe**: each query searches its ``nprobe`` nearest centroids'
+       lists only; candidates then get the shared exact-cosine verify +
+       per-query top-k. Work per query ≈ nprobe/n_centroids of the corpus.
+
+    Recall < 1 by construction (rows-only check); a scaled copy of a query
+    lands in the same centroid list deterministically, which the planted-
+    duplicate test exploits.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(max_train)
+        .collect()
+    )
+    sm = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    sm /= np.linalg.norm(sm, axis=1, keepdims=True)
+    n_c = min(n_centroids, len(sm))
+    centroids = sm[:n_c].copy()
+    for _ in range(train_iters):
+        assign = np.argmax(sm @ centroids.T, axis=1)
+        for c in range(n_c):
+            members = sm[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                centroids[c] = m / np.linalg.norm(m)
+    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign_cluster(batches):
+        import pandas as pd
+
+        cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["_id"].to_numpy(dtype=np.int64),
+                    "cluster": np.argmax(vm @ cm.T, axis=1).astype(np.int32),
+                }
+            )
+
+    inverted = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(assign_cluster, "neighbor_id long, cluster int")
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        qv /= np.linalg.norm(qv)
+        top = np.argsort(-(centroids @ qv))[: min(nprobe, n_c)]
+        probes += [(int(r[0]), int(c)) for c in top]
+    probe_df = corpus.sparkSession.createDataFrame(
+        probes, "query_id long, cluster int"
+    )
+    cands = (
+        inverted.join(F.broadcast(probe_df), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_topk_on_candidates(
+        cands, corpus, queries, id_col=id_col, vec_col=vec_col, k=k
     )

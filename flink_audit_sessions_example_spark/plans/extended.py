@@ -202,6 +202,21 @@ WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.35
 """
 
 
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_topk_ivf`` — the IVF ANN scale path: spherical-k-means
+    centroids (hash-sampled, driver-trained) → inverted lists via one
+    mapInPandas assignment → nprobe-list probing → exact verify.
+    Approximate recall → rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") % 50 == 0),
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``sim_topk_lsh`` — the ANN scale path: random-hyperplane sketch →
     banded bucket join → exact cosine on candidates only. Approximate
@@ -710,6 +725,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embed": q_dedup_embed,
     "sim_topk": q_sim_topk,
     "sim_topk_lsh": q_sim_topk_lsh,
+    "sim_topk_ivf": q_sim_topk_ivf,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,

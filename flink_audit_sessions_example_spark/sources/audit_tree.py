@@ -23,7 +23,7 @@ import math
 import os
 import tempfile
 
-_FIELDS = ["event_id", "ts", "user_id", "event_type", "value"]
+_FIELDS = ("event_id", "ts", "user_id", "event_type", "value")
 
 
 def audit_tree_path(sf_dir: str) -> str:

@@ -111,6 +111,36 @@ def test_lsh_topk_finds_planted_duplicates(spark):
         assert sim == pytest.approx(1.0, abs=1e-6)
 
 
+def test_ivf_topk_finds_planted_duplicates_and_recall(spark):
+    """Deterministic: a scaled copy has the same nearest centroid, so IVF
+    must return it at rank 1 with cos=1; plus a recall floor vs brute
+    force on the real corpus (nprobe=4 of 16 lists)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    planted = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    top1 = {
+        r.query_id: (r.neighbor_id, r.sim)
+        for r in S.ivf_topk(corpus, queries, k=1).collect()
+    }
+    for qid, (nid, sim) in top1.items():
+        assert nid == qid + 100000
+        assert sim == pytest.approx(1.0, abs=1e-6)
+
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in S.brute_force_topk(emb, queries, k=1).collect()
+    }
+    approx = {}
+    for r in S.ivf_topk(emb, queries, k=10).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, n in exact.items() if n in approx.get(q, set()))
+    assert hits / len(exact) >= 0.4
+
+
 def test_multimodal_decode_stub(spark):
     docs = M.with_binary_payload(load_table(spark, SF_DIR, "documents"))
     out = M.decode_media(docs)

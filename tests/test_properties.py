@@ -1,0 +1,191 @@
+"""Property-based tests (hypothesis): the Spark plans against independent
+pure-Python reference implementations.
+
+Spark-job-per-example is expensive, so the Spark-backed properties cap
+``max_examples`` low but draw adversarial shapes (duplicate timestamps,
+exact-gap distances, all-allowed sessions, empty inputs). The pure-Python
+helper properties run at full example count.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_audit_sessions_example_spark.operators.asof import asof_join
+from flink_audit_sessions_example_spark.operators.sessionize import (
+    audit_denied_sessions,
+)
+from flink_audit_sessions_example_spark.streaming.custom_state import (
+    _merge_sessions,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+GAP = 600
+
+
+def _ref_sessions(events):
+    """Independent sessionizer: merge at distance <= gap (Spark's
+    session_window merges events exactly gap apart), weight denied events,
+    drop zero-deny sessions."""
+    by_user: dict[str, list[tuple[int, int]]] = {}
+    for user, ts, w in events:
+        by_user.setdefault(user, []).append((ts, w))
+    out = set()
+    for user, evs in by_user.items():
+        evs.sort()
+        start, last, count = evs[0][0], evs[0][0], evs[0][1]
+        closed = []
+        for t, w in evs[1:]:
+            if t - last <= GAP:
+                last, count = t, count + w
+            else:
+                closed.append((start, last, count))
+                start, last, count = t, t, w
+        closed.append((start, last, count))
+        for s, l, c in closed:
+            if c != 0:
+                out.add((user, s, l + GAP, c))
+    return out
+
+
+event_lists = st.lists(
+    st.tuples(
+        st.sampled_from(["alice", "bob", "carol"]),
+        st.integers(min_value=0, max_value=4000),
+        st.one_of(st.just(0), st.integers(min_value=0, max_value=5)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=event_lists)
+def test_sessionization_matches_reference(spark, events):
+    rows = [
+        (u, EPOCH + dt.timedelta(seconds=ts), 0 if w > 0 else 1, w)
+        for u, ts, w in events
+    ]
+    audits = spark.createDataFrame(
+        rows, "reqUser string, evtTime timestamp, result int, event_count int"
+    )
+    got = {
+        (
+            r["reqUser"],
+            int((r["start"] - EPOCH).total_seconds()),
+            int((r["end"] - EPOCH).total_seconds()),
+            r["denies"],
+        )
+        for r in audit_denied_sessions(audits, gap_seconds=GAP).collect()
+    }
+    # denied iff result != 1: rows with w>0 were marked result=0 (denied),
+    # rows with w=0 result=1 (allowed, extend-only)
+    assert got == _ref_sessions(events)
+
+
+asof_fixtures = st.tuples(
+    st.lists(  # left: (key, t)
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # right: (key, t, value)
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(0, 100),
+            st.integers(0, 999),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=asof_fixtures)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    lefts, rights = data
+    left_pdf = pd.DataFrame(
+        {
+            "k": [l[0] for l in lefts],
+            "t": [l[1] for l in lefts],
+            "seq": range(len(lefts)),
+        }
+    )
+    right_pdf = pd.DataFrame(
+        {
+            "k": [r[0] for r in rights],
+            "rt": [r[1] for r in rights],
+            "v": [float(r[2]) for r in rights],
+            # tiebreak above every left seq so an equal-timestamp right row
+            # wins, matching merge_asof(allow_exact_matches=True)
+            "seq": [len(lefts) + i for i in range(len(rights))],
+        }
+    ).astype({"k": object, "rt": "int64", "v": "float64", "seq": "int64"})
+    left = spark.createDataFrame(left_pdf.assign(i=left_pdf["seq"]))
+    right = spark.createDataFrame(right_pdf) if len(right_pdf) else (
+        spark.createDataFrame([], "k string, rt bigint, v double, seq bigint")
+    )
+    got = {
+        (r.k, r.i): r.v_asof
+        for r in asof_join(
+            left,
+            right,
+            key_col="k",
+            left_time="t",
+            right_time="rt",
+            value_col="v",
+            out_col="v_asof",
+            tiebreak_col="seq",
+        ).collect()
+    }
+    expected_df = pd.merge_asof(
+        left_pdf.sort_values(["t", "seq"], kind="stable"),
+        right_pdf.sort_values(["rt", "seq"], kind="stable").drop(columns="seq"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    expected = {
+        (r.k, r.seq): (None if pd.isna(r.v) else r.v)
+        for r in expected_df.itertuples()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000), st.integers(0, 500), st.integers(0, 9)
+        ),
+        max_size=30,
+    ),
+    st.integers(1, 1000),
+)
+def test_merge_sessions_invariants(raw, gap_ms):
+    sessions = [[s, s + d, c] for s, d, c in raw]
+    merged = _merge_sessions([list(x) for x in sessions], gap_ms)
+    # counts conserved
+    assert sum(c for _, _, c in merged) == sum(c for _, _, c in sessions)
+    # output sorted, disjoint by more than gap, and interval-sane
+    for i, (s, l, _) in enumerate(merged):
+        assert s <= l
+        if i:
+            assert s > merged[i - 1][1] + gap_ms
+    # idempotent
+    assert _merge_sessions([list(x) for x in merged], gap_ms) == merged
