@@ -274,7 +274,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_oracle() -> str:
+def _langid_oracle(source: str = "documents") -> str:
     scores = {
         lang: (
             f"len(list_intersect({_SQL_WORDS}, "
@@ -297,13 +297,23 @@ def _langid_oracle() -> str:
 WITH scored AS (
   SELECT doc_id, {best} AS best,
     {inner}
-  FROM documents
+  FROM {source}
 )
 SELECT doc_id,
   CASE WHEN best <= 0 THEN 'und' ELSE {pred} END AS pred_lang,
   {score_cols}
 FROM scored
 """
+
+
+#: The quality-score expression (mirrors operators/text.py
+#: ``with_quality_score`` term-for-term).
+_QUALITY_EXPR = f"""ROUND(
+    0.4 * LEAST(CAST(len({_SQL_WORDS}) AS DOUBLE) / 100.0, 1.0)
+  + 0.3 * (1.0 - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT)
+                 / CAST(length(text) AS DOUBLE))
+  + 0.3 * LEAST(CAST(len(list_intersect({_SQL_WORDS}, {_STOP_EN_SQL})) AS DOUBLE) / 5.0, 1.0)
+  , 6)"""
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,13 +323,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TEXT_QUALITY_ORACLE = f"""
-SELECT doc_id,
-  ROUND(
-    0.4 * LEAST(CAST(len({_SQL_WORDS}) AS DOUBLE) / 100.0, 1.0)
-  + 0.3 * (1.0 - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT)
-                 / CAST(length(text) AS DOUBLE))
-  + 0.3 * LEAST(CAST(len(list_intersect({_SQL_WORDS}, {_STOP_EN_SQL})) AS DOUBLE) / 5.0, 1.0)
-  , 6) AS quality
+SELECT doc_id, {_QUALITY_EXPR} AS quality
 FROM documents
 """
 
@@ -665,6 +669,80 @@ GROUP BY n_name
 """
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline_clean_corpus`` — the end-to-end training-data shape the
+    extended operators exist for, composed as ONE declarative plan:
+    exact-dedup on normalized fingerprint (deterministic min-id survivor)
+    → quality score → language ID → keep en docs with quality ≥ 0.5 →
+    token counts. Catalyst fuses the scoring projections into the scan;
+    the only shuffles are the dedup aggregation and survivor join."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = D.exact_dedup(
+        X.with_fingerprint(docs), ["fingerprint"], "doc_id"
+    ).select("doc_id")
+    kept = docs.join(survivors, "doc_id")
+    scored = X.with_language_id(X.with_quality_score(X.with_text_stats(kept)))
+    return scored.where(
+        (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
+    ).select("doc_id", "n_tokens", "quality")
+
+
+def _pipeline_oracle() -> str:
+    lang = _langid_oracle("kept").strip()
+    return f"""
+WITH survivors AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+), kept AS (
+  SELECT d.* FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+), lang AS (
+  {lang}
+), q AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         {_QUALITY_EXPR} AS quality
+  FROM kept
+)
+SELECT q.doc_id, q.n_tokens, q.quality
+FROM q JOIN lang ON q.doc_id = lang.doc_id
+WHERE q.quality >= 0.5 AND lang.pred_lang = 'en'
+"""
+
+
+def q_rel_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_filtered_scan`` — selective scan with range + equality
+    predicates that must reach the parquet reader as PushedFilters
+    (verified in tests/test_plans.py), projecting only 3 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_returnflag") == "R")
+            & (F.col("l_discount") > 0.05)
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+_REL_FILTERED_ORACLE = """
+SELECT l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+  AND l_discount > 0.05
+GROUP BY l_linestatus
+"""
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``join_asof`` — point-in-time join: each purchase event picks up the
     timestamp of that user's most recent strictly-preceding view event
@@ -716,6 +794,8 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_except": q_set_except,
     "set_intersect": q_set_intersect,
     "rel_revenue_by_nation": q_rel_revenue_by_nation,
+    "rel_filtered_scan": q_rel_filtered_scan,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "join_asof": q_join_asof,
     "dedup_exact": q_dedup_exact,
     "dedup_count": q_dedup_count,
@@ -745,6 +825,8 @@ EXTENDED_ORACLES: dict[str, str] = {
     "set_except": _SET_EXCEPT_ORACLE,
     "set_intersect": _SET_INTERSECT_ORACLE,
     "rel_revenue_by_nation": _REL_REVENUE_ORACLE,
+    "rel_filtered_scan": _REL_FILTERED_ORACLE,
+    "pipeline_clean_corpus": _pipeline_oracle(),
     "join_asof": _JOIN_ASOF_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_count": _DEDUP_COUNT_ORACLE,
