@@ -126,6 +126,30 @@ def parse_audit_json(lines: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def stream_audits_from_kafka(
+    spark: SparkSession,
+    *,
+    topic: str,
+    kafka_options: dict[str, str],
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka *source* twin of the engine's Kafka sink: subscribe to the
+    audit topic, treat each record value as one JSON audit line, parse
+    leniently. The reference only reads files (``App.java:45``), but its
+    deployment feeds Ranger audits through Kafka (``readme.md``), so a
+    complete replacement needs the read side too. ``kafka_options`` uses
+    the same ``kafka.``-prefix pass-through convention as the sink."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in kafka_options.items():
+        reader = reader.option(k, v)
+    lines = reader.load().selectExpr("CAST(value AS STRING) AS value")
+    return parse_audit_json(lines)
+
+
 def read_audits(
     spark: SparkSession, path: str, min_date: str | None = None
 ) -> DataFrame:
