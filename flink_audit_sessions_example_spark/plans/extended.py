@@ -328,6 +328,33 @@ FROM documents
 """
 
 
+def q_text_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_word_histogram`` — corpus-wide top-100 word frequencies:
+    explode → two-level aggregation (map-side partial count collapses
+    each task's vocabulary before the shuffle) → deterministic top-k.
+    The canonical vocabulary-building pass of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(100)
+    )
+
+
+_TEXT_HISTOGRAM_ORACLE = f"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY freq DESC, word ASC
+LIMIT 100
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.with_fingerprint(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
@@ -810,6 +837,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_word_histogram": q_text_word_histogram,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
@@ -840,6 +868,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "text_langid": _langid_oracle(),
     "text_quality": _TEXT_QUALITY_ORACLE,
     "text_fingerprint": _TEXT_FINGERPRINT_ORACLE,
+    "text_word_histogram": _TEXT_HISTOGRAM_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     # multimodal_decode: rows-only (mapInPandas codec boundary)
     "multimodal_frames": _MULTIMODAL_FRAMES_ORACLE,
