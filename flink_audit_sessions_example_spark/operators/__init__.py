@@ -10,4 +10,4 @@ from .sessionize import (  # noqa: F401
     audit_denied_sessions,
     with_event_time,
 )
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import asof, dedup, multimodal, similarity, skew, text  # noqa: F401

@@ -121,6 +121,58 @@ def decode_media(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """``multimodal_resize`` — batch resize via ``mapInPandas``.
+
+    Same plumbing contract as :func:`decode_media`: Arrow batches of
+    binary payloads in, transformed payloads out, decode CPU scaling with
+    partitions. ``resize_fn(payload, w, h) -> bytes`` is the codec hook
+    (PIL ``Image.resize`` in production); the container-safe default is a
+    deterministic fake that truncates/pads the payload to ``w·h`` bytes so
+    output sizes are exactly what a real raster resize would pin.
+    """
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        target = w * h
+        return payload[:target].ljust(target, b"\0")
+
+    fn = resize_fn or _fake_resize
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [fn(bytes(p), width, height) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )
+
+
 def frame_sample(
     df: DataFrame, *, stride: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -401,6 +401,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(docs)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_resize`` — Arrow-batched resize stub (codec boundary,
+    binary output) → rows-only check."""
+    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.resize_media(docs, width=8, height=4)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``multimodal_frames`` — payload frame-sampling (stride slices),
     decoded back to strings for oracle comparability."""
@@ -840,6 +847,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_word_histogram": q_text_word_histogram,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,

@@ -157,6 +157,17 @@ def test_multimodal_decode_stub(spark):
     assert (row.width, row.height, row.n_frames) == M._fake_decode(payload)
 
 
+def test_resize_media_stub_pins_output_shape(spark):
+    docs = M.with_binary_payload(load_table(spark, SF_DIR, "documents"))
+    out = M.resize_media(docs, width=8, height=4)
+    assert out.schema == M.RESIZED_SCHEMA
+    rows = out.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert (r.width, r.height) == (8, 4)
+        assert len(bytes(r.payload)) == 32
+
+
 def test_frame_sample_reconstructs_prefix(spark):
     docs = M.with_binary_payload(load_table(spark, SF_DIR, "documents"))
     frames = (
