@@ -74,39 +74,52 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """``dedup_ngram`` — all pairs with word-``k``-shingle Jaccard ≥
-    ``threshold``, computed exactly via an inverted-index join.
+    ``threshold``, computed exactly via an inverted index.
 
-    Plan: explode distinct shingles → (optional) drop shingles with
-    document frequency > ``max_shingle_df`` (skew guard: a shingle shared
-    by millions of docs would create a quadratic join bucket) → self-join
-    on shingle with ``id < id`` → count common shingles per pair →
-    ``jaccard = common / (|A| + |B| − common)``.
+    Plan: explode distinct shingles (hashed to 8-byte ``xxhash64`` keys —
+    identical counts at ~2⁻⁶⁴ collision odds, a fraction of the shuffle
+    bytes) → ONE ``groupBy(shingle)`` building each shingle's sorted
+    posting list → emit its id pairs in place (no self-join; the classic
+    pairs-from-postings shape) → count common shingles per pair. The
+    per-doc sizes branch consumes the SAME shingle exchange (Catalyst
+    ``ReusedExchange``), so the Python tokenizer runs once, not three
+    times as in the self-join formulation.
+
+    Skew guard: ``max_shingle_df`` drops posting lists longer than the cap
+    *before* the quadratic pair explode — a shingle shared by millions of
+    docs would otherwise emit ~10¹² pairs from one row; such boilerplate
+    shingles only connect near-identical docs that their rarer shingles
+    connect anyway. Set it at corpus scale.
 
     Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
-    # join/group on the 8-byte xxhash64 of each shingle, not the string:
-    # identical counts (collision probability ~2⁻⁶⁴ per distinct-shingle
-    # pair) with a fraction of the shuffle bytes
     shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k).select(
         "id", F.xxhash64("sh").alias("shingle")
     )
+    postings = shingled.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    paired = postings.where(F.size("ids") >= 2)
     if max_shingle_df is not None:
-        rare = (
-            shingled.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_shingle_df)
-            .select("shingle")
+        paired = paired.where(F.size("ids") <= max_shingle_df)
+    # all (ids[i], ids[j]) with i < j; lists are sorted so id_a < id_b
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        shingled = shingled.join(rare, "shingle")
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    )
     common = (
-        shingled.alias("a")
-        .join(
-            shingled.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        paired.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
