@@ -42,7 +42,8 @@ class AppConfig:
     audit_poll_seconds: int = 240
     audit_min_date: str | None = None  # YYYYMMDD (BASIC_ISO_DATE)
     session_gap_seconds: int = 600
-    session_output: str = "print"  # "kafka" | "print"
+    session_output: str = "kafka"  # "kafka" | "print" (reference default
+    # is kafka: ``params.get(PARAM_SESSION_OUTPUT, "kafka")``, App.java:150)
     kafka_topic: str | None = None
     kafka_options: dict[str, str] = field(default_factory=dict)
     watermark_delay: str = "2 days"  # hard-coded in the reference, App.java:57
@@ -62,7 +63,7 @@ class AppConfig:
             audit_poll_seconds=int(props.get("audit.poll", "240")),
             audit_min_date=props.get("audit.min_date"),
             session_gap_seconds=int(props.get("session.duration", "600")),
-            session_output=props.get("session.output", "print"),
+            session_output=props.get("session.output", "kafka"),
             kafka_topic=props.get("kafka.topic"),
             kafka_options=kafka_options,
             checkpoint_dir=props.get("session.checkpoint"),

@@ -104,13 +104,20 @@ def audit_denied_sessions(
     """``extractDeniedAuditCountsUserSession`` (``App.java:126-134``) on the
     Ranger audit schema: denied = ``result != 1``, weighted by
     ``event_count``.
+
+    ``Audit.result`` / ``Audit.event_count`` are *primitive* ints in the
+    reference (``Audit.java:23,34``) — a missing JSON key deserializes to 0,
+    i.e. denied with weight 0 events. Spark's ``from_json`` yields NULL for
+    missing keys, so both columns are coalesced to 0 to match; this also keeps
+    the built-in path bit-identical to the custom-state twin
+    (``streaming/custom_state.py``), which already does ``fillna(0)``.
     """
     return sessionize_denied_counts(
         audits,
         user_col="reqUser",
         time_col="evtTime",
-        denied=F.col("result") != 1,
-        weight=F.col("event_count"),
+        denied=F.coalesce(F.col("result"), F.lit(0)) != 1,
+        weight=F.coalesce(F.col("event_count"), F.lit(0)),
         gap_seconds=gap_seconds,
         watermark_delay=watermark_delay,
     )

@@ -47,5 +47,6 @@ def test_defaults():
     cfg = AppConfig.from_properties({"audit.path": "/x"})
     assert cfg.audit_poll_seconds == 240
     assert cfg.session_gap_seconds == 600
-    assert cfg.session_output == "print"
+    # reference default: params.get(PARAM_SESSION_OUTPUT, "kafka"), App.java:150
+    assert cfg.session_output == "kafka"
     assert cfg.audit_min_date is None

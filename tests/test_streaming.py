@@ -62,6 +62,29 @@ def audit_tree(tmp_path):
                 _line("bob", 0, 1, "2022-09-26 10:20:00.000"),
                 "{not valid json",  # malformed → null struct → dropped
                 _line(None, 0, 5, "2022-09-26 10:05:00.000"),  # null user
+                # Missing `result` key: the reference's primitive-int field
+                # (Audit.java:23) deserializes to 0 → denied. Missing
+                # `event_count` (Audit.java:34) → weight 0.
+                json.dumps(
+                    {
+                        "repoType": 9,
+                        "repo": "cm_kafka",
+                        "reqUser": "carol",
+                        "evtTime": "2022-09-26 10:00:00.000",
+                        "event_count": 3,
+                        "seq_num": 1,
+                    }
+                ),
+                json.dumps(
+                    {
+                        "repoType": 9,
+                        "repo": "cm_kafka",
+                        "reqUser": "carol",
+                        "evtTime": "2022-09-26 10:05:00.000",
+                        "result": 0,
+                        "seq_num": 1,
+                    }
+                ),
             ]
         )
         + "\n"
@@ -95,8 +118,9 @@ def test_streaming_sessions_end_to_end(spark, audit_tree):
     rows = {r["reqUser"]: r for r in spark.table("t_stream_sessions").collect()}
 
     # ghost (pruned dir), null-user, malformed, and the allowed-only flush
-    # session must all be absent
-    assert set(rows) == {"wdyson", "bob"}
+    # session must all be absent; carol's missing-result lines count as
+    # denied (primitive-int 0) with weights 3 + 0
+    assert set(rows) == {"wdyson", "bob", "carol"}
     w = rows["wdyson"]
     assert w["denies"] == 10
     assert w["start"] == dt.datetime(2022, 9, 26, 10, 0, 0)
@@ -105,6 +129,10 @@ def test_streaming_sessions_end_to_end(spark, audit_tree):
     assert b["denies"] == 2
     assert b["start"] == dt.datetime(2022, 9, 26, 10, 10, 0)
     assert b["end"] == dt.datetime(2022, 9, 26, 10, 40, 0)
+    c = rows["carol"]
+    assert c["denies"] == 3
+    assert c["start"] == dt.datetime(2022, 9, 26, 10, 0, 0)
+    assert c["end"] == dt.datetime(2022, 9, 26, 10, 25, 0)
 
 
 def test_custom_state_sessionizer_matches_builtin(spark, audit_tree):
@@ -132,8 +160,14 @@ def test_custom_state_sessionizer_matches_builtin(spark, audit_tree):
     rows = {
         r["reqUser"]: r for r in spark.table("t_custom_state_sessions").collect()
     }
-    assert set(rows) == {"wdyson", "bob"}
+    assert set(rows) == {"wdyson", "bob", "carol"}
     w, b = rows["wdyson"], rows["bob"]
+    c = rows["carol"]
+    assert (c["denies"], c["start"], c["end"]) == (
+        3,
+        dt.datetime(2022, 9, 26, 10, 0, 0),
+        dt.datetime(2022, 9, 26, 10, 25, 0),
+    )
     assert (w["denies"], w["start"], w["end"]) == (
         10,
         dt.datetime(2022, 9, 26, 10, 0, 0),
