@@ -60,6 +60,45 @@ def distinct_count(df: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared pairs-from-postings machinery
+# --------------------------------------------------------------------------
+
+
+def _pair_explode(ids_col: str = "ids") -> Column:
+    """All (ids[i], ids[j]) with i < j from a sorted id-array column —
+    the in-place pair emission of the pairs-from-postings pattern (no
+    self-join). Lists are sorted, so ``id_a < id_b`` by construction."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(F.col(ids_col), i + 2, F.size(ids_col)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _postings_pairs(
+    keyed: DataFrame, key_col: str, *, max_size: int | None
+) -> DataFrame:
+    """Group ``(key, id)`` rows into per-key sorted posting lists and emit
+    each list's id pairs. ``max_size`` drops degenerate oversized groups
+    *before* the quadratic pair explode (a key shared by 10⁶ ids would
+    emit ~10¹² pairs from one row): at scale such boilerplate keys only
+    connect near-identical rows that their rarer keys connect anyway."""
+    postings = keyed.groupBy(key_col).agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    sized = postings.where(F.size("ids") >= 2)
+    if max_size is not None:
+        sized = sized.where(F.size("ids") <= max_size)
+    return sized.select(F.explode(_pair_explode()).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # N-gram Jaccard near-dup (exact, inverted index)
 # --------------------------------------------------------------------------
 
@@ -107,18 +146,8 @@ def ngram_jaccard_pairs(
     paired = postings.where(F.size("ids") >= 2)
     if max_shingle_df is not None:
         paired = paired.where(F.size("ids") <= max_shingle_df)
-    # all (ids[i], ids[j]) with i < j; lists are sorted so id_a < id_b
-    pair_expr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     common = (
-        paired.select(F.explode(pair_expr).alias("p"))
+        paired.select(F.explode(_pair_explode()).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -140,6 +169,43 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
+def _hex40(digest: Column, start: int) -> Column:
+    """Integer value of 10 hex digits of an md5 hex digest (40 bits —
+    small enough that ``a + 63·b`` stays far below 2⁶³ in both engines)."""
+    return F.conv(F.substring(digest, start, 10), 16, 10).cast("bigint")
+
+
+def _minhash_keyed(
+    rows: DataFrame, hash_family: str
+) -> tuple[DataFrame, list[str], "Callable[[int], Column]"]:
+    """Project ``(id, sh)`` shingle rows to hashed key columns + the i-th
+    hash expression of a MinHash family over those keys.
+
+    ``xxhash64`` (production default): key = xxhash64(shingle), hᵢ =
+    xxhash64(key, i) — 8-byte keys, cheapest shuffle, not reproducible in
+    SQL oracles.
+
+    ``md5``: ONE md5 per shingle row split into two 40-bit ints (k1, k2)
+    that serve as BOTH the 80-bit shingle identity and the hash family
+    hᵢ = k1 + i·k2 — the standard two-hash affine construction (Kirsch &
+    Mitzenmacher 2006). md5 + hex arithmetic exist verbatim in DuckDB, so
+    the whole pipeline is oracle-checkable; the digest is hoisted into
+    real columns so the minima never recompute md5 per expression.
+    """
+    if hash_family == "xxhash64":
+        keyed = rows.select("id", F.xxhash64("sh").alias("k1"))
+        return keyed, ["k1"], lambda i: F.xxhash64(F.col("k1"), F.lit(i))
+    if hash_family == "md5":
+        digest = F.md5(F.col("sh"))
+        keyed = rows.select(
+            "id", _hex40(digest, 1).alias("k1"), _hex40(digest, 11).alias("k2")
+        )
+        return keyed, ["k1", "k2"], (
+            lambda i: F.col("k1") + F.lit(i) * F.col("k2")
+        )
+    raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -147,24 +213,23 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes`` hash
-    functions, the minimum ``xxhash64(shingle, seed_i)`` over the
-    document's shingle set. One narrow projection — the signature is
-    64·8 bytes regardless of document size, which is what makes the
-    LSH join's shuffle volume independent of text length.
+    functions, the minimum hash over the document's shingle set. One
+    narrow projection — the signature is ``num_hashes`` fixed-width
+    values regardless of document size, which is what makes the LSH
+    join's shuffle volume independent of text length.
     """
     # Explode shingles to rows and compute the minima as ``num_hashes``
-    # plain min() aggregations: every xxhash64 is then a whole-stage-codegen
+    # plain min() aggregations: every hash is then a whole-stage-codegen
     # projection (array higher-order functions are interpreted per element —
     # observed ~4× slower), and the map-side partial aggregation collapses
     # each task to one row per doc before the shuffle.
     shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
-    mins = shingled.withColumnRenamed("sh", "shingle").groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    keyed, _, h = _minhash_keyed(shingled, hash_family)
+    mins = keyed.groupBy("id").agg(
+        *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
     return mins.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -172,46 +237,53 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, bands: int, rows_per_band: int
+    signatures: DataFrame,
+    *,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None = None,
+    hash_bucket: bool = True,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all ``rows_per_band`` minima of any
-    band become a candidate pair. Band key = (band index, hash of the
-    band's slice), so the self-join is an exact-match equi-join on a
-    short key — shuffle volume O(docs · bands), never O(n²).
+    band become a candidate pair. Band key = (band index, the band's
+    minima concatenated — optionally xxhash64'd to an 8-byte key), then
+    ONE ``groupBy(band, key)`` builds each bucket's posting list and
+    emits its pairs in place (pairs-from-postings — no self-join, and
+    the bucket size is visible for the skew cap). Shuffle volume
+    O(docs · bands), never O(n²).
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. thousands of
+    identical boilerplate docs) whose pair explosion would be quadratic;
+    their members still pair through their other, more selective bands.
     """
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            "|",
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return F.xxhash64(joined) if hash_bucket else joined
+
     banded = signatures.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), band_key(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bucket")
-    return (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    keyed = banded.select(
+        F.concat_ws("#", F.col("band").cast("string"), F.col("bucket").cast("string")).alias("bkey"),
+        "id",
     )
+    return _postings_pairs(keyed, "bkey", max_size=max_bucket_size).distinct()
 
 
 def minhash_near_dup_pairs(
@@ -223,6 +295,10 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+    max_shingle_df: int | None = None,
+    max_bucket_size: int | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """``dedup_minhash`` — end-to-end near-dup detection: MinHash → LSH
     candidates → exact Jaccard verification *of candidates only*.
@@ -231,31 +307,79 @@ def minhash_near_dup_pairs(
     at s ≈ (1/b)^(1/r) ≈ 0.5, matching the default threshold; the exact
     verification then removes false positives, so precision is 1.0 and
     only recall is probabilistic (tunable via bands).
+
+    Plan (single tokenizer pass, candidates-only verify): the Python
+    shingler runs ONCE into a ``groupBy(shingle-key)`` postings exchange
+    that feeds every downstream branch — (a) one per-doc aggregation
+    producing signature minima AND shingle counts, from which the LSH
+    band buckets and candidate pairs derive, and (b) the verify branch,
+    which re-reads the SAME exchange, keeps only candidate docs' shingle
+    rows (broadcast semi-join on the tiny candidate-id set), and counts
+    common shingles via pairs-from-postings on that small remainder.
+    Unlike an all-pairs postings explode (the exact ``ngram`` shape), the
+    quadratic work stays restricted to band-colliding docs — the whole
+    point of LSH at 100 TB. AQE dedupes the repeated exchange reads
+    (ReusedExchange), so the tokenizer and the shingle shuffle run once.
+
+    ``hash_family='md5'`` makes every step DuckDB-reproducible (the
+    driver's oracle); ``'xxhash64'`` is the cheaper production default.
+    ``max_bucket_size`` caps degenerate LSH buckets; ``max_shingle_df``
+    additionally caps verify-side posting lists (rarely needed once
+    buckets are capped — candidate sets are already bounded).
+
+    ``persist=True`` caches the two diamond nodes (shingle postings,
+    per-doc signature table) at ``MEMORY_AND_DISK``, guaranteeing the
+    tokenizer and both aggregations run exactly once even where runtime
+    exchange reuse doesn't fire (broadcast subtrees compile separately) —
+    measured ~1.5× end-to-end. The cache lives until the session evicts
+    it (LRU), the usual Spark contract for diamond DAGs; leave False for
+    one-shot pipelines where recompute is cheaper than cache churn.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+    shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
+    keyed, key_cols, h = _minhash_keyed(shingled, hash_family)
+    postings = keyed.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    if persist:
+        postings = postings.persist()
+    exploded = postings.select(*key_cols, F.explode("ids").alias("id"))
+    per_doc = exploded.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    if persist:
+        per_doc = per_doc.persist()
+    sigs = per_doc.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
     candidates = lsh_candidate_pairs(
-        sigs, bands=bands, rows_per_band=rows_per_band
+        sigs,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+        hash_bucket=(hash_family == "xxhash64"),
     )
-    shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k).select(
-        "id", F.xxhash64("sh").alias("shingle")
+    sizes = per_doc.select("id", "n")
+    cand_ids = (
+        candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias("id")
+        ).distinct()
     )
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    verify_rows = exploded.join(F.broadcast(cand_ids), "id")
+    vposts = verify_rows.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    ).where(F.size("ids") >= 2)
+    if max_shingle_df is not None:
+        vposts = vposts.where(F.size("ids") <= max_shingle_df)
     common = (
-        candidates.join(
-            shingled.withColumnsRenamed({"id": "id_a", "shingle": "s_a"}), "id_a"
-        )
-        .join(
-            shingled.withColumnsRenamed({"id": "id_b", "shingle": "s_b"}), "id_b"
-        )
-        .where(F.col("s_a") == F.col("s_b"))
-        .groupBy("id_a", "id_b")
+        vposts.select(F.explode(_pair_explode()).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        common.join(candidates, ["id_a", "id_b"])
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
         .withColumn(
             "jaccard",
@@ -273,10 +397,10 @@ def minhash_near_dup_pairs(
 SIMHASH_BITS = 32
 
 
-def _md5_hex_digit_value(tok: Column, pos: int) -> Column:
-    """Value 0–15 of the ``pos``-th (1-indexed) hex digit of md5(token)."""
+def _hex_digit_value(digest: Column, pos: int) -> Column:
+    """Value 0–15 of the ``pos``-th (1-indexed) hex digit of a digest."""
     return (
-        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(tok), pos, 1)) - 1
+        F.instr(F.lit("0123456789abcdef"), F.substring(digest, pos, 1)) - 1
     )
 
 
@@ -291,13 +415,17 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") ->
     Implementation is a single explode → aggregate: 32 conditional sums in
     one hash aggregation, shuffle keyed by doc id.
     """
+    # md5 hoisted into ONE materialized column: the 32 bit expressions
+    # then reference it directly instead of each embedding an md5(tok)
+    # call and relying on Catalyst subexpression elimination (which holds
+    # in codegen'd projections but is fragile inside aggregates).
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(_words(F.col(text_col)))).alias("tok"),
-    )
+    ).select("id", F.md5(F.col("tok")).alias("digest"))
     bit_sums = []
     for j in range(SIMHASH_BITS):
-        digit = _md5_hex_digit_value(F.col("tok"), j // 4 + 1)
+        digit = _hex_digit_value(F.col("digest"), j // 4 + 1)
         bit = F.floor(digit / F.pow(F.lit(2), F.lit(j % 4))).cast("int") % 2
         bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
     sums = toks.groupBy("id").agg(*bit_sums)
@@ -309,12 +437,19 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") ->
 
 
 def simhash_candidate_pairs(
-    fingerprints: DataFrame, *, bands: int = 4
+    fingerprints: DataFrame,
+    *,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: split the 32-bit fingerprint into ``bands``
     byte-blocks; docs sharing any block value are candidates (hamming
     distance < bands guarantees at least one identical block — the
-    pigeonhole rotation trick). Equi-join per block, union, distinct.
+    pigeonhole rotation trick). One ``groupBy(block, val)`` bucket
+    aggregation emits each bucket's pairs in place (pairs-from-postings;
+    no self-join), with ``max_bucket_size`` capping degenerate buckets —
+    a corpus of near-identical boilerplate collapses to few fingerprints
+    and would otherwise emit O(n²) pairs from one bucket row.
     """
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
@@ -335,14 +470,10 @@ def simhash_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.block", "bk.val")
-    return (
-        blocks.alias("a")
-        .join(
-            blocks.alias("b"),
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    keyed = blocks.select(
+        F.concat_ws(
+            "#", F.col("block").cast("string"), F.col("val").cast("string")
+        ).alias("bkey"),
+        "id",
     )
+    return _postings_pairs(keyed, "bkey", max_size=max_bucket_size).distinct()

@@ -7,15 +7,19 @@ payload bytes; parquet stores the blobs contiguously).
 
 The decode / feature-extract stage is the one place Python is unavoidable
 (codec libraries), so it is an Arrow-batched ``mapInPandas`` with an
-explicit output schema — the real plumbing (schema, batching, partition
-shape) with the codec call stubbed: the decode backends (PIL / torchcodec /
-ffmpeg) are not in this container, so ``decode_fn=None`` uses a
-deterministic fake that derives "dimensions" from the payload bytes, and
-wiring a real codec is a one-argument change.
+explicit output schema. The built-in codec is a REAL, dependency-free PNM
+(netpbm) implementation: ``pnm_decode`` parses P5 (grayscale) / P6 (RGB)
+binary headers and ``pnm_resize`` does an actual nearest-neighbor raster
+resample — no PIL/ffmpeg needed, and the whole path is byte-exact
+reproducible in the DuckDB oracle (the header is ASCII, the raster is a
+flat byte matrix). Heavier codecs (JPEG via PIL, video via ffmpeg) plug in
+through the same ``decode_fn`` / ``resize_fn`` hooks without touching the
+Spark plumbing.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -65,14 +69,104 @@ def with_binary_payload(
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for a codec: derives (width, height,
-    n_frames) from payload bytes. Replace with PIL/ffmpeg in production —
-    see :func:`decode_media`."""
-    n = len(payload)
-    width = 16 + (payload[0] if n else 0) % 64
-    height = 16 + (payload[-1] if n else 0) % 64
-    return width, height, 1 + n % 8
+PGM_MEDIA_TYPE = "image/x-portable-graymap"
+
+
+def with_pgm_payload(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Materialize a real binary PGM (netpbm ``P5``) image per document.
+
+    Deterministic synthetic raster — dimensions derived from the id, pixel
+    bytes from the md5 hex of the text cycled to width·height — but a REAL
+    image file: ``pnm_decode``/``pnm_resize`` (and any netpbm tool) parse
+    it. Built entirely in Catalyst (concat/repeat/substring/md5), and the
+    payload is pure ASCII, so the DuckDB oracle reconstructs the exact
+    bytes with the same string expressions.
+    """
+    out = df.withColumn(
+        "_w", (F.lit(4) + F.pmod(F.col(id_col), F.lit(13))).cast("int")
+    ).withColumn("_h", (F.lit(3) + F.pmod(F.col(id_col), F.lit(7))).cast("int"))
+    raster = F.expr(
+        f"substring(repeat(md5({text_col}), (_w * _h div 32) + 1), 1, _w * _h)"
+    )
+    payload_str = F.concat(
+        F.lit("P5\n"),
+        F.col("_w").cast("string"),
+        F.lit(" "),
+        F.col("_h").cast("string"),
+        F.lit("\n255\n"),
+        raster,
+    )
+    payload = F.encode(payload_str, "utf-8")
+    return (
+        out.withColumn("payload", payload)
+        .withColumn(
+            "media_meta",
+            F.struct(
+                F.lit(PGM_MEDIA_TYPE).alias("media_type"),
+                F.octet_length(payload).cast("long").alias("n_bytes"),
+                F.sha2(payload, 256).alias("sha"),
+            ),
+        )
+        .drop("_w", "_h")
+    )
+
+
+# -- PNM codec (real, dependency-free) -------------------------------------
+
+#: Binary PNM header: magic, width, height, maxval, ONE whitespace byte,
+#: then the raster (netpbm spec). Comments (#...) are not emitted by any
+#: writer in this pipeline and are rejected rather than silently misread.
+_PNM_HEADER = re.compile(rb"\A(P[56])\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]")
+
+
+def _pnm_parse(payload: bytes) -> tuple[bytes, int, int, int, bytes]:
+    """Parse a binary PNM payload → (magic, width, height, maxval, raster).
+
+    Raises ``ValueError`` on anything that isn't a well-formed binary
+    P5/P6 with the full raster present.
+    """
+    m = _PNM_HEADER.match(payload)
+    if not m:
+        raise ValueError("not a binary PNM (P5/P6) payload")
+    magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    channels = 1 if magic == b"P5" else 3
+    raster = payload[m.end() :]
+    if len(raster) < w * h * channels:
+        raise ValueError(
+            f"truncated PNM raster: need {w * h * channels}, got {len(raster)}"
+        )
+    return magic, w, h, maxval, raster[: w * h * channels]
+
+
+def pnm_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real decode: parse the PNM header, validate the raster, return
+    (width, height, n_frames). Still images have exactly one frame."""
+    _, w, h, _, _ = _pnm_parse(payload)
+    return w, h, 1
+
+
+def pnm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor raster resize of a binary P5/P6 image.
+
+    Output pixel (x, y) samples input pixel
+    (floor(x·w_in/w_out), floor(y·h_in/h_out)) — the standard
+    nearest-neighbor mapping — and the result is re-emitted as a
+    well-formed PNM of the same magic/maxval.
+    """
+    import numpy as np
+
+    magic, w, h, maxval, raster = _pnm_parse(payload)
+    channels = 1 if magic == b"P5" else 3
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    resized = img[ys][:, xs]
+    header = b"%s\n%d %d\n%d\n" % (magic, width, height, maxval)
+    return header + resized.tobytes()
 
 
 def decode_media(
@@ -88,17 +182,17 @@ def decode_media(
     the partition count, so at 100 TB this stage scales linearly with
     executors and the payload bytes are read exactly once.
 
-    ``decode_fn`` maps payload bytes → (width, height, n_frames). Default
-    is the deterministic fake; a real backend would be e.g.
-    ``lambda b: PIL.Image.open(io.BytesIO(b)).size + (1,)``. Import-gate
-    real codecs at call time:
+    ``decode_fn`` maps payload bytes → (width, height, n_frames); the
+    default is the real :func:`pnm_decode`. Other codecs slot in the same
+    way, import-gated at call time:
 
     >>> try:
     ...     from PIL import Image  # doctest: +SKIP
+    ...     decode_fn = lambda b: Image.open(io.BytesIO(b)).size + (1,)
     ... except ImportError:
-    ...     decode_fn = None  # fall back to the stub
+    ...     decode_fn = None  # fall back to the PNM codec
     """
-    fn = decode_fn or _fake_decode
+    fn = decode_fn or pnm_decode
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -143,17 +237,11 @@ def resize_media(
 
     Same plumbing contract as :func:`decode_media`: Arrow batches of
     binary payloads in, transformed payloads out, decode CPU scaling with
-    partitions. ``resize_fn(payload, w, h) -> bytes`` is the codec hook
-    (PIL ``Image.resize`` in production); the container-safe default is a
-    deterministic fake that truncates/pads the payload to ``w·h`` bytes so
-    output sizes are exactly what a real raster resize would pin.
+    partitions. ``resize_fn(payload, w, h) -> bytes`` defaults to the real
+    nearest-neighbor :func:`pnm_resize`; PIL ``Image.resize`` etc. slot in
+    through the same hook.
     """
-
-    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
-        target = w * h
-        return payload[:target].ljust(target, b"\0")
-
-    fn = resize_fn or _fake_resize
+    fn = resize_fn or pnm_resize
 
     def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -73,13 +73,25 @@ FROM documents
 """
 
 
+#: Skew caps active in the REGISTERED dedup queries (and mirrored in their
+#: oracles): a shingle shared by more than MAX_SHINGLE_DF docs, or an LSH
+#: bucket larger than MAX_BUCKET_SIZE, is dropped before its quadratic pair
+#: explode — at corpus scale one boilerplate shingle would otherwise emit
+#: ~df² pairs from a single posting row.
+MAX_SHINGLE_DF = 1000
+MAX_BUCKET_SIZE = 200
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_ngram`` — exact 3-shingle Jaccard ≥ 0.5 near-dup pairs via
-    inverted-index join (no cross join; see operators/dedup.py)."""
+    inverted-index join (no cross join; see operators/dedup.py), with the
+    ``max_shingle_df`` skew cap ACTIVE (a 100 TB run cannot ship without
+    it; the oracle applies the identical cap)."""
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         k=3,
         threshold=0.5,
+        max_shingle_df=MAX_SHINGLE_DF,
     )
 
 
@@ -88,9 +100,14 @@ WITH sh AS (
   SELECT doc_id AS id, unnest({_sql_shingles(3)}) AS shingle FROM documents
 ), sizes AS (
   SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), keep AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {MAX_SHINGLE_DF}
 ), common AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM sh a
+  JOIN keep k ON a.shingle = k.shingle
+  JOIN sh b ON b.shingle = a.shingle AND a.id < b.id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jaccard
@@ -103,16 +120,86 @@ WHERE c / (sa.n + sb.n - c) >= 0.5
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_minhash`` — MinHash→LSH-band candidates→exact-Jaccard
-    verify. Probabilistic recall (xxhash64 family not reproducible in
-    SQL) → rows-only driver check; the exact-Jaccard twin ``dedup_ngram``
-    is the hash-checked equivalent."""
+    verify *of candidates only*, registered with the md5 two-hash affine
+    family so the ENTIRE probabilistic pipeline (signatures, banding,
+    bucket cap, candidates-restricted verify) is reproduced by the DuckDB
+    oracle and hash-checked. Production default stays
+    ``hash_family='xxhash64'`` (cheaper; pytest-covered by the
+    recall/precision tests in tests/test_dedup_similarity.py); the LSH
+    bucket cap is active."""
     return D.minhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"),
         k=3,
         num_hashes=64,
         bands=16,
         threshold=0.5,
+        hash_family="md5",
+        max_bucket_size=MAX_BUCKET_SIZE,
+        persist=True,
     )
+
+
+def _sql_hex40(digest: str, offset: int) -> str:
+    """DuckDB twin of ``operators.dedup._hex40``: 10 hex digits → bigint."""
+    return f"CAST(('0x' || substr({digest}, {offset}, 10)) AS BIGINT)"
+
+
+def _minhash_oracle(
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of the registered ``dedup_minhash`` (md5 family):
+    hᵢ = k1 + i·k2 from one md5 per shingle, 16 string band keys, bucket
+    cap, exact-Jaccard verify restricted to band-colliding candidate
+    pairs — term-for-term the Spark plan's semantics."""
+    r = num_hashes // bands
+    mins = ",\n    ".join(
+        f"MIN(k1 + {i} * k2) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest({_sql_shingles(k)}) AS s FROM documents
+), hashed AS (
+  SELECT id, {_sql_hex40("d", 1)} AS k1, {_sql_hex40("d", 11)} AS k2
+  FROM (SELECT id, md5(s) AS d FROM sh) t
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM hashed GROUP BY id
+), sig AS (
+  SELECT id,
+    {mins}
+  FROM hashed GROUP BY id
+), bands AS (
+  {band_selects}
+), buckets AS (
+  SELECT band, key FROM bands GROUP BY 1, 2
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {MAX_BUCKET_SIZE}
+), cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN buckets bk ON a.band = bk.band AND a.key = bk.key
+  JOIN bands b ON b.band = a.band AND b.key = a.key AND a.id < b.id
+), common AS (
+  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS cnt
+  FROM hashed x
+  JOIN hashed y ON y.k1 = x.k1 AND y.k2 = x.k2 AND x.id < y.id
+  JOIN cands c ON c.id_a = x.id AND c.id_b = y.id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, ROUND(cnt / (sa.n + sb.n - cnt), 6) AS jaccard
+FROM common c
+JOIN cands ON cands.id_a = c.id_a AND cands.id_b = c.id_b
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE cnt / (sa.n + sb.n - cnt) >= {threshold}
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,39 +481,95 @@ FROM documents
 """
 
 
+#: DuckDB twin of ``multimodal.with_pgm_payload``: dimensions from doc_id,
+#: raster = md5(text) hex cycled to w·h chars. Integer floor division (//)
+#: everywhere — DuckDB CAST(double AS INT) *rounds* while Spark truncates,
+#: so no double→int casts appear on either side.
+_PGM_IMG_SQL = """
+SELECT doc_id,
+       4 + (doc_id % 13) AS w,
+       3 + (doc_id % 7) AS h,
+       substr(repeat(md5(text), ((4 + (doc_id % 13)) * (3 + (doc_id % 7))) // 32 + 1),
+              1, (4 + (doc_id % 13)) * (3 + (doc_id % 7))) AS raster
+FROM documents
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``multimodal_decode`` — Arrow-batched mapInPandas decode stub
-    (genuinely non-SQL: Python codec boundary) → rows-only check."""
-    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    """``multimodal_decode`` — REAL codec path: build a binary PGM per doc
+    (``with_pgm_payload``), parse its header back with the dependency-free
+    PNM decoder in Arrow-batched ``mapInPandas``. The oracle reconstructs
+    the same payload string in SQL and regex-parses the header, so the
+    decode is hash-checked end-to-end."""
+    docs = M.with_pgm_payload(load_table(spark, sf_dir, "documents"))
     return M.decode_media(docs)
 
 
+_MULTIMODAL_DECODE_ORACLE = f"""
+WITH img AS ({_PGM_IMG_SQL}),
+p AS (
+  SELECT doc_id,
+         'P5' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) || raster AS s
+  FROM img
+)
+SELECT doc_id,
+       '{M.PGM_MEDIA_TYPE}' AS media_type,
+       CAST(length(s) AS BIGINT) AS n_bytes,
+       CAST(regexp_extract(s, 'P5\n(\\d+) (\\d+)\n255\n', 1) AS INTEGER) AS width,
+       CAST(regexp_extract(s, 'P5\n(\\d+) (\\d+)\n255\n', 2) AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_frames
+FROM p
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``multimodal_resize`` — Arrow-batched resize stub (codec boundary,
-    binary output) → rows-only check."""
-    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return M.resize_media(docs, width=8, height=4)
+    """``multimodal_resize`` — REAL nearest-neighbor raster resize of the
+    PGM payloads to 8×4 (``pnm_resize``); the payload bytes are ASCII so
+    the oracle rebuilds the exact resized file with the same index
+    arithmetic and the result is hash-checked byte-for-byte."""
+    docs = M.with_pgm_payload(load_table(spark, sf_dir, "documents"))
+    return M.resize_media(docs, width=8, height=4).select(
+        "doc_id",
+        F.col("payload").cast("string").alias("payload_str"),
+        "width",
+        "height",
+    )
+
+
+_MULTIMODAL_RESIZE_ORACLE = f"""
+WITH img AS ({_PGM_IMG_SQL})
+SELECT doc_id,
+       'P5' || chr(10) || '8 4' || chr(10) || '255' || chr(10) ||
+       array_to_string(list_transform(generate_series(0, 31), i ->
+         substr(raster, ((((i // 8) * h) // 4) * w + (((i % 8) * w) // 8)) + 1, 1)), '') AS payload_str,
+       CAST(8 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height
+FROM img
+"""
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``multimodal_frames`` — payload frame-sampling (stride slices),
-    decoded back to strings for oracle comparability."""
+    """``multimodal_frames`` — payload frame-sampling (stride byte
+    slices), hex-encoded for oracle comparability: hex of a byte slice
+    equals the slice of the hex string at 2× offsets, so parity is exact
+    even for multi-byte utf-8 sequences split mid-character (DuckDB has
+    no blob substring; a string-cast comparison would need valid utf-8)."""
     docs = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.frame_sample(docs, stride=4).select(
         "doc_id",
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
-        F.col("frame_bytes").cast("string").alias("frame_str"),
+        F.hex(F.col("frame_bytes")).alias("frame_hex"),
     )
 
 
 _MULTIMODAL_FRAMES_ORACLE = """
 WITH f AS (
-  SELECT doc_id, text,
-         unnest(generate_series(0, LEAST(CAST(FLOOR(octet_length(encode(text)) / 4) AS INT), 16) - 1)) AS frame_idx
+  SELECT doc_id, hex(encode(text)) AS hx,
+         unnest(generate_series(0, LEAST(octet_length(encode(text)) // 4, 16) - 1)) AS frame_idx
   FROM documents
 )
 SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-       substr(text, frame_idx * 4 + 1, 4) AS frame_str
+       substr(hx, frame_idx * 8 + 1, 8) AS frame_hex
 FROM f
 """
 
@@ -708,13 +851,18 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended operators exist for, composed as ONE declarative plan:
     exact-dedup on normalized fingerprint (deterministic min-id survivor)
     → quality score → language ID → keep en docs with quality ≥ 0.5 →
-    token counts. Catalyst fuses the scoring projections into the scan;
-    the only shuffles are the dedup aggregation and survivor join."""
+    token counts. The survivor ROW is kept through the one dedup
+    aggregation (``min(struct(doc_id, text))`` — min of a struct is
+    lexicographic, so the unique doc_id decides), which drops the second
+    ``documents`` scan and the survivor re-join the naive formulation
+    pays: ONE scan, ONE shuffle, then shuffle-free scoring projections."""
     docs = load_table(spark, sf_dir, "documents")
-    survivors = D.exact_dedup(
-        X.with_fingerprint(docs), ["fingerprint"], "doc_id"
-    ).select("doc_id")
-    kept = docs.join(survivors, "doc_id")
+    kept = (
+        X.with_fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+    )
     scored = X.with_language_id(X.with_quality_score(X.with_text_stats(kept)))
     return scored.where(
         (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
@@ -724,12 +872,10 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pipeline_oracle() -> str:
     lang = _langid_oracle("kept").strip()
     return f"""
-WITH survivors AS (
-  SELECT MIN(doc_id) AS doc_id
+WITH kept AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
   FROM documents
   GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-), kept AS (
-  SELECT d.* FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
 ), lang AS (
   {lang}
 ), q AS (
@@ -867,7 +1013,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_count": _DEDUP_COUNT_ORACLE,
     "dedup_ngram": _DEDUP_NGRAM_ORACLE,
-    # dedup_minhash: rows-only (xxhash64 LSH not SQL-reproducible)
+    "dedup_minhash": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embed": _DEDUP_EMBED_ORACLE,
     "sim_topk": _SIM_TOPK_ORACLE,
@@ -878,7 +1024,8 @@ EXTENDED_ORACLES: dict[str, str] = {
     "text_fingerprint": _TEXT_FINGERPRINT_ORACLE,
     "text_word_histogram": _TEXT_HISTOGRAM_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
-    # multimodal_decode: rows-only (mapInPandas codec boundary)
+    "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,
+    "multimodal_resize": _MULTIMODAL_RESIZE_ORACLE,
     "multimodal_frames": _MULTIMODAL_FRAMES_ORACLE,
     "rel_pricing_summary": _REL_PRICING_ORACLE,
     "rel_top_customers": _REL_TOP_CUSTOMERS_ORACLE,

@@ -32,6 +32,63 @@ def test_minhash_precision_and_recall(spark):
     assert len(approx) / len(exact) >= 0.8  # banding recall
 
 
+def test_minhash_md5_family_matches_xxhash_family_shape(spark):
+    """The oracle-reproducible md5 affine family finds the same planted
+    near-dups as the production xxhash64 family (hash families only move
+    which borderline pairs band-collide; the exact-Jaccard verify makes
+    both subsets of the exact answer)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    md5_pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dup_pairs(
+            docs, k=3, num_hashes=64, bands=16, threshold=0.5,
+            hash_family="md5",
+        ).collect()
+    }
+    assert md5_pairs <= exact
+    assert len(md5_pairs) / len(exact) >= 0.8
+
+
+def test_shingle_df_cap_bounds_pair_explosion(spark):
+    """One boilerplate shingle shared by every doc may not explode into
+    O(n²) pairs: with the df cap active, only docs connected by *rare*
+    shingles pair up."""
+    n = 40
+    rows = [
+        Row(doc_id=i, text=f"aaa bbb ccc u{i}a u{i}b u{i}c") for i in range(n)
+    ]
+    # planted near-dup pair sharing rare shingles only
+    rows += [
+        Row(doc_id=100, text="xxx yyy zzz www vvv"),
+        Row(doc_id=101, text="xxx yyy zzz www vvv"),
+    ]
+    df = spark.createDataFrame(rows)
+    uncapped = D.ngram_jaccard_pairs(df, k=3, threshold=0.01)
+    capped = D.ngram_jaccard_pairs(
+        df, k=3, threshold=0.01, max_shingle_df=10
+    )
+    # every boilerplate doc shares 'aaa bbb ccc' -> quadratic without cap
+    assert uncapped.count() >= n * (n - 1) // 2
+    assert {(r.id_a, r.id_b) for r in capped.collect()} == {(100, 101)}
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """A degenerate LSH bucket (many identical docs -> one fingerprint)
+    is dropped by the bucket cap instead of emitting O(n²) candidates."""
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="same boiler plate text everywhere") for i in range(30)]
+    )
+    fp = D.simhash(df)
+    assert D.simhash_candidate_pairs(fp, bands=4).count() == 30 * 29 // 2
+    assert (
+        D.simhash_candidate_pairs(fp, bands=4, max_bucket_size=10).count() == 0
+    )
+
+
 def test_exact_dedup_deterministic_survivor(spark):
     df = spark.createDataFrame(
         [Row(doc_id=5, text="a b c"), Row(doc_id=2, text="a b c"),
@@ -141,31 +198,60 @@ def test_ivf_topk_finds_planted_duplicates_and_recall(spark):
     assert hits / len(exact) >= 0.4
 
 
-def test_multimodal_decode_stub(spark):
-    docs = M.with_binary_payload(load_table(spark, SF_DIR, "documents"))
+def test_pnm_codec_roundtrip():
+    """The dependency-free PNM codec is real: it parses headers it wrote,
+    rejects garbage, and nearest-neighbor resize picks the exact pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    raster = bytes(range(12))  # 4x3 grayscale
+    img = b"P5\n4 3\n255\n" + raster
+    assert M.pnm_decode(img) == (4, 3, 1)
+    # identity resize preserves the raster bytes
+    assert M.pnm_resize(img, 4, 3) == img
+    # 2x2 downsample: src pixel (x*4//2, y*3//2) -> (0,0),(2,0),(0,1),(2,1)
+    small = M.pnm_resize(img, 2, 2)
+    assert small == b"P5\n2 2\n255\n" + bytes([0, 2, 4, 6])
+    # upsample replicates nearest pixels, output raster is w*h bytes
+    big = M.pnm_resize(img, 8, 6)
+    assert M.pnm_decode(big) == (8, 6, 1)
+    # P6 RGB: 2x1, resize to 1x1 keeps the first pixel's 3 channels
+    rgb = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert M.pnm_decode(rgb) == (2, 1, 1)
+    assert M.pnm_resize(rgb, 1, 1) == b"P6\n1 1\n255\n" + bytes([10, 20, 30])
+    with _pytest.raises(ValueError):
+        M.pnm_decode(b"JFIF not a pnm")
+    with _pytest.raises(ValueError):
+        M.pnm_decode(b"P5\n4 3\n255\nshort")  # truncated raster
+
+
+def test_multimodal_decode_real_pgm(spark):
+    docs = M.with_pgm_payload(load_table(spark, SF_DIR, "documents"))
     out = M.decode_media(docs)
     assert out.schema == M.DECODED_SCHEMA
-    rows = out.orderBy("doc_id").limit(1).collect()
-    row = rows[0]
-    src = (
-        load_table(spark, SF_DIR, "documents")
-        .where(F.col("doc_id") == row.doc_id)
-        .collect()[0]
-    )
-    payload = src.text.encode("utf-8")
-    assert row.n_bytes == len(payload)
-    assert (row.width, row.height, row.n_frames) == M._fake_decode(payload)
+    rows = out.orderBy("doc_id").limit(5).collect()
+    assert rows
+    for row in rows:
+        # decoder output must agree with the id-derived dimensions
+        assert row.width == 4 + row.doc_id % 13
+        assert row.height == 3 + row.doc_id % 7
+        assert row.n_frames == 1
+        assert row.media_type == M.PGM_MEDIA_TYPE
+        # header + raster bytes
+        header = f"P5\n{row.width} {row.height}\n255\n"
+        assert row.n_bytes == len(header) + row.width * row.height
 
 
-def test_resize_media_stub_pins_output_shape(spark):
-    docs = M.with_binary_payload(load_table(spark, SF_DIR, "documents"))
+def test_resize_media_real_pgm(spark):
+    docs = M.with_pgm_payload(load_table(spark, SF_DIR, "documents"))
     out = M.resize_media(docs, width=8, height=4)
     assert out.schema == M.RESIZED_SCHEMA
     rows = out.limit(5).collect()
     assert rows
     for r in rows:
         assert (r.width, r.height) == (8, 4)
-        assert len(bytes(r.payload)) == 32
+        # output is itself a valid PGM the decoder accepts
+        assert M.pnm_decode(bytes(r.payload)) == (8, 4, 1)
 
 
 def test_frame_sample_reconstructs_prefix(spark):

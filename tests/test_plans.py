@@ -44,6 +44,16 @@ def test_dimension_joins_are_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_clean_corpus_scans_documents_once(spark):
+    """The dedup survivor is kept through the aggregation itself
+    (min(struct)), so the pipeline needs ONE documents scan — no second
+    scan + re-join on doc_id."""
+    plan = _plan(spark, "pipeline_clean_corpus")
+    # formatted explain prints each scan twice (tree line + detail block)
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_session_query_has_single_group_exchange(spark):
     plan = _plan(spark, "win_session")
     # one hash exchange on the grouping key feeds the session-window
