@@ -309,17 +309,17 @@ def minhash_near_dup_pairs(
     only recall is probabilistic (tunable via bands).
 
     Plan (single tokenizer pass, candidates-only verify): the Python
-    shingler runs ONCE into a ``groupBy(shingle-key)`` postings exchange
-    that feeds every downstream branch — (a) one per-doc aggregation
-    producing signature minima AND shingle counts, from which the LSH
-    band buckets and candidate pairs derive, and (b) the verify branch,
-    which re-reads the SAME exchange, keeps only candidate docs' shingle
-    rows (broadcast semi-join on the tiny candidate-id set), and counts
-    common shingles via pairs-from-postings on that small remainder.
-    Unlike an all-pairs postings explode (the exact ``ngram`` shape), the
-    quadratic work stays restricted to band-colliding docs — the whole
-    point of LSH at 100 TB. AQE dedupes the repeated exchange reads
-    (ReusedExchange), so the tokenizer and the shingle shuffle run once.
+    shingler runs ONCE into a flat ``(id, hashed-shingle-key)`` relation
+    that feeds both branches — (a) ONE per-doc hash aggregation producing
+    the signature minima AND the shingle count (map-side partial combine,
+    one row per doc before the shuffle; no intermediate posting arrays),
+    from which the LSH band buckets and candidate pairs derive, and
+    (b) the verify branch, which keeps only candidate docs' shingle rows
+    (broadcast semi-join on the tiny candidate-id set) and counts common
+    shingles via pairs-from-postings on that small remainder. Unlike an
+    all-pairs postings explode (the exact ``ngram`` shape), the quadratic
+    work stays restricted to band-colliding docs — the whole point of LSH
+    at 100 TB.
 
     ``hash_family='md5'`` makes every step DuckDB-reproducible (the
     driver's oracle); ``'xxhash64'`` is the cheaper production default.
@@ -327,38 +327,41 @@ def minhash_near_dup_pairs(
     additionally caps verify-side posting lists (rarely needed once
     buckets are capped — candidate sets are already bounded).
 
-    ``persist=True`` caches the two diamond nodes (shingle postings,
-    per-doc signature table) at ``MEMORY_AND_DISK``, guaranteeing the
-    tokenizer and both aggregations run exactly once even where runtime
-    exchange reuse doesn't fire (broadcast subtrees compile separately) —
-    measured ~1.5× end-to-end. The cache lives until the session evicts
-    it (LRU), the usual Spark contract for diamond DAGs; leave False for
+    ``persist=True`` caches the three diamond nodes — the keyed shingle
+    rows (so the Python tokenizer runs exactly once), the per-doc
+    signature table (reused for banding and both size joins), and the
+    candidate pairs (reused for the id filter and the final join) — at
+    ``MEMORY_AND_DISK``. All three are flat fixed-width relations (no
+    arrays), so the cache is cheap; it lives until the session evicts it
+    (LRU), the usual Spark contract for diamond DAGs. Leave False for
     one-shot pipelines where recompute is cheaper than cache churn.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    def _p(d: DataFrame) -> DataFrame:
+        return d.persist(StorageLevel.MEMORY_AND_DISK) if persist else d
+
     rows_per_band = num_hashes // bands
     shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
     keyed, key_cols, h = _minhash_keyed(shingled, hash_family)
-    postings = keyed.groupBy(*key_cols).agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
+    keyed = _p(keyed)
+    per_doc = _p(
+        keyed.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)],
+        )
     )
-    if persist:
-        postings = postings.persist()
-    exploded = postings.select(*key_cols, F.explode("ids").alias("id"))
-    per_doc = exploded.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)],
-    )
-    if persist:
-        per_doc = per_doc.persist()
     sigs = per_doc.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
-    candidates = lsh_candidate_pairs(
-        sigs,
-        bands=bands,
-        rows_per_band=rows_per_band,
-        max_bucket_size=max_bucket_size,
-        hash_bucket=(hash_family == "xxhash64"),
+    candidates = _p(
+        lsh_candidate_pairs(
+            sigs,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
+            hash_bucket=(hash_family == "xxhash64"),
+        )
     )
     sizes = per_doc.select("id", "n")
     cand_ids = (
@@ -366,7 +369,7 @@ def minhash_near_dup_pairs(
             F.explode(F.array("id_a", "id_b")).alias("id")
         ).distinct()
     )
-    verify_rows = exploded.join(F.broadcast(cand_ids), "id")
+    verify_rows = keyed.join(F.broadcast(cand_ids), "id")
     vposts = verify_rows.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     ).where(F.size("ids") >= 2)

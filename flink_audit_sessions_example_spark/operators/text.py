@@ -34,8 +34,19 @@ QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
 
 def _words(text: Column) -> Column:
-    """Whitespace tokens of the lowercased text (empty tokens dropped)."""
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    """Whitespace tokens of the lowercased, trimmed text.
+
+    Empty / whitespace-only text yields an EMPTY array — bare ``split``
+    would return ``[""]``, a phantom token. Non-empty *trimmed* text can
+    never produce empty tokens from a ``\\s+`` split, so the guard is one
+    cheap WHEN on the document, not a per-element filter (array HOFs are
+    interpreted — measurably slower in hot projections)."""
+    # regexp trim: F.trim strips only spaces — a tab/newline-padded doc
+    # would still split into phantom empty tokens
+    trimmed = F.regexp_replace(F.lower(text), r"^\s+|\s+$", "")
+    return F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,14 +77,17 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "avg_word_len",
-            (
+            # NULL (not NaN/inf) for wordless / empty documents — the same
+            # guarded semantics as the DuckDB oracle
+            F.when(
+                n_words > 0,
                 F.aggregate(
                     words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
                 )
-                / n_words
+                / n_words,
             ),
         )
-        .withColumn("punct_ratio", n_punct / n_chars)
+        .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars))
         .withColumn("n_stopwords_distinct", n_stop.cast("bigint"))
     )
 
@@ -117,10 +131,13 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = _words(text)
     n_words = F.size(words).cast("double")
     n_chars = F.length(text).cast("double")
-    punct_ratio = (
+    # empty documents have no symbol soup: punct term contributes 0, so the
+    # quality score stays defined (0.3) instead of going NULL
+    punct_ratio = F.when(
+        n_chars > 0,
         F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[^a-z0-9\s]"), 0))
-        / n_chars
-    )
+        / n_chars,
+    ).otherwise(F.lit(0.0))
     n_stop = F.size(
         F.array_intersect(words, F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]))
     ).cast("double")

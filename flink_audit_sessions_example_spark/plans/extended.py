@@ -35,7 +35,14 @@ from ..sources.tables import load_table
 # --------------------------------------------------------------------------
 
 #: Shared DuckDB fragments mirroring operators/text.py exactly.
-_SQL_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+#: DuckDB twin of ``operators.text._words``: regexp-trim (plain trim strips
+#: only spaces), and empty / whitespace-only text yields an EMPTY list
+#: (bare string_split_regex would return ['']).
+_SQL_TRIMMED = "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g')"
+_SQL_WORDS = (
+    f"(CASE WHEN length({_SQL_TRIMMED}) = 0 THEN CAST([] AS VARCHAR[]) "
+    f"ELSE string_split_regex({_SQL_TRIMMED}, '\\s+') END)"
+)
 
 
 def _sql_shingles(k: int) -> str:
@@ -344,10 +351,12 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
-       CAST(list_sum(list_transform({_SQL_WORDS}, w -> length(w))) AS BIGINT)
-         / CAST(len({_SQL_WORDS}) AS BIGINT) AS avg_word_len,
-       CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT)
-         / CAST(length(text) AS BIGINT) AS punct_ratio,
+       CASE WHEN len({_SQL_WORDS}) > 0 THEN
+         CAST(list_sum(list_transform({_SQL_WORDS}, w -> length(w))) AS BIGINT)
+           / CAST(len({_SQL_WORDS}) AS BIGINT) END AS avg_word_len,
+       CASE WHEN length(text) > 0 THEN
+         CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT)
+           / CAST(length(text) AS BIGINT) END AS punct_ratio,
        CAST(len(list_intersect({_SQL_WORDS}, {_STOP_EN_SQL})) AS BIGINT) AS n_stopwords_distinct
 FROM documents
 """
@@ -397,8 +406,9 @@ FROM scored
 #: ``with_quality_score`` term-for-term).
 _QUALITY_EXPR = f"""ROUND(
     0.4 * LEAST(CAST(len({_SQL_WORDS}) AS DOUBLE) / 100.0, 1.0)
-  + 0.3 * (1.0 - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT)
-                 / CAST(length(text) AS DOUBLE))
+  + 0.3 * (1.0 - CASE WHEN length(text) > 0 THEN
+                   CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT)
+                     / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
   + 0.3 * LEAST(CAST(len(list_intersect({_SQL_WORDS}, {_STOP_EN_SQL})) AS DOUBLE) / 5.0, 1.0)
   , 6)"""
 
@@ -852,16 +862,20 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup on normalized fingerprint (deterministic min-id survivor)
     → quality score → language ID → keep en docs with quality ≥ 0.5 →
     token counts. The survivor ROW is kept through the one dedup
-    aggregation (``min(struct(doc_id, text))`` — min of a struct is
-    lexicographic, so the unique doc_id decides), which drops the second
+    aggregation (``min(doc_id)`` + ``min_by(text, doc_id)`` — doc_id is
+    unique so the survivor is deterministic; DuckDB twin ``arg_min``;
+    min_by keeps a flat two-slot buffer where a struct-min would sort
+    whole rows), which drops the second
     ``documents`` scan and the survivor re-join the naive formulation
     pays: ONE scan, ONE shuffle, then shuffle-free scoring projections."""
     docs = load_table(spark, sf_dir, "documents")
     kept = (
         X.with_fingerprint(docs)
         .groupBy("fingerprint")
-        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
-        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
     )
     scored = X.with_language_id(X.with_quality_score(X.with_text_stats(kept)))
     return scored.where(
