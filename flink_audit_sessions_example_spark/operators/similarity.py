@@ -263,6 +263,30 @@ def with_lsh_sketch(
     return vectors.mapInPandas(add, schema)
 
 
+def with_lsh_sketch_expr(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    nbits: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Oracle-reproducible twin of :func:`with_lsh_sketch`: the SAME
+    hyperplanes, but each sign bit comes from a sequential-fold Catalyst
+    dot product — which DuckDB's ``list_sum`` reproduces bit-for-bit, so
+    the whole sketch (a discrete value: sign flips can't be rounded away)
+    is hash-checkable. Costs one fold per bit instead of one BLAS matmul
+    per batch (~nbits× the FLOPs) — the verification twin; production
+    uses the BLAS variant."""
+    sketch = F.lit(0).cast("long")
+    for i in range(nbits):
+        hcol = F.array(*[F.lit(v) for v in _hyperplane(dim, seed + i)])
+        sketch = sketch + (dot(F.col(vec_col), hcol) > 0).cast("long") * (
+            1 << i
+        )
+    return vectors.withColumn("lsh_sketch", sketch)
+
+
 def lsh_bucket_candidates(
     vectors: DataFrame,
     *,
@@ -345,6 +369,7 @@ def lsh_topk(
     bands: int = 4,
     seed: int = 7,
     multiprobe: bool = True,
+    impl: str = "blas",
 ) -> DataFrame:
     """``sim_topk_lsh`` — approximate top-k, the 100 TB ANN path.
 
@@ -355,17 +380,24 @@ def lsh_topk(
     map-side, no corpus shuffle. Exact cosine runs only on candidates, so
     per-query work is ≈ bands·(1+width)·n/2^width instead of n.
 
-    Recall < 1 by construction (rows-only correctness check); with the
-    default 16-bit/4-band/multi-probe config, per-band hit prob at
-    bit-match prob p is p⁴+4p³(1−p) — over 4 bands ≈0.96 even for
+    Recall < 1 by construction relative to the exact ``sim_topk`` — but
+    the pipeline itself is deterministic: ``impl='expr'`` computes the
+    sketch bits and the candidate cosines as sequential-fold Catalyst
+    expressions, which DuckDB reproduces bit-for-bit, so the registered
+    query is hash-checked end-to-end. ``impl='blas'`` (default) is the
+    production path — numpy matmuls per Arrow batch; identical joins, but
+    sign bits of near-zero dots are not guaranteed reproducible across
+    BLAS summation orders.
+
+    With the default 16-bit/4-band/multi-probe config, per-band hit prob
+    at bit-match prob p is p⁴+4p³(1−p) — over 4 bands ≈0.96 even for
     weakly-similar neighbors (p≈0.645 at cos≈0.44).
     """
-    from pyspark.sql.window import Window
-
-    c_sk = with_lsh_sketch(
+    sketcher = with_lsh_sketch_expr if impl == "expr" else with_lsh_sketch
+    c_sk = sketcher(
         corpus, vec_col=vec_col, dim=dim, nbits=nbits, seed=seed
     ).select(F.col(id_col).alias("neighbor_id"), "lsh_sketch")
-    q_sk = with_lsh_sketch(
+    q_sk = sketcher(
         queries, vec_col=vec_col, dim=dim, nbits=nbits, seed=seed
     ).select(F.col(id_col).alias("query_id"), "lsh_sketch")
     c_keys = c_sk.select(
@@ -389,7 +421,7 @@ def lsh_topk(
         .distinct()
     )
     return _exact_topk_on_candidates(
-        cands, corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+        cands, corpus, queries, id_col=id_col, vec_col=vec_col, k=k, impl=impl
     )
 
 
@@ -401,11 +433,15 @@ def _exact_topk_on_candidates(
     id_col: str,
     vec_col: str,
     k: int,
+    impl: str = "blas",
 ) -> DataFrame:
     """Shared ANN verify tail: join (query_id, neighbor_id) candidate pairs
-    back to their vectors, exact-cosine score (vectorized einsum per Arrow
-    batch), per-query top-k window. Query vectors broadcast; corpus joined
-    once on the candidate ids."""
+    back to their vectors, exact-cosine score, per-query top-k window.
+    Query vectors broadcast; corpus joined once on the candidate ids.
+    ``impl='blas'``: vectorized einsum per Arrow batch. ``impl='expr'``:
+    sequential-fold Catalyst cosine — DuckDB-bit-identical, and on the
+    small candidate set the JVM expression beats a Python-worker spin-up
+    anyway."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -430,9 +466,16 @@ def _exact_topk_on_candidates(
                 sim=np.einsum("ij,ij->i", qm, cm)
             )
 
-    scored = paired.mapInPandas(
-        exact_cosine, "query_id long, neighbor_id long, sim double"
-    )
+    if impl == "expr":
+        scored = paired.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    else:
+        scored = paired.mapInPandas(
+            exact_cosine, "query_id long, neighbor_id long, sim double"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -451,6 +494,111 @@ def _exact_topk_on_candidates(
 # --------------------------------------------------------------------------
 # IVF scale path
 # --------------------------------------------------------------------------
+
+
+def ivf_topk_expr(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Oracle-reproducible IVF twin: a deterministic-seed coarse quantizer
+    instead of trained k-means.
+
+    Centroids are the first ``n_centroids`` corpus vectors in
+    ``(md5(vec_id), vec_id)`` order — a data-derived but fully
+    deterministic choice both engines can compute — and every dot product
+    (assignment argmax, query probing, candidate verify) is a
+    sequential-fold expression, bit-identical in DuckDB. Same two-stage
+    topology as :func:`ivf_topk` (narrow assignment map → nprobe-list
+    probe join → exact verify on candidates); only the quantizer training
+    differs, so this is the hash-checked twin while the k-means variant
+    (better-placed centroids, numpy training) is the production path.
+
+    The centroid collect is ``n_centroids`` rows — the same "small
+    trainer state on the driver" contract as k-means training, not a
+    corpus collect. Assignment is a pure projection (array_max over a
+    score-struct array — no shuffle, no Python workers).
+    """
+    import math
+
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    seeds = (
+        corpus.select(id_col, vec_col).orderBy(*order).limit(n_centroids)
+    ).collect()
+
+    def fold_norm(vec: list[float]) -> float:
+        # replicate the engines' sequential fold bit-for-bit: double
+        # products accumulated left to right, then IEEE sqrt
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    cvecs = [list(r[1]) for r in seeds]
+    cnorms = [fold_norm(v) for v in cvecs]
+
+    def score(vec: Column, c: int) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in cvecs[c]])
+        return dot(vec, lit) / F.lit(cnorms[c])
+
+    # assignment argmax: lexicographic max of (score, -cluster) structs ==
+    # highest score, ties to the smallest cluster id — one projection
+    assign_expr = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    score(F.col(vec_col), c).alias("s"),
+                    F.lit(-c).alias("negc"),
+                )
+                for c in range(len(cvecs))
+            ]
+        )
+    )
+    inverted = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        (-assign_expr["negc"]).cast("int").alias("cluster"),
+    )
+
+    # query probing: top-nprobe clusters by the same score (explode the
+    # per-centroid scores, window over the tiny query side)
+    from pyspark.sql.window import Window
+
+    q_scores = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cluster"),
+                        score(F.col(vec_col), c).alias("s"),
+                    )
+                    for c in range(len(cvecs))
+                ]
+            )
+        ).alias("cs"),
+    ).select("query_id", "cs.cluster", "cs.s")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        q_scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    cands = (
+        inverted.join(F.broadcast(probes), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_topk_on_candidates(
+        cands, corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+        impl="expr",
+    )
 
 
 def ivf_topk(

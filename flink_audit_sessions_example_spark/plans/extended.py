@@ -297,12 +297,18 @@ WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.35
 
 
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``sim_topk_ivf`` — the IVF ANN scale path: spherical-k-means
-    centroids (hash-sampled, driver-trained) → inverted lists via one
-    mapInPandas assignment → nprobe-list probing → exact verify.
-    Approximate recall → rows-only check."""
+    """``sim_topk_ivf`` — the IVF ANN scale path: coarse quantizer →
+    inverted lists → nprobe-list probing → exact verify on candidates.
+
+    Registered with the deterministic-seed quantizer (centroids = first
+    16 corpus vectors in md5 order) and fold-exact scoring, so the whole
+    pipeline is hash-checked against a DuckDB oracle that derives the
+    SAME centroids from the table. The k-means-trained variant
+    (``S.ivf_topk``) is the production path — same join topology, better
+    centroids, pytest-covered recall (iterative numpy training is the one
+    genuinely non-SQL step)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(
+    return S.ivf_topk_expr(
         emb,
         emb.where(F.col("vec_id") % 50 == 0),
         k=10,
@@ -311,11 +317,67 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_ivf_oracle(k: int = 10, n_centroids: int = 16, nprobe: int = 4) -> str:
+    """DuckDB twin of the registered ``sim_topk_ivf``: same md5-ordered
+    seed centroids (derived from the table, not literals), same
+    fold-exact assignment argmax / probe ranking / candidate verify."""
+    dot_ec = _SQL_DOT.format(a="e.embedding", b="c.cv")
+    dot_qc = _SQL_DOT.format(a="q.embedding", b="c.cv")
+    dot_cc = _SQL_DOT.format(a="embedding", b="embedding")
+    return f"""
+WITH seeds AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+         embedding AS cv,
+         sqrt({dot_cc}) AS nc
+  FROM seeds
+), assign AS (
+  SELECT neighbor_id, cluster FROM (
+    SELECT e.vec_id AS neighbor_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {dot_ec} / c.nc DESC, c.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.vec_id AS query_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {dot_qc} / c.nc DESC, c.cluster ASC) AS rn
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rn <= {nprobe}
+), cands AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM assign a JOIN probes p ON a.cluster = p.cluster
+  WHERE a.neighbor_id <> p.query_id
+), scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_sql_cos("q.embedding", "c.embedding")} AS sim
+  FROM cands cd
+  JOIN embeddings q ON q.vec_id = cd.query_id
+  JOIN embeddings c ON c.vec_id = cd.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``sim_topk_lsh`` — the ANN scale path: random-hyperplane sketch →
-    banded bucket join → exact cosine on candidates only. Approximate
-    recall → rows-only check (the exact twin ``sim_topk`` is hash-checked).
-    """
+    banded multi-probe bucket join → exact cosine on candidates only.
+
+    Registered with ``impl='expr'``: sketch sign bits and candidate
+    cosines are sequential-fold Catalyst expressions that DuckDB
+    reproduces bit-for-bit, so the whole approximate pipeline —
+    hyperplanes, banding, probing, verify, top-k — is hash-checked
+    against the oracle (which embeds the same hyperplane literals).
+    Production default is ``impl='blas'`` (numpy per Arrow batch; same
+    joins), pytest-pinned equal to the expr twin at sf0.01."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(
         emb,
@@ -324,7 +386,61 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nbits=16,
         bands=4,
+        impl="expr",
     )
+
+
+def _sql_lit_list(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+def _sim_lsh_oracle(
+    dim: int = 64, k: int = 10, nbits: int = 16, bands: int = 4, seed: int = 7
+) -> str:
+    """DuckDB twin of the registered ``sim_topk_lsh``: the same
+    ``_hyperplane(dim, seed+i)`` literals, sign-bit sketch via the
+    sequential list_sum dot (bit-identical to Spark's fold), banded keys,
+    Hamming-1 multi-probe on the query side, exact cosine + top-k on
+    candidates."""
+    width = nbits // bands
+    mask = (1 << width) - 1
+    bit_terms = "\n      + ".join(
+        f"(CASE WHEN {_SQL_DOT.format(a='embedding', b=_sql_lit_list(S._hyperplane(dim, seed + i)))}"
+        f" > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+    probe_vals = ", ".join(
+        ["val"] + [f"xor(val, {1 << j})" for j in range(width)]
+    )
+    return f"""
+WITH sk AS (
+  SELECT vec_id, CAST({bit_terms} AS BIGINT) AS sketch
+  FROM embeddings
+), ck AS (
+  SELECT vec_id AS neighbor_id, band, (sketch >> (band * {width})) & {mask} AS val
+  FROM sk CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(bands))}]) AS band) b
+), qk AS (
+  SELECT query_id, band, unnest([{probe_vals}]) AS val
+  FROM (SELECT vec_id AS query_id, band, (sketch >> (band * {width})) & {mask} AS val
+        FROM sk CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(bands))}]) AS band) b
+        WHERE vec_id % 50 = 0) t
+), cands AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id
+  FROM ck c JOIN qk q ON c.band = q.band AND c.val = q.val
+  WHERE c.neighbor_id <> q.query_id
+), scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_sql_cos("q.embedding", "c.embedding")} AS sim
+  FROM cands cd
+  JOIN embeddings q ON q.vec_id = cd.query_id
+  JOIN embeddings c ON c.vec_id = cd.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= {k}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1031,7 +1147,8 @@ EXTENDED_ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_embed": _DEDUP_EMBED_ORACLE,
     "sim_topk": _SIM_TOPK_ORACLE,
-    # sim_topk_lsh: rows-only (approximate recall by design)
+    "sim_topk_lsh": _sim_lsh_oracle(),
+    "sim_topk_ivf": _sim_ivf_oracle(),
     "text_stats": _TEXT_STATS_ORACLE,
     "text_langid": _langid_oracle(),
     "text_quality": _TEXT_QUALITY_ORACLE,

@@ -147,6 +147,26 @@ def test_lsh_topk_agrees_with_brute_force_on_top1(spark):
     assert hits / len(exact) >= 0.6
 
 
+def test_lsh_topk_blas_matches_expr_twin(spark):
+    """The production BLAS sketch/verify path returns exactly what the
+    oracle-reproducible Catalyst-fold twin returns: both compute the same
+    hyperplane sign bits (a near-zero dot could in principle flip between
+    summation orders — this pins that it doesn't on real data) and the
+    same candidate top-k."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    kw = dict(dim=64, k=10, nbits=16, bands=4)
+    blas = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.lsh_topk(emb, queries, impl="blas", **kw).collect()
+    }
+    expr = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.lsh_topk(emb, queries, impl="expr", **kw).collect()
+    }
+    assert blas == expr
+
+
 def test_lsh_topk_finds_planted_duplicates(spark):
     """Deterministic recall: a scaled copy of a vector has the identical
     hyperplane sketch (sign(2v·h) = sign(v·h)), so LSH MUST bucket it with
@@ -193,6 +213,37 @@ def test_ivf_topk_finds_planted_duplicates_and_recall(spark):
     }
     approx = {}
     for r in S.ivf_topk(emb, queries, k=10).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, n in exact.items() if n in approx.get(q, set()))
+    assert hits / len(exact) >= 0.4
+
+
+def test_ivf_topk_expr_planted_duplicates_and_recall(spark):
+    """The deterministic-seed (oracle-checked) IVF twin: any fixed coarse
+    quantizer assigns a scaled copy to its original's list, so planted
+    dups must surface at rank 1; recall floor vs brute force as for the
+    k-means variant."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    planted = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    top1 = {
+        r.query_id: (r.neighbor_id, r.sim)
+        for r in S.ivf_topk_expr(corpus, queries, k=1).collect()
+    }
+    for qid, (nid, sim) in top1.items():
+        assert nid == qid + 100000
+        assert sim == pytest.approx(1.0, abs=1e-6)
+
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in S.brute_force_topk(emb, queries, k=1).collect()
+    }
+    approx = {}
+    for r in S.ivf_topk_expr(emb, queries, k=10).collect():
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(1 for q, n in exact.items() if n in approx.get(q, set()))
     assert hits / len(exact) >= 0.4
