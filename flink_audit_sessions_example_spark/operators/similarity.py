@@ -24,6 +24,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Hard cap on query-side driver collects in the broadcast-small-queries
+#: regime. At 64-dim float64 this bounds the collected matrix to ~50 MB —
+#: far below driver heap, far above any sane interactive query set.
+MAX_COLLECTED_QUERIES = 100_000
+
+
+def _collect_queries(queries: DataFrame, cols: list[str]) -> list:
+    """Driver-side collect of the query vectors with an OOM guard.
+
+    The broadcast-queries design is only valid when queries ≪ corpus; a
+    misuse (passing the corpus as the query side) would otherwise OOM the
+    driver silently. Count first (cheap aggregation) and fail with the
+    remedy instead."""
+    n = queries.count()
+    if n > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"query side has {n} rows (> {MAX_COLLECTED_QUERIES}): the "
+            "broadcast-queries regime collects the query matrix to the "
+            "driver. For large query sets use the symmetric pair path "
+            "(cosine_pairs_above) or batch the queries."
+        )
+    return queries.select(*cols).collect()
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a sequential double fold (deterministic order)."""
@@ -70,7 +93,7 @@ def brute_force_topk(
 
     from pyspark.sql.window import Window
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_queries(queries, [id_col, vec_col])
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -673,7 +696,7 @@ def ivf_topk(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
     ).mapInPandas(assign_cluster, "neighbor_id long, cluster int")
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_queries(queries, [id_col, vec_col])
     probes = []
     for r in q_rows:
         qv = np.array(list(r[1]), dtype=np.float64)

@@ -126,6 +126,24 @@ def parse_audit_json(lines: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def kafka_source_options(
+    *,
+    topic: str,
+    kafka_options: dict[str, str],
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The EXACT option map handed to the Kafka ``DataStreamReader``:
+    ``subscribe`` + ``startingOffsets`` plus every ``kafka.``-prefixed
+    config property VERBATIM — the same pass-through contract as
+    :func:`..streaming.pipeline.kafka_sink_options` (``App.java:112-124``).
+    Pure function, pinned by the no-broker contract test."""
+    return {
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        **kafka_options,
+    }
+
+
 def stream_audits_from_kafka(
     spark: SparkSession,
     *,
@@ -139,13 +157,13 @@ def stream_audits_from_kafka(
     deployment feeds Ranger audits through Kafka (``readme.md``), so a
     complete replacement needs the read side too. ``kafka_options`` uses
     the same ``kafka.``-prefix pass-through convention as the sink."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    reader = spark.readStream.format("kafka").options(
+        **kafka_source_options(
+            topic=topic,
+            kafka_options=kafka_options,
+            starting_offsets=starting_offsets,
+        )
     )
-    for k, v in kafka_options.items():
-        reader = reader.option(k, v)
     lines = reader.load().selectExpr("CAST(value AS STRING) AS value")
     return parse_audit_json(lines)
 

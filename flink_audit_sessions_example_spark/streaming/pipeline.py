@@ -87,6 +87,26 @@ def write_console(
     return writer.start()
 
 
+def kafka_sink_options(
+    *, topic: str, kafka_options: dict[str, str], checkpoint_dir: str
+) -> dict[str, str]:
+    """The EXACT option map handed to the Kafka ``DataStreamWriter``.
+
+    Contract (pinned by ``tests/test_streaming.py``): every
+    ``kafka.``-prefixed property from the config passes through VERBATIM —
+    the reference forwards all ``kafka.*`` properties to the producer
+    (``App.java:112-124``) and Spark's Kafka sink consumes the identical
+    prefix — plus the two Spark-required keys ``topic`` and
+    ``checkpointLocation``. Pure function so the no-broker contract test
+    and the real sink can never drift apart.
+    """
+    return {
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+        **kafka_options,
+    }
+
+
 def write_kafka(
     df: DataFrame,
     *,
@@ -99,21 +119,24 @@ def write_kafka(
     """``snk_kafka`` (``App.java:79-110``): at-least-once Kafka sink.
 
     ``df`` must carry a single string ``value`` column (the formatted
-    result). The reference forwards every ``kafka.``-prefixed property to
-    the producer (``App.java:112-124``); Spark's Kafka sink uses the same
-    prefix, so ``cfg.kafka_options`` passes through verbatim. At-least-once
-    comes from checkpointed offsets + non-transactional producer — the same
-    guarantee as ``DeliveryGuarantee.AT_LEAST_ONCE``.
+    result). Options come from :func:`kafka_sink_options` (verbatim
+    ``kafka.``-prefix pass-through). At-least-once comes from checkpointed
+    offsets + non-transactional producer — the same guarantee as
+    ``DeliveryGuarantee.AT_LEAST_ONCE``. See README for a manual broker
+    smoke recipe (no broker exists in CI).
     """
     writer = (
         df.selectExpr("CAST(value AS STRING) AS value")
         .writeStream.format("kafka")
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(
+            **kafka_sink_options(
+                topic=topic,
+                kafka_options=kafka_options,
+                checkpoint_dir=checkpoint_dir,
+            )
+        )
         .queryName("audit-denied-sessions-kafka")
     )
-    for k, v in kafka_options.items():
-        writer = writer.option(k, v)
     writer = _with_trigger(writer, poll_seconds, available_now)
     return writer.start()
 

@@ -14,6 +14,13 @@ from flink_audit_sessions_example_spark.sources import (
     read_audits,
 )
 
+#: The reference's golden fixture, read VERBATIM from the reference
+#: checkout when present (`TestJson.java:21-33` loads the same file);
+#: the reconstruction below (FIXTURES.md §1) keeps this repo standalone.
+REF_FIXTURE = (
+    "/root/reference/src/test/resources/audit-examples/kafka-1.json"
+)
+
 # The reference's golden fixture (src/test/resources/audit-examples/
 # kafka-1.json), reconstructed field-by-field from FIXTURES.md §1.
 KAFKA_1 = {
@@ -79,6 +86,28 @@ def test_parse_golden_record(spark, audit_tree):
     assert row["evtTime"] == dt.datetime(2022, 9, 15, 11, 0, 16, 271000)
     assert row["tags"] == []
     assert row["seq_num"] == 5770475
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_FIXTURE),
+    reason="reference checkout not present (standalone install)",
+)
+def test_parse_reference_golden_file_verbatim(spark, tmp_path):
+    """Parse the reference's ACTUAL kafka-1.json (not a reconstruction) —
+    the exact assertions of ``TestJson.java:30-33``: repoType == 9,
+    reqUser == 'wdyson'."""
+    d = tmp_path / "20220915"
+    d.mkdir()
+    (d / "audit.log").write_text(open(REF_FIXTURE).read())
+    rows = read_audits(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["repoType"] == 9
+    assert rows[0]["reqUser"] == "wdyson"
+    # and the reconstruction used by the other tests matches the file
+    # field-for-field (so they exercise identical bytes modulo the id)
+    actual = json.loads(open(REF_FIXTURE).read())
+    recon = {**KAFKA_1, "id": actual["id"]}
+    assert recon == actual
 
 
 def test_malformed_and_null_user_dropped(spark, audit_tree):

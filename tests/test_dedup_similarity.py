@@ -317,3 +317,15 @@ def test_frame_sample_reconstructs_prefix(spark):
     joined = b"".join(bytes(r.frame_bytes) for r in frames).decode()
     assert src.text.startswith(joined)
     assert len(frames) <= 16
+
+
+def test_query_collect_oom_guard(spark, monkeypatch):
+    """The broadcast-queries regime refuses to collect an oversized query
+    side (misuse that would otherwise OOM the driver silently) with an
+    actionable error naming the alternative."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    monkeypatch.setattr(S, "MAX_COLLECTED_QUERIES", 100)
+    with pytest.raises(ValueError, match="cosine_pairs_above"):
+        S.brute_force_topk(emb, emb, k=1)
+    with pytest.raises(ValueError, match="batch the queries"):
+        S.ivf_topk(emb, emb, k=1)

@@ -211,3 +211,64 @@ def test_kafka_sink_requires_topic(spark, audit_tree, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt3"),
             available_now=True,
         )
+
+
+def test_kafka_option_contract_reference_passthrough(tmp_path):
+    """No-broker contract test for the Kafka boundary (``App.java:112-124``
+    parity): a reference-style properties file's ``kafka.``-prefixed keys
+    reach the DataStreamWriter/DataStreamReader option maps VERBATIM —
+    including SASL_SSL security settings — alongside exactly the
+    Spark-required keys, and ``kafka.topic`` routes to ``topic``/
+    ``subscribe`` instead of leaking through as a producer property."""
+    from flink_audit_sessions_example_spark.config import AppConfig
+    from flink_audit_sessions_example_spark.sources.audit_source import (
+        kafka_source_options,
+    )
+    from flink_audit_sessions_example_spark.streaming.pipeline import (
+        kafka_sink_options,
+    )
+
+    props_file = tmp_path / "app.properties"
+    props_file.write_text(
+        "\n".join(
+            [
+                "audit.path=/ranger/audit",
+                "kafka.topic=audit-sessions",
+                "kafka.bootstrap.servers=broker-1:9093,broker-2:9093",
+                "kafka.security.protocol=SASL_SSL",
+                "kafka.sasl.kerberos.service.name=kafka",
+                "kafka.ssl.truststore.location=/etc/tls/truststore.jks",
+            ]
+        )
+    )
+    cfg = AppConfig.from_properties_file(props_file)
+
+    passthrough = {
+        "kafka.bootstrap.servers": "broker-1:9093,broker-2:9093",
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.kerberos.service.name": "kafka",
+        "kafka.ssl.truststore.location": "/etc/tls/truststore.jks",
+    }
+    assert cfg.kafka_options == passthrough  # verbatim, topic excluded
+
+    sink = kafka_sink_options(
+        topic=cfg.kafka_topic,
+        kafka_options=cfg.kafka_options,
+        checkpoint_dir="/ckpt/sessions",
+    )
+    assert sink == {
+        "topic": "audit-sessions",
+        "checkpointLocation": "/ckpt/sessions",
+        **passthrough,
+    }
+
+    source = kafka_source_options(
+        topic=cfg.kafka_topic,
+        kafka_options=cfg.kafka_options,
+        starting_offsets="earliest",
+    )
+    assert source == {
+        "subscribe": "audit-sessions",
+        "startingOffsets": "earliest",
+        **passthrough,
+    }
