@@ -10,4 +10,4 @@ from .sessionize import (  # noqa: F401
     audit_denied_sessions,
     with_event_time,
 )
-from . import asof, dedup, multimodal, similarity, skew, text  # noqa: F401
+from . import asof, corpus, dedup, multimodal, similarity, skew, text  # noqa: F401

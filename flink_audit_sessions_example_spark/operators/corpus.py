@@ -1,0 +1,151 @@
+"""Corpus-construction operators — the steps between "scored documents"
+and "training batches" in a large-scale pipeline: deterministic stratified
+sampling, context-window sequence packing, and benchmark decontamination.
+
+No reference analog (the reference is a streaming session job); these are
+part of the mandated LLM-data-pipeline surface (SURVEY.md §2.2 extension),
+designed Spark-first:
+
+- Sampling is a pure filter on a content-independent md5 draw — no
+  shuffle, reproducible on any engine, and the per-stratum rates are plan
+  literals so Catalyst folds them into the scan.
+- Packing is one window over (shard, doc order) — the global-sequential
+  "first come, first packed" semantics sharded so no single task owns the
+  corpus.
+- Decontamination is the inverted-index join of :mod:`.dedup` pointed at
+  a (small) eval split — postings on the eval side only, broadcast into
+  the training scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_PATTERN, shingle_rows
+
+#: Denominator of the md5 sampling draw: first 8 hex digits → uniform
+#: 32-bit integer. Rates are expressed as draw < rate · 2³².
+_DRAW_SPACE = 16**8
+
+
+def _sample_draw(key: Column) -> Column:
+    """Deterministic uniform draw in [0, 2³²) from a key column: integer
+    value of the first 8 hex digits of md5(key). Content-derived (no RNG,
+    no partition dependence) — the same row always draws the same number,
+    in Spark and in the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """``sample_stratified`` — keep each row with its stratum's rate,
+    deterministically.
+
+    The classic corpus-mixing step (e.g. downsample boilerplate-heavy
+    strata, keep all rare-language documents). ``rates`` maps stratum
+    value → keep probability; unlisted strata use ``default_rate``. The
+    draw is md5-based (:func:`_sample_draw`), so the sample is stable
+    across runs/partitionings/engines — unlike ``DataFrame.sample``,
+    which is seed+partition dependent and not oracle-checkable. One
+    shuffle-free filter; the per-stratum thresholds are INTEGER plan
+    literals precomputed in Python (a double→bigint cast would round in
+    DuckDB but truncate in Spark).
+    """
+    draw = _sample_draw(F.col(key_col))
+    thr: Column = F.lit(int(default_rate * _DRAW_SPACE))
+    for value, r in sorted(rates.items(), reverse=True):
+        thr = F.when(
+            F.col(stratum_col) == value, F.lit(int(r * _DRAW_SPACE))
+        ).otherwise(thr)
+    return df.where(draw < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 32,
+) -> DataFrame:
+    """``pack_sequences`` — assign documents to fixed-token-budget packs
+    (context-window packing for training batches).
+
+    Semantics: within a shard, documents are taken in ``id_col`` order
+    and the pack index is ``floor(tokens_before / budget)`` — streaming
+    fill, where a document that straddles a boundary belongs to the pack
+    it started in (packs can overflow by < one document; the standard
+    cheap approximation of greedy first-fit, which is inherently
+    sequential and not worth a serial pass at corpus scale).
+
+    Plan shape: token count is a scan-side projection; the only shuffle
+    is the window exchange on ``shard = id % shards``. Sharding bounds
+    the sequential region — each shard's running sum is one task — so
+    1000 executors pack 1000 shards concurrently; a global pack order
+    would serialize the corpus through one window partition. Output:
+    (id, shard, n_tokens, pack_id) with pack_id unique per (shard, pack).
+    """
+    n_tokens = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+        )
+    ).cast("bigint")
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), n_tokens.alias("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                / F.lit(budget)
+            ).cast("bigint"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """``decontaminate`` — flag training documents sharing any word
+    ``k``-gram with an evaluation/benchmark split (the GPT-3-style 8-gram
+    decontamination rule).
+
+    Inverted-index shape, asymmetric like every scale path here: the
+    (small) eval split is shingled into postings and **broadcast**; the
+    training corpus is shingled once (Arrow-batched tokenizer) and
+    semi-joined — the training side never shuffles by shingle. Output:
+    one row per contaminated training doc with the number of DISTINCT
+    eval documents it collides with (``n_eval_hits``).
+    """
+    t_sh = shingle_rows(train, id_col=id_col, text_col=text_col, k=k)
+    e_sh = shingle_rows(evals, id_col=id_col, text_col=text_col, k=k).select(
+        F.col("sh").alias("e_sh"), F.col("id").alias("eval_id")
+    )
+    hits = t_sh.join(
+        F.broadcast(e_sh), t_sh["sh"] == e_sh["e_sh"]
+    )
+    return (
+        hits.groupBy(F.col("id").alias(id_col))
+        .agg(F.count_distinct("eval_id").alias("n_eval_hits"))
+    )

@@ -59,6 +59,36 @@ def distinct_count(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    time_col: str | None = None,
+    watermark_delay: str = "2 days",
+) -> DataFrame:
+    """``dedup_stream`` — drop duplicate records in a stream, keyed on
+    ``key_cols``, with state bounded by the watermark.
+
+    An at-least-once upstream (the reference's Kafka audit feed, or any
+    replayed file source) re-delivers records; this keeps the FIRST
+    arrival per key and discards re-deliveries that arrive within
+    ``watermark_delay`` of the stream's event-time frontier. State per
+    key is just the key (no payload buffering) and is evicted once the
+    watermark passes — bounded memory at any throughput, unlike a plain
+    ``dropDuplicates`` whose state grows forever.
+
+    Works on batch DataFrames too (plain ``dropDuplicates`` — complete
+    data needs no watermark), so the same operator serves both the
+    replay-test path and production streams.
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(key_cols)
+    if time_col is not None:
+        df = df.withWatermark(time_col, watermark_delay)
+        return df.dropDuplicatesWithinWatermark(key_cols)
+    return df.dropDuplicates(key_cols)
+
+
 # --------------------------------------------------------------------------
 # Shared pairs-from-postings machinery
 # --------------------------------------------------------------------------

@@ -519,6 +519,108 @@ def _exact_topk_on_candidates(
 # --------------------------------------------------------------------------
 
 
+def _seed_centroids(
+    corpus: DataFrame, *, id_col: str, vec_col: str, n_centroids: int
+) -> tuple[list[list[float]], list[float]]:
+    """Deterministic-seed coarse quantizer shared by :func:`ivf_topk_expr`
+    and :func:`cluster_profile`: the first ``n_centroids`` corpus vectors
+    in ``(md5(id), id)`` order, with their norms computed by the SAME
+    sequential fold both engines use (bit-for-bit literal parity)."""
+    import math
+
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    seeds = (
+        corpus.select(id_col, vec_col).orderBy(*order).limit(n_centroids)
+    ).collect()
+
+    def fold_norm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    cvecs = [list(r[1]) for r in seeds]
+    return cvecs, [fold_norm(v) for v in cvecs]
+
+
+def _centroid_score(vec: Column, cvecs, cnorms, c: int) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in cvecs[c]])
+    return dot(vec, lit) / F.lit(cnorms[c])
+
+
+def _assign_cluster_expr(vec: Column, cvecs, cnorms) -> Column:
+    """Argmax cluster as one projection: lexicographic max of
+    (score, -cluster) structs == highest score, ties to the smallest
+    cluster id. No shuffle, no Python workers."""
+    return -F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _centroid_score(vec, cvecs, cnorms, c).alias("s"),
+                    F.lit(-c).alias("negc"),
+                )
+                for c in range(len(cvecs))
+            ]
+        )
+    )["negc"]
+
+
+def cluster_profile(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """``cluster_profile`` — corpus composition by embedding cluster: each
+    vector is assigned to its nearest deterministic-seed centroid
+    (:func:`_seed_centroids`) and the output is one row per cluster with
+    its population and mean similarity-to-centroid — the "what's in this
+    corpus, how tight are the modes" diagnostic of a data pipeline.
+
+    Plan: assignment is a scan-side projection; ONE hash aggregation on
+    the (≤ ``n_centroids``-value) cluster key with map-side partials.
+    The per-row similarity is cast to DECIMAL(18,12) before summing —
+    exact, commutative, so the mean is independent of row order and the
+    DuckDB oracle reproduces it bit-for-bit (the same trick the money
+    aggregates use; a double SUM would be summation-order-dependent).
+    """
+    cvecs, cnorms = _seed_centroids(
+        vectors, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
+    v = F.col(vec_col)
+    # score of the ASSIGNED centroid = max over the score array (the same
+    # fold values the assignment argmax compares, so no recompute mismatch)
+    best = F.array_max(
+        F.array(
+            *[
+                _centroid_score(v, cvecs, cnorms, c)
+                for c in range(len(cvecs))
+            ]
+        )
+    )
+    assigned = vectors.select(
+        _assign_cluster_expr(v, cvecs, cnorms).cast("int").alias("cluster"),
+        (best / F.sqrt(dot(v, v))).alias("sim"),
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("sim").cast("decimal(28,12)")).alias("_s"),
+        )
+        .select(
+            "cluster",
+            "n_vectors",
+            # exact decimal sum -> double, THEN the one double division:
+            # both engines perform the identical two IEEE ops
+            F.round(
+                F.col("_s").cast("double") / F.col("n_vectors"), 6
+            ).alias("mean_sim"),
+        )
+    )
+
+
 def ivf_topk_expr(
     corpus: DataFrame,
     queries: DataFrame,
@@ -544,47 +646,21 @@ def ivf_topk_expr(
 
     The centroid collect is ``n_centroids`` rows — the same "small
     trainer state on the driver" contract as k-means training, not a
-    corpus collect. Assignment is a pure projection (array_max over a
-    score-struct array — no shuffle, no Python workers).
+    corpus collect. Assignment is a pure projection
+    (:func:`_assign_cluster_expr` — no shuffle, no Python workers).
     """
-    import math
-
-    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
-    seeds = (
-        corpus.select(id_col, vec_col).orderBy(*order).limit(n_centroids)
-    ).collect()
-
-    def fold_norm(vec: list[float]) -> float:
-        # replicate the engines' sequential fold bit-for-bit: double
-        # products accumulated left to right, then IEEE sqrt
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
-    cvecs = [list(r[1]) for r in seeds]
-    cnorms = [fold_norm(v) for v in cvecs]
+    cvecs, cnorms = _seed_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
 
     def score(vec: Column, c: int) -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in cvecs[c]])
-        return dot(vec, lit) / F.lit(cnorms[c])
+        return _centroid_score(vec, cvecs, cnorms, c)
 
-    # assignment argmax: lexicographic max of (score, -cluster) structs ==
-    # highest score, ties to the smallest cluster id — one projection
-    assign_expr = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    score(F.col(vec_col), c).alias("s"),
-                    F.lit(-c).alias("negc"),
-                )
-                for c in range(len(cvecs))
-            ]
-        )
-    )
     inverted = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        (-assign_expr["negc"]).cast("int").alias("cluster"),
+        _assign_cluster_expr(F.col(vec_col), cvecs, cnorms)
+        .cast("int")
+        .alias("cluster"),
     )
 
     # query probing: top-nprobe clusters by the same score (explode the

@@ -180,6 +180,72 @@ def with_shingle_fingerprint(
     )
 
 
+def with_repetition_ratio(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """``text_repetition`` — intra-document repeated ``k``-gram ratio, the
+    classic repetition quality signal (Gopher §A1.1 / RefinedWeb use the
+    same family): 1 − distinct_kgrams / total_kgrams, NULL for documents
+    shorter than ``k`` words. 0 = no repetition, → 1 = the document loops.
+
+    One narrow projection (no shuffle): total k-grams is arithmetic on the
+    word count; distinct k-grams reuses :func:`shingle_array`. Boilerplate
+    loops, lorem-ipsum filler, and template spam score high and get
+    dropped by a downstream filter — at 100 TB this runs inside the scan
+    like every other text score.
+    """
+    words = _words(F.col(text_col))
+    total = F.size(words) - F.lit(k - 1)
+    distinct = F.size(shingle_array(words, k))
+    return df.withColumn(
+        "rep_ratio",
+        F.when(
+            total > 0,
+            F.round(
+                F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+            ),
+        ),
+    )
+
+
+#: PII patterns shared by the scrubber and its oracle — restricted to
+#: syntax with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+#: character classes, bounded repetition, \d/\w/\b only.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # local@domain.tld — conservative, no exotic quoting
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # international-ish phone: 9+ digits with separators, optional +
+    "phone": (r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+    # IPv4 (loose octets — scrubbing favors recall over validation)
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``text_pii_scrub`` — regex redaction of emails / phone numbers /
+    IPv4 addresses, the standard pre-training scrub pass.
+
+    Adds ``scrubbed`` (text with each match replaced by its placeholder,
+    applied in the fixed email → phone → ipv4 order so the patterns can't
+    shadow each other's placeholders) and per-kind match counts
+    (``n_email``/``n_phone``/``n_ipv4``, counted on the ORIGINAL text).
+    Pure Catalyst ``regexp_replace``/``regexp_extract_all`` — shuffle-free
+    scan-side work at any scale, and every pattern is RE2-compatible so
+    the DuckDB oracle applies the identical automata.
+    """
+    text = F.col(text_col)
+    out = df
+    for kind, (pat, _) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint"),
+        )
+    scrubbed = text
+    for kind, (pat, repl) in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("scrubbed", scrubbed)
+
+
 def shingle_array(words: Column, k: int) -> Column:
     """Distinct word ``k``-shingles (space-joined) of a token array.
 

@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import corpus as C
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -1094,6 +1095,187 @@ SELECT event_id, user_id, ts, prior_view_ts FROM j WHERE event_type = 'purchase'
 
 
 # --------------------------------------------------------------------------
+# Corpus construction (sampling / packing / decontamination / clustering)
+# --------------------------------------------------------------------------
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_repetition`` — intra-document repeated-3-gram ratio (the
+    Gopher-family repetition quality signal); NULL for sub-3-word docs."""
+    return X.with_repetition_ratio(
+        load_table(spark, sf_dir, "documents"), k=3
+    ).select("doc_id", "rep_ratio")
+
+
+_TEXT_REPETITION_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN len({_SQL_WORDS}) - 2 > 0 THEN
+         ROUND(1.0 - CAST(len({_sql_shingles(3)}) AS DOUBLE)
+                   / CAST(len({_SQL_WORDS}) - 2 AS DOUBLE), 6) END AS rep_ratio
+FROM documents
+"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_pii_scrub`` — email/phone/IPv4 redaction + per-kind match
+    counts (RE2-compatible patterns, so DuckDB runs identical automata)."""
+    return X.with_pii_scrub(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "scrubbed"
+    )
+
+
+def _pii_oracle() -> str:
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, (pat, _) in X.PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for pat, repl in X.PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       {counts},
+       {scrub} AS scrubbed
+FROM documents
+"""
+
+
+#: Registered sampling rates: keep all rare-language docs, downsample the
+#: dominant stratum, drop half of everything unidentified.
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}
+SAMPLE_DEFAULT = 0.25
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sample_stratified`` — deterministic md5-draw sampling by
+    predicted language: the corpus-mixing step, reproducible across
+    engines/partitionings (DataFrame.sample is not)."""
+    docs = X.with_language_id(load_table(spark, sf_dir, "documents"))
+    return C.stratified_sample(
+        docs,
+        stratum_col="pred_lang",
+        rates=SAMPLE_RATES,
+        key_col="doc_id",
+        default_rate=SAMPLE_DEFAULT,
+    ).select("doc_id", "pred_lang")
+
+
+def _sample_oracle() -> str:
+    from ..operators.corpus import _DRAW_SPACE
+
+    thr = str(int(SAMPLE_DEFAULT * _DRAW_SPACE))
+    for value, r in sorted(SAMPLE_RATES.items(), reverse=True):
+        thr = (
+            f"CASE WHEN pred_lang = '{value}' THEN {int(r * _DRAW_SPACE)} "
+            f"ELSE {thr} END"
+        )
+    return f"""
+WITH lang AS (
+  {_langid_oracle().strip()}
+)
+SELECT doc_id, pred_lang
+FROM lang
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < ({thr})
+"""
+
+
+PACK_BUDGET = 512
+PACK_SHARDS = 32
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pack_sequences`` — context-window packing: docs fill
+    512-token packs in id order within 32 hash shards (the sequential
+    region is one shard, so 1000 executors pack 1000 shards)."""
+    return C.pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        budget=PACK_BUDGET,
+        shards=PACK_SHARDS,
+    )
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+         CAST(len(regexp_extract_all(lower(text), '{X.TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+         PARTITION BY shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decontaminate`` — GPT-3-style 8-gram decontamination of the
+    training split (doc_id % 10 != 0) against the eval split
+    (doc_id % 10 == 0): eval postings broadcast, training corpus never
+    shuffled by shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.decontaminate(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        k=8,
+    )
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles(8)}) AS sh FROM documents
+), hits AS (
+  SELECT t.doc_id, e.doc_id AS eval_id
+  FROM sh t JOIN sh e ON t.sh = e.sh
+  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+)
+SELECT doc_id, CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_hits
+FROM hits GROUP BY doc_id
+"""
+
+
+def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cluster_profile`` — corpus composition by embedding cluster:
+    nearest deterministic-seed centroid per vector (fold-exact argmax
+    projection), one hash agg; mean similarity via exact DECIMAL sums."""
+    return S.cluster_profile(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=16
+    )
+
+
+def _cluster_profile_oracle(n_centroids: int = 16) -> str:
+    dot_ec = _SQL_DOT.format(a="e.embedding", b="c.cv")
+    dot_cc = _SQL_DOT.format(a="embedding", b="embedding")
+    dot_ee = _SQL_DOT.format(a="e.embedding", b="e.embedding")
+    return f"""
+WITH seeds AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+         embedding AS cv,
+         sqrt({dot_cc}) AS nc
+  FROM seeds
+), assigned AS (
+  SELECT neighbor_id, cluster, s / nv AS sim FROM (
+    SELECT e.vec_id AS neighbor_id, c.cluster,
+           {dot_ec} / c.nc AS s,
+           sqrt({dot_ee}) AS nv,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {dot_ec} / c.nc DESC, c.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(sim AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_sim
+FROM assigned GROUP BY cluster
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1128,6 +1310,12 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
     "win_rank_sessions": q_win_rank_sessions,
+    "text_repetition": q_text_repetition,
+    "text_pii_scrub": q_text_pii_scrub,
+    "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "cluster_profile": q_cluster_profile,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -1161,4 +1349,10 @@ EXTENDED_ORACLES: dict[str, str] = {
     "rel_pricing_summary": _REL_PRICING_ORACLE,
     "rel_top_customers": _REL_TOP_CUSTOMERS_ORACLE,
     "win_rank_sessions": _win_rank_oracle(),
+    "text_repetition": _TEXT_REPETITION_ORACLE,
+    "text_pii_scrub": _pii_oracle(),
+    "sample_stratified": _sample_oracle(),
+    "pack_sequences": _PACK_ORACLE,
+    "decontaminate": _DECONTAMINATE_ORACLE,
+    "cluster_profile": _cluster_profile_oracle(),
 }

@@ -1,0 +1,123 @@
+"""Behavioral tests for the corpus-construction operators (sampling /
+packing / decontamination / PII / repetition) — properties beyond the
+DuckDB hash parity the driver checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flink_audit_sessions_example_spark.operators import corpus as C
+from flink_audit_sessions_example_spark.operators import similarity as S
+from flink_audit_sessions_example_spark.operators import text as X
+from flink_audit_sessions_example_spark.sources import load_table
+
+from conftest import SF_DIR
+
+
+def test_repetition_ratio_extremes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam"),  # one 3-gram
+            Row(doc_id=2, text="all words here are fully distinct"),
+            Row(doc_id=3, text="too short"),  # < k words -> NULL
+        ]
+    )
+    out = {r.doc_id: r.rep_ratio for r in X.with_repetition_ratio(df, k=3).collect()}
+    assert out[1] == 0.75  # 4 total 3-grams, 1 distinct
+    assert out[2] == 0.0
+    assert out[3] is None
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail a.user+tag@example.co.uk or call +1 (555) 123-4567 "
+                "from 192.168.0.1 please",
+            ),
+            Row(doc_id=2, text="no pii in this one at all"),
+        ]
+    )
+    rows = {r.doc_id: r for r in X.with_pii_scrub(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_phone, r1.n_ipv4) == (1, 1, 1)
+    assert "<EMAIL>" in r1.scrubbed and "<PHONE>" in r1.scrubbed
+    assert "<IP>" in r1.scrubbed
+    assert "example.co.uk" not in r1.scrubbed
+    assert "555" not in r1.scrubbed and "192.168" not in r1.scrubbed
+    r2 = rows[2]
+    assert (r2.n_email, r2.n_phone, r2.n_ipv4) == (0, 0, 0)
+    assert r2.scrubbed == r2.text
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    docs = X.with_language_id(load_table(spark, SF_DIR, "documents"))
+    kw = dict(stratum_col="pred_lang", key_col="doc_id",
+              rates={"en": 0.5}, default_rate=1.0)
+    a = {r.doc_id for r in C.stratified_sample(docs, **kw).collect()}
+    b = {
+        r.doc_id
+        for r in C.stratified_sample(docs.repartition(13), **kw).collect()
+    }
+    assert a == b  # content-derived draw: partitioning-independent
+    n_en = docs.where(F.col("pred_lang") == "en").count()
+    kept_en = (
+        C.stratified_sample(docs, **kw)
+        .where(F.col("pred_lang") == "en")
+        .count()
+    )
+    assert 0.35 <= kept_en / n_en <= 0.65  # ~half of the en stratum
+    non_en = docs.where(F.col("pred_lang") != "en").count()
+    kept_non = (
+        C.stratified_sample(docs, **kw)
+        .where(F.col("pred_lang") != "en")
+        .count()
+    )
+    assert kept_non == non_en  # rate 1.0 keeps everything
+
+
+def test_pack_sequences_fill_invariants(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    packed = C.pack_sequences(docs, budget=512, shards=32)
+    rows = packed.orderBy("shard", "doc_id").collect()
+    # replay the streaming-fill definition per shard
+    running: dict[int, int] = {}
+    for r in rows:
+        before = running.get(r.shard, 0)
+        assert r.pack_id == before // 512
+        running[r.shard] = before + r.n_tokens
+    # packs within a shard are contiguous starting at 0
+    by_shard: dict[int, set] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, set()).add(r.pack_id)
+    for shard, packs in by_shard.items():
+        assert packs == set(range(max(packs) + 1))
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five six seven eight nine"),
+            Row(doc_id=2, text="totally unrelated training document text here "
+                               "with many extra words beyond eight"),
+        ]
+    )
+    evals = spark.createDataFrame(
+        [Row(doc_id=100, text="zero one two three four five six seven eight")]
+    )
+    out = {r.doc_id: r.n_eval_hits for r in C.decontaminate(train, evals, k=8).collect()}
+    assert out == {1: 1}  # shares the 8-gram "one two ... eight"
+
+
+def test_cluster_profile_partitions_the_corpus(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = S.cluster_profile(emb, n_centroids=16).collect()
+    assert sum(r.n_vectors for r in out) == emb.count()
+    assert {r.cluster for r in out} <= set(range(16))
+    for r in out:
+        assert -1.0 <= r.mean_sim <= 1.0
+    # seed vectors sit in their own cluster with sim 1 to themselves, so
+    # every cluster's mean stays meaningfully positive on random data
+    assert all(r.n_vectors >= 1 for r in out)

@@ -272,3 +272,61 @@ def test_kafka_option_contract_reference_passthrough(tmp_path):
         "startingOffsets": "earliest",
         **passthrough,
     }
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """``dedup_stream``: an at-least-once upstream re-delivers audit
+    records (same `id`) in a later micro-batch; the watermark-bounded
+    dedup keeps the first arrival only. Batch path degrades to plain
+    dropDuplicates."""
+    from flink_audit_sessions_example_spark.operators.dedup import (
+        stream_dedup,
+    )
+    from flink_audit_sessions_example_spark.sources.audit_source import (
+        stream_audits,
+    )
+
+    d1 = tmp_path / "20220926"
+    d2 = tmp_path / "20220927"
+    d1.mkdir(), d2.mkdir()
+    (d1 / "a.log").write_text(
+        "\n".join(
+            [
+                _line("u1", 0, 1, "2022-09-26 10:00:00.000", id="e-1"),
+                _line("u2", 0, 2, "2022-09-26 10:01:00.000", id="e-2"),
+            ]
+        )
+        + "\n"
+    )
+    # redelivery of e-1 (same id, same payload) plus one new record
+    (d2 / "b.log").write_text(
+        "\n".join(
+            [
+                _line("u1", 0, 1, "2022-09-26 10:00:00.000", id="e-1"),
+                _line("u3", 0, 3, "2022-09-27 09:00:00.000", id="e-3"),
+            ]
+        )
+        + "\n"
+    )
+    audits = stream_audits(spark, str(tmp_path), max_files_per_trigger=1)
+    deduped = stream_dedup(
+        audits, ["id"], time_col="evtTime", watermark_delay="2 days"
+    )
+    q = write_memory(
+        deduped.select("id", "reqUser"), query_name="t_stream_dedup"
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_stream_dedup").collect()
+    assert sorted((r.id, r.reqUser) for r in rows) == [
+        ("e-1", "u1"),
+        ("e-2", "u2"),
+        ("e-3", "u3"),
+    ]
+
+    # batch twin: plain dropDuplicates
+    from flink_audit_sessions_example_spark.sources.audit_source import (
+        read_audits,
+    )
+
+    batch = stream_dedup(read_audits(spark, str(tmp_path)), ["id"])
+    assert batch.count() == 3
