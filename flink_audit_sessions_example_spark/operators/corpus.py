@@ -61,11 +61,21 @@ def stratified_sample(
     DuckDB but truncate in Spark).
     """
     draw = _sample_draw(F.col(key_col))
-    thr: Column = F.lit(int(default_rate * _DRAW_SPACE))
-    for value, r in sorted(rates.items(), reverse=True):
-        thr = F.when(
-            F.col(stratum_col) == value, F.lit(int(r * _DRAW_SPACE))
-        ).otherwise(thr)
+    # map-literal lookup, NOT a CASE chain: the stratum column is
+    # referenced exactly once, so when the filter is pushed through the
+    # projection that computes it (e.g. a derived language column), the
+    # stratum expression is inlined once — a CASE chain would inline it
+    # once per stratum and blow the codegen method past the 64 KB limit
+    rate_map = F.create_map(
+        *[
+            F.lit(x)
+            for value, r in sorted(rates.items())
+            for x in (value, int(r * _DRAW_SPACE))
+        ]
+    )
+    thr = F.coalesce(
+        rate_map[F.col(stratum_col)], F.lit(int(default_rate * _DRAW_SPACE))
+    )
     return df.where(draw < thr)
 
 

@@ -272,48 +272,47 @@ def lsh_candidate_pairs(
     bands: int,
     rows_per_band: int,
     max_bucket_size: int | None = None,
-    hash_bucket: bool = True,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs agreeing on all ``rows_per_band`` minima of any
-    band become a candidate pair. Band key = (band index, the band's
-    minima concatenated — optionally xxhash64'd to an 8-byte key), then
-    ONE ``groupBy(band, key)`` builds each bucket's posting list and
-    emits its pairs in place (pairs-from-postings — no self-join, and
-    the bucket size is visible for the skew cap). Shuffle volume
-    O(docs · bands), never O(n²).
+    band become a candidate pair. Band key = hash of (band index ‖ the
+    band's minima) — ONE fixed-width BIGINT per (doc, band), so the
+    shuffle moves 8-byte keys, not ~80-char minima strings. Then ONE
+    ``groupBy(bkey)`` builds each bucket's posting list and emits its
+    pairs in place (pairs-from-postings — no self-join, and the bucket
+    size is visible for the skew cap). Shuffle volume O(docs · bands),
+    never O(n²).
+
+    ``bucket_hash``: ``'xxhash64'`` (production) or ``'md5'`` (40-bit
+    md5 prefix — byte-identical in DuckDB, so the oracle reproduces the
+    buckets; a ~2⁻⁴⁰ key collision only adds a false *candidate*, which
+    downstream exact verification discards).
 
     ``max_bucket_size`` drops degenerate buckets (e.g. thousands of
     identical boilerplate docs) whose pair explosion would be quadratic;
     their members still pair through their other, more selective bands.
     """
+    if bucket_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"bucket_hash must be 'xxhash64' or 'md5', got {bucket_hash!r}")
+
     def band_key(b: int) -> Column:
         joined = F.concat_ws(
             "|",
+            F.lit(str(b)),
             *[
                 F.element_at("sig", b * rows_per_band + r + 1).cast("string")
                 for r in range(rows_per_band)
             ],
         )
-        return F.xxhash64(joined) if hash_bucket else joined
+        if bucket_hash == "xxhash64":
+            return F.xxhash64(joined)
+        return _hex40(F.md5(joined), 1)
 
     banded = signatures.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_key(b).alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bucket")
-    keyed = banded.select(
-        F.concat_ws("#", F.col("band").cast("string"), F.col("bucket").cast("string")).alias("bkey"),
-        "id",
+        F.explode(F.array(*[band_key(b) for b in range(bands)])).alias("bkey"),
     )
-    return _postings_pairs(keyed, "bkey", max_size=max_bucket_size).distinct()
+    return _postings_pairs(banded, "bkey", max_size=max_bucket_size).distinct()
 
 
 def minhash_near_dup_pairs(
@@ -390,7 +389,7 @@ def minhash_near_dup_pairs(
             bands=bands,
             rows_per_band=rows_per_band,
             max_bucket_size=max_bucket_size,
-            hash_bucket=(hash_family == "xxhash64"),
+            bucket_hash=hash_family,
         )
     )
     sizes = per_doc.select("id", "n")

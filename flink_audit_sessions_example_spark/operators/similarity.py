@@ -469,11 +469,20 @@ def _exact_topk_on_candidates(
 
     from pyspark.sql.window import Window
 
+    # norms are computed ONCE per vector row, before the candidate join —
+    # a candidate appears in ~many pairs, and cosine per pair would
+    # otherwise re-fold the two self-dots per candidate row (3 folds →
+    # 1). sim = dot/(qn·cn) is the same IEEE op sequence as
+    # dot/(sqrt(aa)·sqrt(bb)), so the oracle hash is unchanged.
     qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     paired = cands.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
 
@@ -493,7 +502,10 @@ def _exact_topk_on_candidates(
         scored = paired.select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim"),
         )
     else:
         scored = paired.mapInPandas(

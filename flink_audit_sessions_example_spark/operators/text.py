@@ -49,6 +49,26 @@ def _words(text: Column) -> Column:
     ).otherwise(F.split(trimmed, r"\s+"))
 
 
+#: Name of the staged token-array column added by :func:`_with_words`.
+_WORDS = "__words"
+
+
+def _with_words(df: DataFrame, text_col: str) -> DataFrame:
+    """Materialize :func:`_words` ONCE as a column and have consumers
+    reference the attribute.
+
+    This is the central perf contract of the module: every operator below
+    uses the token array several times, and Catalyst inlines alias
+    *expressions* (not attributes) into each use site — and into
+    interpreted higher-order-function lambdas PER ELEMENT, turning an
+    O(words) projection into O(words²) re-splitting. Because the split is
+    non-cheap and referenced more than once, ``CollapseProject`` keeps
+    this projection separate instead of merging it back into consumers
+    (asserted in ``tests/test_plans.py``), so the document is tokenized
+    exactly once per row."""
+    return df.withColumn(_WORDS, _words(F.col(text_col)))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``text_stats`` — per-document surface statistics.
 
@@ -57,7 +77,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     no shuffle.
     """
     text = F.col(text_col)
-    words = _words(text)
+    words = F.col(_WORDS)
     n_chars = F.length(text)
     n_words = F.size(words)
     n_punct = F.size(
@@ -67,7 +87,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_intersect(words, F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]))
     )
     return (
-        df.withColumn("n_chars", n_chars.cast("bigint"))
+        _with_words(df, text_col)
+        .withColumn("n_chars", n_chars.cast("bigint"))
         .withColumn("n_words", n_words.cast("bigint"))
         .withColumn(
             "n_tokens",
@@ -89,6 +110,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars))
         .withColumn("n_stopwords_distinct", n_stop.cast("bigint"))
+        .drop(_WORDS)
     )
 
 
@@ -100,23 +122,43 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     no hits at all → ``und`` (undetermined). Pure set-intersection
     expressions — vectorized, shuffle-free, identical logic in the oracle.
     """
-    words = _words(F.col(text_col))
-    scores = {
-        lang: F.size(
-            F.array_intersect(words, F.array(*[F.lit(w) for w in sw]))
+    words = F.col(_WORDS)
+    # stage 2: the four intersection scores, each computed ONCE as a
+    # column — the argmax below references these attributes, so the
+    # (non-cheap) intersections are not duplicated per CASE branch
+    scored = _with_words(df, text_col)
+    for lang, sw in LANG_STOPWORDS.items():
+        scored = scored.withColumn(
+            f"score_{lang}",
+            F.size(
+                F.array_intersect(words, F.array(*[F.lit(w) for w in sw]))
+            ).cast("bigint"),
         )
-        for lang, sw in LANG_STOPWORDS.items()
-    }
-    best = F.greatest(*scores.values())
-    pred = F.lit("und")
-    # alphabetical order + "first match wins" = deterministic argmax
-    for lang in sorted(LANG_STOPWORDS, reverse=True):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
-    out = df.withColumn("pred_lang", pred)
-    for lang in sorted(LANG_STOPWORDS):
-        out = out.withColumn(f"score_{lang}", scores[lang].cast("bigint"))
-    return out
+    # argmax as ONE array_max over (score, -idx, lang) structs: struct
+    # comparison is lexicographic, so the winner is the highest score with
+    # alphabetical-first tie-break; the (0, 1, 'und') sentinel outranks
+    # every real element exactly when all scores are 0 (scores are array
+    # sizes, never negative). Each score column is referenced ONCE — a
+    # WHEN-chain would reference each ~5×, and a filter on pred_lang
+    # (clean-corpus, stratified sampling) gets the whole tree substituted
+    # into its pushed-down predicate, multiplying the tokenizer cost.
+    langs = sorted(LANG_STOPWORDS)
+    candidates = [
+        F.struct(
+            F.lit(0).cast("bigint").alias("s"),
+            F.lit(1).alias("negidx"),
+            F.lit("und").alias("lang"),
+        )
+    ] + [
+        F.struct(
+            F.col(f"score_{lang}").alias("s"),
+            F.lit(-i).alias("negidx"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    pred = F.array_max(F.array(*candidates))["lang"]
+    return scored.withColumn("pred_lang", pred).drop(_WORDS)
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -128,7 +170,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     fixed evaluation order, so the oracle reproduces it exactly.
     """
     text = F.col(text_col)
-    words = _words(text)
+    words = F.col(_WORDS)
     n_words = F.size(words).cast("double")
     n_chars = F.length(text).cast("double")
     # empty documents have no symbol soup: punct term contributes 0, so the
@@ -146,7 +188,11 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(n_stop / F.lit(5.0), F.lit(1.0))
     )
-    return df.withColumn("quality", F.round(score, 6))
+    return (
+        _with_words(df, text_col)
+        .withColumn("quality", F.round(score, 6))
+        .drop(_WORDS)
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -173,10 +219,11 @@ def with_shingle_fingerprint(
     a cheap near-dup pre-filter (full MinHash generalizes this to H
     minima; see :mod:`.dedup`).
     """
-    words = _words(F.col(text_col))
-    shingles = shingle_array(words, k)
-    return df.withColumn(
-        "min_shingle_md5", F.array_min(F.transform(shingles, F.md5))
+    shingles = shingle_array(F.col(_WORDS), k)
+    return (
+        _with_words(df, text_col)
+        .withColumn("min_shingle_md5", F.array_min(F.transform(shingles, F.md5)))
+        .drop(_WORDS)
     )
 
 
@@ -194,17 +241,22 @@ def with_repetition_ratio(
     dropped by a downstream filter — at 100 TB this runs inside the scan
     like every other text score.
     """
-    words = _words(F.col(text_col))
+    words = F.col(_WORDS)
     total = F.size(words) - F.lit(k - 1)
     distinct = F.size(shingle_array(words, k))
-    return df.withColumn(
-        "rep_ratio",
-        F.when(
-            total > 0,
-            F.round(
-                F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+    return (
+        _with_words(df, text_col)
+        .withColumn(
+            "rep_ratio",
+            F.when(
+                total > 0,
+                F.round(
+                    F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+                    6,
+                ),
             ),
-        ),
+        )
+        .drop(_WORDS)
     )
 
 
@@ -252,10 +304,11 @@ def shingle_array(words: Column, k: int) -> Column:
     Documents shorter than ``k`` words yield an empty array (guarded:
     ``sequence`` would otherwise produce a *descending* range).
 
-    NOTE: array higher-order functions are interpreted, and Catalyst
-    inlines the ``words`` subexpression into the lambda (the text is
-    re-split per shingle) — fine for oracle SQL mirroring, but the hot
-    path should use :func:`shingle_rows`.
+    NOTE: pass a materialized ATTRIBUTE (see :func:`_with_words`), not a
+    raw expression — array higher-order functions are interpreted, and
+    Catalyst inlines expression (non-attribute) inputs into the lambda,
+    re-splitting the text once per shingle. Exploding/bulk paths should
+    use :func:`shingle_rows` (Arrow) instead.
     """
     n = F.size(words)
     idx = F.sequence(F.lit(0), n - F.lit(k))

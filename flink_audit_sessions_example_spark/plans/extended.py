@@ -159,16 +159,24 @@ def _minhash_oracle(
     threshold: float = 0.5,
 ) -> str:
     """DuckDB twin of the registered ``dedup_minhash`` (md5 family):
-    hᵢ = k1 + i·k2 from one md5 per shingle, 16 string band keys, bucket
-    cap, exact-Jaccard verify restricted to band-colliding candidate
-    pairs — term-for-term the Spark plan's semantics."""
+    hᵢ = k1 + i·k2 from one md5 per shingle, 16 BIGINT band keys (40-bit
+    md5 prefix of band-index‖minima — same 8-byte bucket the Spark side
+    shuffles), bucket cap, exact-Jaccard verify restricted to
+    band-colliding candidate pairs — term-for-term the Spark plan."""
     r = num_hashes // bands
     mins = ",\n    ".join(
         f"MIN(k1 + {i} * k2) AS h{i}" for i in range(num_hashes)
     )
     band_selects = "\n  UNION ALL ".join(
-        f"SELECT id, {b} AS band, "
-        + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        f"SELECT id, "
+        + _sql_hex40(
+            "md5('"
+            + str(b)
+            + "' || '|' || "
+            + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+            + ")",
+            1,
+        )
         + " AS key FROM sig"
         for b in range(bands)
     )
@@ -187,13 +195,13 @@ WITH sh AS (
 ), bands AS (
   {band_selects}
 ), buckets AS (
-  SELECT band, key FROM bands GROUP BY 1, 2
+  SELECT key FROM bands GROUP BY 1
   HAVING COUNT(*) >= 2 AND COUNT(*) <= {MAX_BUCKET_SIZE}
 ), cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a
-  JOIN buckets bk ON a.band = bk.band AND a.key = bk.key
-  JOIN bands b ON b.band = a.band AND b.key = a.key AND a.id < b.id
+  JOIN buckets bk ON a.key = bk.key
+  JOIN bands b ON b.key = a.key AND a.id < b.id
 ), common AS (
   SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS cnt
   FROM hashed x
@@ -385,7 +393,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 50 == 0),
         dim=64,
         k=10,
-        nbits=16,
+        nbits=32,
         bands=4,
         impl="expr",
     )
@@ -976,48 +984,51 @@ GROUP BY n_name
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``pipeline_clean_corpus`` — the end-to-end training-data shape the
     extended operators exist for, composed as ONE declarative plan:
-    exact-dedup on normalized fingerprint (deterministic min-id survivor)
-    → quality score → language ID → keep en docs with quality ≥ 0.5 →
-    token counts. The survivor ROW is kept through the one dedup
-    aggregation (``min(doc_id)`` + ``min_by(text, doc_id)`` — doc_id is
-    unique so the survivor is deterministic; DuckDB twin ``arg_min``;
-    min_by keeps a flat two-slot buffer where a struct-min would sort
-    whole rows), which drops the second
-    ``documents`` scan and the survivor re-join the naive formulation
-    pays: ONE scan, ONE shuffle, then shuffle-free scoring projections."""
+    quality score → language ID → keep en docs with quality ≥ 0.5 →
+    exact-dedup on normalized fingerprint (deterministic min-id survivor).
+
+    Filter-BEFORE-dedup is the 100 TB shape: scoring and the quality/
+    language filter are scan-side projections inside one whole-stage-
+    codegen span, so rows are pruned *before* the only shuffle, and the
+    survivor's ``(doc_id, n_tokens, quality)`` ride through the one
+    ``min(struct(...))`` aggregation (doc_id first ⇒ min-id survivor;
+    DuckDB twin ``min((doc_id, ...))``) — no post-aggregation text work
+    at all. The naive dedup-first formulation shuffles the full corpus
+    and re-runs the (expensive, substituted) score predicate on the
+    aggregate output, outside codegen."""
     docs = load_table(spark, sf_dir, "documents")
-    kept = (
-        X.with_fingerprint(docs)
-        .groupBy("fingerprint")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("text", "doc_id").alias("text"),
-        )
+    scored = X.with_language_id(
+        X.with_quality_score(X.with_text_stats(X.with_fingerprint(docs)))
     )
-    scored = X.with_language_id(X.with_quality_score(X.with_text_stats(kept)))
-    return scored.where(
+    passing = scored.where(
         (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
-    ).select("doc_id", "n_tokens", "quality")
+    )
+    return (
+        passing.groupBy("fingerprint")
+        .agg(F.min(F.struct("doc_id", "n_tokens", "quality")).alias("_s"))
+        .select("_s.doc_id", "_s.n_tokens", "_s.quality")
+    )
 
 
 def _pipeline_oracle() -> str:
-    lang = _langid_oracle("kept").strip()
+    lang = _langid_oracle("documents").strip()
     return f"""
-WITH kept AS (
-  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-  FROM documents
-  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-), lang AS (
+WITH lang AS (
   {lang}
 ), q AS (
   SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
          {_QUALITY_EXPR} AS quality
-  FROM kept
+  FROM documents
+), filtered AS (
+  SELECT q.* FROM q JOIN lang USING (doc_id)
+  WHERE q.quality >= 0.5 AND lang.pred_lang = 'en'
 )
-SELECT q.doc_id, q.n_tokens, q.quality
-FROM q JOIN lang ON q.doc_id = lang.doc_id
-WHERE q.quality >= 0.5 AND lang.pred_lang = 'en'
+SELECT MIN(doc_id) AS doc_id,
+       arg_min(n_tokens, doc_id) AS n_tokens,
+       arg_min(quality, doc_id) AS quality
+FROM filtered GROUP BY fp
 """
 
 
@@ -1335,7 +1346,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_embed": _DEDUP_EMBED_ORACLE,
     "sim_topk": _SIM_TOPK_ORACLE,
-    "sim_topk_lsh": _sim_lsh_oracle(),
+    "sim_topk_lsh": _sim_lsh_oracle(nbits=32),
     "sim_topk_ivf": _sim_ivf_oracle(),
     "text_stats": _TEXT_STATS_ORACLE,
     "text_langid": _langid_oracle(),
