@@ -22,7 +22,11 @@ def format_session_result(
     """Project sessions to the reference's single-string sink format."""
 
     def millis(c: str) -> Column:
-        return F.unix_millis(F.col(c))
+        # unix_millis accepts only TIMESTAMP (LTZ); the cast makes the
+        # projection agnostic to whether the source column decoded as NTZ
+        # (parquet isAdjustedToUTC=false) or LTZ — identical epoch under
+        # the engine's UTC session timezone either way
+        return F.unix_millis(F.col(c).cast("timestamp"))
 
     return sessions.select(
         F.format_string(

@@ -129,6 +129,17 @@ def pack_sequences(
     )
 
 
+#: Broadcast-regime cap on the number of eval documents. The broadcast
+#: carries the eval split's exploded shingle postings — roughly
+#: ``docs × shingles/doc × ~70 B``; at 10k docs × ~500 shingles that is
+#: ~350 MB, comfortably under Spark's broadcast ceiling. Above the cap
+#: the plan falls back to a shuffled join (or raises, see ``on_large``)
+#: instead of silently shipping a corpus-sized broadcast to every
+#: executor — the same misuse guard as ``MAX_COLLECTED_QUERIES`` on the
+#: similarity side.
+MAX_BROADCAST_EVAL_DOCS = 10_000
+
+
 def decontaminate(
     train: DataFrame,
     evals: DataFrame,
@@ -136,6 +147,8 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    max_broadcast_evals: int | None = MAX_BROADCAST_EVAL_DOCS,
+    on_large: str = "shuffle",
 ) -> DataFrame:
     """``decontaminate`` — flag training documents sharing any word
     ``k``-gram with an evaluation/benchmark split (the GPT-3-style 8-gram
@@ -147,14 +160,44 @@ def decontaminate(
     semi-joined — the training side never shuffles by shingle. Output:
     one row per contaminated training doc with the number of DISTINCT
     eval documents it collides with (``n_eval_hits``).
+
+    The broadcast regime is only valid while the eval split is genuinely
+    small, so the contract is ENFORCED, not hoped for: the eval doc count
+    is probed with a bounded ``limit(cap+1)`` scan (short-circuits even
+    if a caller passes the whole corpus). Above ``max_broadcast_evals``:
+
+    - ``on_large='shuffle'`` (default) — fall back to a shuffled
+      shingle-key join: both sides exchange on ``sh``, no broadcast,
+      correct at any eval size (identical output, tested);
+    - ``on_large='error'`` — raise with the remedy, for pipelines that
+      want the misuse surfaced instead of absorbed.
+
+    ``max_broadcast_evals=None`` disables the probe (caller has already
+    sized the split).
     """
+    if on_large not in ("shuffle", "error"):
+        raise ValueError(f"on_large must be 'shuffle' or 'error', got {on_large!r}")
+    use_broadcast = True
+    if max_broadcast_evals is not None:
+        # bounded probe: reads at most cap+1 rows of the eval-side scan
+        n = evals.select(id_col).limit(max_broadcast_evals + 1).count()
+        if n > max_broadcast_evals:
+            if on_large == "error":
+                raise ValueError(
+                    f"eval split has > {max_broadcast_evals} documents: the "
+                    "broadcast regime ships the eval shingle postings to "
+                    "every executor and only holds for small splits. Pass a "
+                    "genuinely small eval slice, raise max_broadcast_evals "
+                    "if you have the memory, or use on_large='shuffle'."
+                )
+            use_broadcast = False
     t_sh = shingle_rows(train, id_col=id_col, text_col=text_col, k=k)
     e_sh = shingle_rows(evals, id_col=id_col, text_col=text_col, k=k).select(
         F.col("sh").alias("e_sh"), F.col("id").alias("eval_id")
     )
-    hits = t_sh.join(
-        F.broadcast(e_sh), t_sh["sh"] == e_sh["e_sh"]
-    )
+    if use_broadcast:
+        e_sh = F.broadcast(e_sh)
+    hits = t_sh.join(e_sh, t_sh["sh"] == e_sh["e_sh"])
     return (
         hits.groupBy(F.col("id").alias(id_col))
         .agg(F.count_distinct("eval_id").alias("n_eval_hits"))

@@ -1223,13 +1223,16 @@ FROM t
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``decontaminate`` — GPT-3-style 8-gram decontamination of the
-    training split (doc_id % 10 != 0) against the eval split
-    (doc_id % 10 == 0): eval postings broadcast, training corpus never
-    shuffled by shingle."""
+    training split (doc_id % 100 != 0) against a genuinely small eval
+    slice (doc_id % 100 == 0, 1% of the corpus): eval postings
+    broadcast, training corpus never shuffled by shingle. The broadcast
+    contract is enforced by the operator's eval-size probe
+    (``MAX_BROADCAST_EVAL_DOCS``) — oversized eval splits fall back to a
+    shuffled shingle join instead of OOMing executors."""
     docs = load_table(spark, sf_dir, "documents")
     return C.decontaminate(
-        docs.where(F.col("doc_id") % 10 != 0),
-        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 100 != 0),
+        docs.where(F.col("doc_id") % 100 == 0),
         k=8,
     )
 
@@ -1240,7 +1243,7 @@ WITH sh AS (
 ), hits AS (
   SELECT t.doc_id, e.doc_id AS eval_id
   FROM sh t JOIN sh e ON t.sh = e.sh
-  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+  WHERE t.doc_id % 100 <> 0 AND e.doc_id % 100 = 0
 )
 SELECT doc_id, CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_hits
 FROM hits GROUP BY doc_id

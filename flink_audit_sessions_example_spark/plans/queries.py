@@ -106,8 +106,9 @@ def q_win_wrap_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.select(
         F.col("user_id"),
         F.col("denies"),
-        F.unix_millis(F.col("start")).alias("start_ms"),
-        F.unix_millis(F.col("end")).alias("end_ms"),
+        # cast: unix_millis needs LTZ; ts may decode as NTZ (see formatting.py)
+        F.unix_millis(F.col("start").cast("timestamp")).alias("start_ms"),
+        F.unix_millis(F.col("end").cast("timestamp")).alias("end_ms"),
     )
 
 

@@ -40,7 +40,10 @@ def audit_tree_path(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=_FIELDS)
+    # pyarrow requires a list (a tuple raises ValueError since 15.x)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=list(_FIELDS)
+    )
     rows = tbl.sort_by("event_id").to_pylist()
 
     by_day: dict[str, list[str]] = {}

@@ -111,6 +111,42 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert out == {1: 1}  # shares the 8-gram "one two ... eight"
 
 
+def test_decontaminate_guard_error_path(spark):
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="one two three four five six seven eight nine")]
+    )
+    evals = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="zero one two three four five six seven eight"),
+            Row(doc_id=101, text="a b c d e f g h i j"),
+        ]
+    )
+    with pytest.raises(ValueError, match="eval split has > 1 documents"):
+        C.decontaminate(
+            train, evals, k=8, max_broadcast_evals=1, on_large="error"
+        ).collect()
+    with pytest.raises(ValueError, match="on_large"):
+        C.decontaminate(train, evals, k=8, on_large="nope")
+
+
+def test_decontaminate_shuffle_fallback_equals_broadcast(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    evals = docs.where(F.col("doc_id") % 10 == 0)
+    base = {
+        (r.doc_id, r.n_eval_hits)
+        for r in C.decontaminate(train, evals, k=8).collect()
+    }
+    # force the cap low: the fallback shuffled join must be chosen and
+    # must produce the identical contamination report
+    fallback = C.decontaminate(
+        train, evals, k=8, max_broadcast_evals=1, on_large="shuffle"
+    )
+    assert "ResolvedHint" not in fallback._jdf.queryExecution().logical().toString()
+    assert {(r.doc_id, r.n_eval_hits) for r in fallback.collect()} == base
+    assert len(base) > 0  # the slice genuinely contains planted overlap
+
+
 def test_cluster_profile_partitions_the_corpus(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     out = S.cluster_profile(emb, n_centroids=16).collect()
