@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingle_rows, _words
+from .text import hashed_shingle_rows, shingle_rows, _words
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -266,6 +266,15 @@ def minhash_signatures(
     )
 
 
+#: Modulus / multiplier of the ``'affine'`` band-key fold. M = 2⁴⁰ keeps
+#: the key in the same 40-bit space as the md5-prefix variant; P ≈ 2²⁰ so
+#: every intermediate (acc·P + hᵢ < 2⁶⁰ + 2⁴⁶) stays far inside a signed
+#: 64-bit integer — Spark wraps silently on overflow but DuckDB RAISES,
+#: so the bound is a correctness requirement of the oracle, not a nicety.
+_AFFINE_M = 1 << 40
+_AFFINE_P = 1_000_003
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -283,19 +292,38 @@ def lsh_candidate_pairs(
     size is visible for the skew cap). Shuffle volume O(docs · bands),
     never O(n²).
 
-    ``bucket_hash``: ``'xxhash64'`` (production) or ``'md5'`` (40-bit
-    md5 prefix — byte-identical in DuckDB, so the oracle reproduces the
-    buckets; a ~2⁻⁴⁰ key collision only adds a false *candidate*, which
-    downstream exact verification discards).
+    ``bucket_hash``:
+
+    - ``'xxhash64'`` (production) — one JVM hash over the stringified
+      band minima;
+    - ``'affine'`` — a polynomial fold over the minima as INTEGERS,
+      ``acc = (acc·P + hᵢ) mod 2⁴⁰`` seeded with the band index: pure
+      codegen'd bigint arithmetic (no md5, no string concat — the r2
+      profile showed that expression tax dominating the query) and
+      reproducible verbatim in DuckDB, so oracle-checked pipelines get
+      hashing at integer-math cost;
+    - ``'md5'`` — 40-bit md5 prefix of the stringified minima (the r2
+      oracle construction; kept for baseline comparability).
+
+    A ~2⁻⁴⁰ key collision in either 40-bit variant only adds a false
+    *candidate*, which downstream exact verification discards.
 
     ``max_bucket_size`` drops degenerate buckets (e.g. thousands of
     identical boilerplate docs) whose pair explosion would be quadratic;
     their members still pair through their other, more selective bands.
     """
-    if bucket_hash not in ("xxhash64", "md5"):
-        raise ValueError(f"bucket_hash must be 'xxhash64' or 'md5', got {bucket_hash!r}")
+    if bucket_hash not in ("xxhash64", "md5", "affine"):
+        raise ValueError(
+            f"bucket_hash must be 'xxhash64', 'md5' or 'affine', got {bucket_hash!r}"
+        )
 
     def band_key(b: int) -> Column:
+        if bucket_hash == "affine":
+            acc: Column = F.lit(b).cast("bigint")
+            for r in range(rows_per_band):
+                h = F.element_at("sig", b * rows_per_band + r + 1)
+                acc = (acc * F.lit(_AFFINE_P) + h) % F.lit(_AFFINE_M)
+            return acc
         joined = F.concat_ws(
             "|",
             F.lit(str(b)),
@@ -325,6 +353,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     hash_family: str = "xxhash64",
+    bucket_hash: str | None = None,
     max_shingle_df: int | None = None,
     max_bucket_size: int | None = None,
     persist: bool = False,
@@ -337,21 +366,26 @@ def minhash_near_dup_pairs(
     verification then removes false positives, so precision is 1.0 and
     only recall is probabilistic (tunable via bands).
 
-    Plan (single tokenizer pass, candidates-only verify): the Python
-    shingler runs ONCE into a flat ``(id, hashed-shingle-key)`` relation
-    that feeds both branches — (a) ONE per-doc hash aggregation producing
-    the signature minima AND the shingle count (map-side partial combine,
-    one row per doc before the shuffle; no intermediate posting arrays),
-    from which the LSH band buckets and candidate pairs derive, and
-    (b) the verify branch, which keeps only candidate docs' shingle rows
-    (broadcast semi-join on the tiny candidate-id set) and counts common
-    shingles via pairs-from-postings on that small remainder. Unlike an
-    all-pairs postings explode (the exact ``ngram`` shape), the quadratic
-    work stays restricted to band-colliding docs — the whole point of LSH
-    at 100 TB.
+    Plan (candidates-only verify): the Arrow shingler produces a flat
+    ``(id, hashed-shingle-key)`` relation feeding both branches — (a) ONE
+    per-doc hash aggregation producing the signature minima (map-side
+    partial combine, one row per doc before the shuffle; no intermediate
+    posting arrays), from which the LSH band buckets and candidate pairs
+    derive, and (b) the verify branch, which keeps only candidate docs'
+    shingle rows (broadcast SEMI-join on the candidate-id set), derives
+    their shingle counts from that already-filtered relation (never a
+    second full-corpus aggregation), and counts common shingles via
+    pairs-from-postings on the small remainder. Unlike an all-pairs
+    postings explode (the exact ``ngram`` shape), the quadratic work
+    stays restricted to band-colliding docs — the whole point of LSH at
+    100 TB.
 
     ``hash_family='md5'`` makes every step DuckDB-reproducible (the
     driver's oracle); ``'xxhash64'`` is the cheaper production default.
+    ``bucket_hash`` defaults per family: ``'xxhash64'`` for the xxhash64
+    family, ``'affine'`` (integer polynomial fold — no md5/string tax,
+    still DuckDB-verbatim; requires the md5 family's bounded nonnegative
+    minima to stay overflow-free under ANSI arithmetic) for md5.
     ``max_bucket_size`` caps degenerate LSH buckets; ``max_shingle_df``
     additionally caps verify-side posting lists (rarely needed once
     buckets are capped — candidate sets are already bounded).
@@ -360,10 +394,14 @@ def minhash_near_dup_pairs(
     rows (so the Python tokenizer runs exactly once), the per-doc
     signature table (reused for banding and both size joins), and the
     candidate pairs (reused for the id filter and the final join) — at
-    ``MEMORY_AND_DISK``. All three are flat fixed-width relations (no
-    arrays), so the cache is cheap; it lives until the session evicts it
-    (LRU), the usual Spark contract for diamond DAGs. Leave False for
-    one-shot pipelines where recompute is cheaper than cache churn.
+    ``MEMORY_AND_DISK``. CALLER CONTRACT: the caches outlive this call —
+    after materializing the result, release them with
+    ``spark.catalog.clearCache()`` (or track ``df.persist()`` handles
+    yourself) in long-lived sessions; nothing here unpersists for you.
+    Default False — with the affine band keys the recompute is cheaper
+    than the cache churn at every scale measured (see BASELINE.md r3
+    note), so persist only pays when the SAME signatures feed several
+    downstream consumers.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -371,34 +409,46 @@ def minhash_near_dup_pairs(
         return d.persist(StorageLevel.MEMORY_AND_DISK) if persist else d
 
     rows_per_band = num_hashes // bands
-    shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
-    keyed, key_cols, h = _minhash_keyed(shingled, hash_family)
+    if hash_family == "md5":
+        # hash fused into the Arrow tokenizer pass: hashlib.md5 at C
+        # speed replaces a JVM conv(substring(md5(...))) pair per shingle
+        # row (the r2 expression-tax hot spot) and the shuffle carries
+        # 24 B of fixed-width ints instead of shingle strings
+        keyed = hashed_shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
+        key_cols = ["k1", "k2"]
+        h = lambda i: F.col("k1") + F.lit(i) * F.col("k2")  # noqa: E731
+    else:
+        shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
+        keyed, key_cols, h = _minhash_keyed(shingled, hash_family)
     keyed = _p(keyed)
     per_doc = _p(
         keyed.groupBy("id").agg(
-            F.count(F.lit(1)).alias("n"),
             *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)],
         )
     )
     sigs = per_doc.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
+    if bucket_hash is None:
+        bucket_hash = "xxhash64" if hash_family == "xxhash64" else "affine"
     candidates = _p(
         lsh_candidate_pairs(
             sigs,
             bands=bands,
             rows_per_band=rows_per_band,
             max_bucket_size=max_bucket_size,
-            bucket_hash=hash_family,
+            bucket_hash=bucket_hash,
         )
     )
-    sizes = per_doc.select("id", "n")
-    cand_ids = (
-        candidates.select(
-            F.explode(F.array("id_a", "id_b")).alias("id")
-        ).distinct()
-    )
-    verify_rows = keyed.join(F.broadcast(cand_ids), "id")
+    # semi joins throughout the verify tail: they filter without
+    # multiplying rows, so the candidate-pair relation needs no extra
+    # distinct before use and the per-doc shingle counts (`sizes`) are
+    # computed only for candidate docs — at corpus scale the "sizes of
+    # every doc" branch this replaces was a second full aggregation over
+    # the whole corpus feeding a join that discarded almost all of it.
+    cand_ids = candidates.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+    verify_rows = keyed.join(F.broadcast(cand_ids), "id", "left_semi")
+    sizes = verify_rows.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     vposts = verify_rows.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     ).where(F.size("ids") >= 2)
@@ -410,7 +460,7 @@ def minhash_near_dup_pairs(
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        common.join(candidates, ["id_a", "id_b"])
+        common.join(candidates, ["id_a", "id_b"], "left_semi")
         .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
         .withColumn(

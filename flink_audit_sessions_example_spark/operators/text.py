@@ -13,6 +13,8 @@ operator is oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -320,6 +322,33 @@ def shingle_array(words: Column, k: int) -> Column:
     )
 
 
+#: Exactly Java-regex ``\s`` (what Spark's ``split(_, '\\s+')`` matches
+#: without UNICODE_CHARACTER_CLASS): ASCII space, tab, LF, VT, FF, CR.
+#: Python's bare ``str.split()`` splits on ALL Unicode whitespace
+#: (U+00A0, U+2009, …) — using it here would make ``dedup_*``
+#: (shingle_rows) and ``text_*`` (:func:`_words`) tokenize non-ASCII
+#: documents differently. Pinning the exact character class keeps the
+#: two tokenizer paths bit-identical on any input.
+_JAVA_WS = " \t\n\x0b\f\r"
+
+_JAVA_WS_RE = _re.compile(f"[{_JAVA_WS}]+")
+
+
+def _py_word_lists(ids, texts, k: int):
+    """Shared Python tokenizer core: yields ``(id, words)`` for documents
+    with ≥ ``k`` words, tokenized EXACTLY like :func:`_words` (lowercase,
+    trim Java-``\\s`` whitespace, split on Java-``\\s`` runs)."""
+    for i, t in zip(ids, texts):
+        if not t:
+            continue
+        t = t.lower().strip(_JAVA_WS)
+        if not t:
+            continue
+        w = _JAVA_WS_RE.split(t)
+        if len(w) >= k:
+            yield i, w
+
+
 def shingle_rows(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int
 ) -> DataFrame:
@@ -330,8 +359,9 @@ def shingle_rows(
     equivalent Catalyst higher-order-function chain, which re-splits the
     text once per shingle (interpreted lambda inlining) and cannot be
     whole-stage-codegen'd. Token semantics match :func:`_words` /
-    ``shingle_array`` for ASCII text: lowercase, split on whitespace
-    runs, distinct shingles, docs shorter than ``k`` words yield nothing.
+    ``shingle_array`` exactly (including non-ASCII whitespace — see
+    ``_JAVA_WS``): lowercase, split on Java-``\\s`` runs, distinct
+    shingles, docs shorter than ``k`` words yield nothing.
     """
     import pandas as pd
 
@@ -339,12 +369,7 @@ def shingle_rows(
         for pdf in batches:
             ids: list = []
             shingles: list = []
-            for i, t in zip(pdf["_id"], pdf["_text"]):
-                if not t:
-                    continue
-                w = t.lower().split()
-                if len(w) < k:
-                    continue
+            for i, w in _py_word_lists(pdf["_id"], pdf["_text"], k):
                 distinct = dict.fromkeys(
                     " ".join(w[j : j + k]) for j in range(len(w) - k + 1)
                 )
@@ -355,3 +380,49 @@ def shingle_rows(
     return df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).mapInPandas(gen, "id long, sh string")
+
+
+def hashed_shingle_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int,
+) -> DataFrame:
+    """Distinct word-``k``-shingles pre-hashed to the md5 two-hash family
+    keys: ``(id, k1, k2)`` rows with ``k1``/``k2`` = the first/second
+    40 bits of ``md5(shingle)``.
+
+    Fuses the hash into the Arrow tokenizer pass: ``hashlib.md5`` runs at
+    C speed on bytes already in hand, replacing a JVM
+    ``conv(substring(md5(sh), …), 16, 10)`` expression pair per shingle
+    row — the dominant expression tax in the r2 ``dedup_minhash``
+    profile — and shrinks the shuffle rows from ~(8 B + shingle string)
+    to 24 B of fixed-width ints. Bit-identical to the SQL construction
+    (md5 of the UTF-8 shingle; hex digits 1-10 / 11-20 big-endian), so
+    DuckDB oracles reproduce it verbatim.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            k1s: list = []
+            k2s: list = []
+            for i, w in _py_word_lists(pdf["_id"], pdf["_text"], k):
+                distinct = dict.fromkeys(
+                    " ".join(w[j : j + k]) for j in range(len(w) - k + 1)
+                )
+                for s in distinct:
+                    d = md5(s.encode()).digest()
+                    k1s.append(int.from_bytes(d[:5], "big"))
+                    k2s.append(int.from_bytes(d[5:10], "big"))
+                ids.extend([i] * len(distinct))
+            yield pd.DataFrame({"id": ids, "k1": k1s, "k2": k2s})
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(gen, "id long, k1 long, k2 long")

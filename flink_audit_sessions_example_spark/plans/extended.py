@@ -134,7 +134,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle and hash-checked. Production default stays
     ``hash_family='xxhash64'`` (cheaper; pytest-covered by the
     recall/precision tests in tests/test_dedup_similarity.py); the LSH
-    bucket cap is active."""
+    bucket cap is active. Band keys are the affine integer fold (r3) —
+    no per-band md5/string tax. No persist: the r3 profile showed the
+    cached diamonds cost more than the recompute they save at this plan
+    shape, and an un-unpersisted cache would outlive the query in a
+    shared session (ADVICE r2)."""
     return D.minhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"),
         k=3,
@@ -143,7 +147,6 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         hash_family="md5",
         max_bucket_size=MAX_BUCKET_SIZE,
-        persist=True,
     )
 
 
@@ -159,26 +162,27 @@ def _minhash_oracle(
     threshold: float = 0.5,
 ) -> str:
     """DuckDB twin of the registered ``dedup_minhash`` (md5 family):
-    hᵢ = k1 + i·k2 from one md5 per shingle, 16 BIGINT band keys (40-bit
-    md5 prefix of band-index‖minima — same 8-byte bucket the Spark side
-    shuffles), bucket cap, exact-Jaccard verify restricted to
-    band-colliding candidate pairs — term-for-term the Spark plan."""
+    hᵢ = k1 + i·k2 from one md5 per shingle, 16 BIGINT band keys (the
+    affine polynomial fold ``acc = (acc·P + hᵢ) mod 2⁴⁰`` seeded with the
+    band index — same 8-byte bucket key the Spark side shuffles, pure
+    integer arithmetic in both engines), bucket cap, exact-Jaccard verify
+    restricted to band-colliding candidate pairs — term-for-term the
+    Spark plan."""
+    from ..operators.dedup import _AFFINE_M, _AFFINE_P
+
     r = num_hashes // bands
+
+    def affine_key(b: int) -> str:
+        acc = f"CAST({b} AS BIGINT)"
+        for j in range(r):
+            acc = f"(({acc}) * {_AFFINE_P} + h{b * r + j}) % {_AFFINE_M}"
+        return acc
+
     mins = ",\n    ".join(
         f"MIN(k1 + {i} * k2) AS h{i}" for i in range(num_hashes)
     )
     band_selects = "\n  UNION ALL ".join(
-        f"SELECT id, "
-        + _sql_hex40(
-            "md5('"
-            + str(b)
-            + "' || '|' || "
-            + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
-            + ")",
-            1,
-        )
-        + " AS key FROM sig"
-        for b in range(bands)
+        f"SELECT id, {affine_key(b)} AS key FROM sig" for b in range(bands)
     )
     return f"""
 WITH sh AS (

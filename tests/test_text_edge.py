@@ -81,6 +81,65 @@ def test_text_quality_oracle_parity_on_edge_corpus(spark):
     assert got == _oracle_rows(_TEXT_QUALITY_ORACLE)
 
 
+def test_tokenizer_parity_on_unicode_whitespace(spark):
+    """``shingle_rows`` / ``hashed_shingle_rows`` (Python tokenizer) must
+    split on EXACTLY the characters Java-regex ``\\s`` matches, like
+    :func:`X._words` (Catalyst). U+00A0 (no-break space) and U+2009 (thin
+    space) are NOT Java ``\\s`` — a bare Python ``str.split()`` would
+    split on them and the dedup family would disagree with the text
+    family on any real (non-ASCII) corpus."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "foo bar baz qux",      # NBSP inside token 1
+                    "thin space one two",   # thin space inside token 1
+                    "plain ascii words here",
+                ],
+            }
+        )
+    )
+    # Catalyst _words view of the same docs
+    jvm_words = {
+        r.doc_id: list(r.w)
+        for r in docs.select(
+            "doc_id", X._words(X.F.col("text")).alias("w")
+        ).collect()
+    }
+    assert jvm_words[1] == ["foo bar", "baz", "qux"]
+    assert jvm_words[2] == ["thin space", "one", "two"]
+
+    # shingle_rows must produce exactly the shingles of those token lists
+    got = {
+        (r.id, r.sh)
+        for r in X.shingle_rows(docs, id_col="doc_id", text_col="text", k=2).collect()
+    }
+    want = {
+        (i, " ".join(w[j : j + 2]))
+        for i, w in jvm_words.items()
+        for j in range(len(w) - 1)
+    }
+    assert got == want
+
+    # hashed_shingle_rows must be md5(shingle) of the same shingles
+    hashed = {
+        (r.id, r.k1, r.k2)
+        for r in X.hashed_shingle_rows(
+            docs, id_col="doc_id", text_col="text", k=2
+        ).collect()
+    }
+    want_hashed = set()
+    for i, sh in want:
+        d = hashlib.md5(sh.encode()).digest()
+        want_hashed.add(
+            (i, int.from_bytes(d[:5], "big"), int.from_bytes(d[5:10], "big"))
+        )
+    assert hashed == want_hashed
+
+
 def test_text_langid_oracle_parity_on_edge_corpus(spark):
     docs = spark.createDataFrame(EDGE_DOCS)
     langs = sorted(X.LANG_STOPWORDS)
