@@ -65,6 +65,7 @@ def stream_dedup(
     *,
     time_col: str | None = None,
     watermark_delay: str = "2 days",
+    allow_unbounded_state: bool = False,
 ) -> DataFrame:
     """``dedup_stream`` — drop duplicate records in a stream, keyed on
     ``key_cols``, with state bounded by the watermark.
@@ -80,12 +81,24 @@ def stream_dedup(
     Works on batch DataFrames too (plain ``dropDuplicates`` — complete
     data needs no watermark), so the same operator serves both the
     replay-test path and production streams.
+
+    On a STREAMING DataFrame ``time_col`` is required: a silent fallback
+    to plain ``dropDuplicates`` would be exactly the unbounded-state
+    hazard this operator exists to prevent (state grows forever). Pass
+    ``allow_unbounded_state=True`` to opt in explicitly (e.g. a
+    short-lived test stream over a bounded replay).
     """
     if not df.isStreaming:
         return df.dropDuplicates(key_cols)
     if time_col is not None:
         df = df.withWatermark(time_col, watermark_delay)
         return df.dropDuplicatesWithinWatermark(key_cols)
+    if not allow_unbounded_state:
+        raise ValueError(
+            "stream_dedup on a streaming DataFrame without time_col keeps "
+            "one state entry per key FOREVER. Pass time_col (watermark-"
+            "bounded state) or allow_unbounded_state=True to opt in."
+        )
     return df.dropDuplicates(key_cols)
 
 

@@ -35,17 +35,18 @@ def _collect_queries(queries: DataFrame, cols: list[str]) -> list:
 
     The broadcast-queries design is only valid when queries ≪ corpus; a
     misuse (passing the corpus as the query side) would otherwise OOM the
-    driver silently. Count first (cheap aggregation) and fail with the
-    remedy instead."""
-    n = queries.count()
-    if n > MAX_COLLECTED_QUERIES:
+    driver silently. ONE bounded pass — ``limit(cap+1)`` short-circuits
+    the scan at the cap, so the guard costs nothing extra on the happy
+    path and never executes the query-side plan twice."""
+    rows = queries.select(*cols).limit(MAX_COLLECTED_QUERIES + 1).collect()
+    if len(rows) > MAX_COLLECTED_QUERIES:
         raise ValueError(
-            f"query side has {n} rows (> {MAX_COLLECTED_QUERIES}): the "
+            f"query side exceeds {MAX_COLLECTED_QUERIES} rows: the "
             "broadcast-queries regime collects the query matrix to the "
             "driver. For large query sets use the symmetric pair path "
             "(cosine_pairs_above) or batch the queries."
         )
-    return queries.select(*cols).collect()
+    return rows
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -592,7 +593,7 @@ def cluster_profile(
 
     Plan: assignment is a scan-side projection; ONE hash aggregation on
     the (≤ ``n_centroids``-value) cluster key with map-side partials.
-    The per-row similarity is cast to DECIMAL(18,12) before summing —
+    The per-row similarity is cast to DECIMAL(28,12) before summing —
     exact, commutative, so the mean is independent of row order and the
     DuckDB oracle reproduces it bit-for-bit (the same trick the money
     aggregates use; a double SUM would be summation-order-dependent).

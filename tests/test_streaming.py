@@ -330,3 +330,11 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
 
     batch = stream_dedup(read_audits(spark, str(tmp_path)), ["id"])
     assert batch.count() == 3
+
+    # streaming WITHOUT time_col = unbounded state: explicit opt-in only
+    import pytest
+
+    with pytest.raises(ValueError, match="unbounded"):
+        stream_dedup(audits, ["id"])
+    unbounded = stream_dedup(audits, ["id"], allow_unbounded_state=True)
+    assert unbounded.isStreaming
