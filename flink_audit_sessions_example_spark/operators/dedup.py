@@ -288,6 +288,29 @@ _AFFINE_M = 1 << 40
 _AFFINE_P = 1_000_003
 
 
+def _band_key(bucket_hash: str, rows_per_band: int, b: int) -> Column:
+    """The ``b``-th band's bucket key over a ``sig`` array column — one
+    fixed-width BIGINT per (doc, band) in all three variants (see
+    :func:`lsh_candidate_pairs` for the trade-offs)."""
+    if bucket_hash == "affine":
+        acc: Column = F.lit(b).cast("bigint")
+        for r in range(rows_per_band):
+            h_el = F.element_at("sig", b * rows_per_band + r + 1)
+            acc = (acc * F.lit(_AFFINE_P) + h_el) % F.lit(_AFFINE_M)
+        return acc
+    joined = F.concat_ws(
+        "|",
+        F.lit(str(b)),
+        *[
+            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ],
+    )
+    if bucket_hash == "xxhash64":
+        return F.xxhash64(joined)
+    return _hex40(F.md5(joined), 1)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -329,29 +352,13 @@ def lsh_candidate_pairs(
         raise ValueError(
             f"bucket_hash must be 'xxhash64', 'md5' or 'affine', got {bucket_hash!r}"
         )
-
-    def band_key(b: int) -> Column:
-        if bucket_hash == "affine":
-            acc: Column = F.lit(b).cast("bigint")
-            for r in range(rows_per_band):
-                h = F.element_at("sig", b * rows_per_band + r + 1)
-                acc = (acc * F.lit(_AFFINE_P) + h) % F.lit(_AFFINE_M)
-            return acc
-        joined = F.concat_ws(
-            "|",
-            F.lit(str(b)),
-            *[
-                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        if bucket_hash == "xxhash64":
-            return F.xxhash64(joined)
-        return _hex40(F.md5(joined), 1)
-
     banded = signatures.select(
         "id",
-        F.explode(F.array(*[band_key(b) for b in range(bands)])).alias("bkey"),
+        F.explode(
+            F.array(
+                *[_band_key(bucket_hash, rows_per_band, b) for b in range(bands)]
+            )
+        ).alias("bkey"),
     )
     return _postings_pairs(banded, "bkey", max_size=max_bucket_size).distinct()
 
@@ -379,19 +386,27 @@ def minhash_near_dup_pairs(
     verification then removes false positives, so precision is 1.0 and
     only recall is probabilistic (tunable via bands).
 
-    Plan (candidates-only verify): the Arrow shingler produces a flat
-    ``(id, hashed-shingle-key)`` relation feeding both branches — (a) ONE
-    per-doc hash aggregation producing the signature minima (map-side
-    partial combine, one row per doc before the shuffle; no intermediate
-    posting arrays), from which the LSH band buckets and candidate pairs
-    derive, and (b) the verify branch, which keeps only candidate docs'
-    shingle rows (broadcast SEMI-join on the candidate-id set), derives
-    their shingle counts from that already-filtered relation (never a
-    second full-corpus aggregation), and counts common shingles via
-    pairs-from-postings on the small remainder. Unlike an all-pairs
-    postings explode (the exact ``ngram`` shape), the quadratic work
-    stays restricted to band-colliding docs — the whole point of LSH at
-    100 TB.
+    Plan (candidates-only verify, DOC-level candidates): the Arrow
+    shingler produces a flat ``(id, hashed-shingle-key)`` relation
+    feeding two branches — (a) ONE per-doc hash aggregation producing
+    the signature minima (map-side partial combine, one row per doc
+    before the shuffle), whose LSH band buckets yield the candidate DOC
+    set (every doc sharing a surviving [2, max_bucket_size] bucket with
+    another doc) directly from the bucket postings — no quadratic pair
+    explode and no second evaluation of the banding subtree, which the
+    r2 pair-level formulation paid twice; and (b) the verify branch,
+    which keeps only candidate docs' shingle rows (broadcast SEMI-join
+    on the candidate-id set), derives their shingle counts from that
+    already-filtered relation (never a second full-corpus aggregation),
+    and counts common shingles via pairs-from-postings on the small
+    remainder. Doc-level candidacy verifies slightly MORE pairs than
+    pair-level (two candidate docs that never co-bucketed still get
+    checked if they share a shingle) — every extra emitted pair is a
+    true ≥-threshold near-dup, so precision stays 1.0 and recall can
+    only rise. The quadratic work stays restricted to band-colliding
+    docs — the whole point of LSH at 100 TB — and ``max_shingle_df``
+    caps the verify posting lists against boilerplate shingles shared
+    by many candidates.
 
     ``hash_family='md5'`` makes every step DuckDB-reproducible (the
     driver's oracle); ``'xxhash64'`` is the cheaper production default.
@@ -403,10 +418,9 @@ def minhash_near_dup_pairs(
     additionally caps verify-side posting lists (rarely needed once
     buckets are capped — candidate sets are already bounded).
 
-    ``persist=True`` caches the three diamond nodes — the keyed shingle
-    rows (so the Python tokenizer runs exactly once), the per-doc
-    signature table (reused for banding and both size joins), and the
-    candidate pairs (reused for the id filter and the final join) — at
+    ``persist=True`` caches the two diamond nodes — the keyed shingle
+    rows (so the Arrow tokenizer runs exactly once across the signature
+    and verify branches) and the per-doc signature table — at
     ``MEMORY_AND_DISK``. CALLER CONTRACT: the caches outlive this call —
     after materializing the result, release them with
     ``spark.catalog.clearCache()`` (or track ``df.persist()`` handles
@@ -444,22 +458,26 @@ def minhash_near_dup_pairs(
     )
     if bucket_hash is None:
         bucket_hash = "xxhash64" if hash_family == "xxhash64" else "affine"
-    candidates = _p(
-        lsh_candidate_pairs(
-            sigs,
-            bands=bands,
-            rows_per_band=rows_per_band,
-            max_bucket_size=max_bucket_size,
-            bucket_hash=bucket_hash,
-        )
+
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[_band_key(bucket_hash, rows_per_band, b) for b in range(bands)]
+            )
+        ).alias("bkey"),
     )
+    bucket_sizes = banded.groupBy("bkey").agg(
+        F.collect_list("id").alias("ids")
+    ).where(F.size("ids") >= 2)
+    if max_bucket_size is not None:
+        bucket_sizes = bucket_sizes.where(F.size("ids") <= max_bucket_size)
+    cand_ids = bucket_sizes.select(F.explode("ids").alias("id")).distinct()
     # semi joins throughout the verify tail: they filter without
-    # multiplying rows, so the candidate-pair relation needs no extra
-    # distinct before use and the per-doc shingle counts (`sizes`) are
+    # multiplying rows, and the per-doc shingle counts (`sizes`) are
     # computed only for candidate docs — at corpus scale the "sizes of
     # every doc" branch this replaces was a second full aggregation over
     # the whole corpus feeding a join that discarded almost all of it.
-    cand_ids = candidates.select(F.explode(F.array("id_a", "id_b")).alias("id"))
     verify_rows = keyed.join(F.broadcast(cand_ids), "id", "left_semi")
     sizes = verify_rows.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     vposts = verify_rows.groupBy(*key_cols).agg(
@@ -473,8 +491,7 @@ def minhash_near_dup_pairs(
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        common.join(candidates, ["id_a", "id_b"], "left_semi")
-        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
         .withColumn(
             "jaccard",

@@ -147,6 +147,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         hash_family="md5",
         max_bucket_size=MAX_BUCKET_SIZE,
+        max_shingle_df=MAX_SHINGLE_DF,
     )
 
 
@@ -165,9 +166,10 @@ def _minhash_oracle(
     hᵢ = k1 + i·k2 from one md5 per shingle, 16 BIGINT band keys (the
     affine polynomial fold ``acc = (acc·P + hᵢ) mod 2⁴⁰`` seeded with the
     band index — same 8-byte bucket key the Spark side shuffles, pure
-    integer arithmetic in both engines), bucket cap, exact-Jaccard verify
-    restricted to band-colliding candidate pairs — term-for-term the
-    Spark plan."""
+    integer arithmetic in both engines), bucket cap, then exact-Jaccard
+    verify restricted to the DOC-level candidate set (docs sharing any
+    surviving bucket) with the shingle-df cap — term-for-term the Spark
+    plan."""
     from ..operators.dedup import _AFFINE_M, _AFFINE_P
 
     r = num_hashes // bands
@@ -190,8 +192,6 @@ WITH sh AS (
 ), hashed AS (
   SELECT id, {_sql_hex40("d", 1)} AS k1, {_sql_hex40("d", 11)} AS k2
   FROM (SELECT id, md5(s) AS d FROM sh) t
-), sizes AS (
-  SELECT id, COUNT(*) AS n FROM hashed GROUP BY id
 ), sig AS (
   SELECT id,
     {mins}
@@ -201,23 +201,27 @@ WITH sh AS (
 ), buckets AS (
   SELECT key FROM bands GROUP BY 1
   HAVING COUNT(*) >= 2 AND COUNT(*) <= {MAX_BUCKET_SIZE}
-), cands AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a
-  JOIN buckets bk ON a.key = bk.key
-  JOIN bands b ON b.key = a.key AND a.id < b.id
+), cand AS (
+  SELECT DISTINCT a.id
+  FROM bands a JOIN buckets bk ON a.key = bk.key
+), vhash AS (
+  SELECT h.* FROM hashed h JOIN cand USING (id)
+), vsizes AS (
+  SELECT id, COUNT(*) AS n FROM vhash GROUP BY id
+), keep AS (
+  SELECT k1, k2 FROM vhash GROUP BY k1, k2
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {MAX_SHINGLE_DF}
 ), common AS (
   SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS cnt
-  FROM hashed x
-  JOIN hashed y ON y.k1 = x.k1 AND y.k2 = x.k2 AND x.id < y.id
-  JOIN cands c ON c.id_a = x.id AND c.id_b = y.id
+  FROM vhash x
+  JOIN keep kp ON kp.k1 = x.k1 AND kp.k2 = x.k2
+  JOIN vhash y ON y.k1 = x.k1 AND y.k2 = x.k2 AND x.id < y.id
   GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b, ROUND(cnt / (sa.n + sb.n - cnt), 6) AS jaccard
 FROM common c
-JOIN cands ON cands.id_a = c.id_a AND cands.id_b = c.id_b
-JOIN sizes sa ON sa.id = c.id_a
-JOIN sizes sb ON sb.id = c.id_b
+JOIN vsizes sa ON sa.id = c.id_a
+JOIN vsizes sb ON sb.id = c.id_b
 WHERE cnt / (sa.n + sb.n - cnt) >= {threshold}
 """
 
@@ -326,7 +330,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 50 == 0),
         k=10,
         n_centroids=16,
-        nprobe=4,
+        nprobe=8,
     )
 
 
@@ -390,7 +394,13 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes, banding, probing, verify, top-k — is hash-checked
     against the oracle (which embeds the same hyperplane literals).
     Production default is ``impl='blas'`` (numpy per Arrow batch; same
-    joins), pytest-pinned equal to the expr twin at sf0.01."""
+    joins), pytest-pinned equal to the expr twin at sf0.01.
+
+    ``bands=8`` (4-bit bands) is the measured r3 operating point: the
+    driver's embeddings are near-random (ANN worst case — true neighbors
+    barely closer than noise), and SCALING.md's recall table shows
+    bands=4 → 0.41 recall@10 vs bands=8 → 1.00 at both SFs for a modest
+    candidate-set increase."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(
         emb,
@@ -398,7 +408,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         k=10,
         nbits=32,
-        bands=4,
+        bands=8,
         impl="expr",
     )
 
@@ -1353,8 +1363,8 @@ EXTENDED_ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_embed": _DEDUP_EMBED_ORACLE,
     "sim_topk": _SIM_TOPK_ORACLE,
-    "sim_topk_lsh": _sim_lsh_oracle(nbits=32),
-    "sim_topk_ivf": _sim_ivf_oracle(),
+    "sim_topk_lsh": _sim_lsh_oracle(nbits=32, bands=8),
+    "sim_topk_ivf": _sim_ivf_oracle(nprobe=8),
     "text_stats": _TEXT_STATS_ORACLE,
     "text_langid": _langid_oracle(),
     "text_quality": _TEXT_QUALITY_ORACLE,

@@ -319,6 +319,37 @@ def test_frame_sample_reconstructs_prefix(spark):
     assert len(frames) <= 16
 
 
+def test_ann_recall_floors(spark):
+    """Measured-recall floors at the REGISTERED operating points (the
+    SCALING.md r3 recall table pins the full curves): LSH bands=8 must
+    recall ≥ 0.9 of exact top-10, the IVF expr twin at nprobe=8 ≥ 0.6 —
+    on the driver's near-random embeddings, the ANN worst case."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+
+    def topk_set(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk_set(S.brute_force_topk(emb, queries, k=10))
+    assert exact
+
+    def recall(approx):
+        num = sum(len(approx.get(q, set()) & e) for q, e in exact.items())
+        return num / sum(len(e) for e in exact.values())
+
+    lsh = topk_set(
+        S.lsh_topk(emb, queries, dim=64, k=10, nbits=32, bands=8)
+    )
+    assert recall(lsh) >= 0.9
+    ivf = topk_set(
+        S.ivf_topk_expr(emb, queries, k=10, n_centroids=16, nprobe=8)
+    )
+    assert recall(ivf) >= 0.6
+
+
 def test_query_collect_oom_guard(spark, monkeypatch):
     """The broadcast-queries regime refuses to collect an oversized query
     side (misuse that would otherwise OOM the driver silently) with an
