@@ -1304,6 +1304,198 @@ FROM assigned GROUP BY cluster
 
 
 # --------------------------------------------------------------------------
+# Relational additions (r3): priority join, anti join, analytic gaps,
+# exact quantiles, CUBE
+# --------------------------------------------------------------------------
+
+
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_shipping_priority`` — the TPC-H Q3 shape: segment-filtered
+    customers ⨝ date-filtered orders ⨝ lineitem, revenue per order,
+    top-10 by revenue.
+
+    100 TB plan: the one big-big shuffle is lineitem ⨝ orders on
+    orderkey; the segment-filtered customer side is ``broadcast()`` (a
+    dimension slice, never shuffled); both date predicates are scan
+    predicates pushed into the parquet reader. Revenue summed in
+    DECIMAL (exact, order-independent); top-10 is per-partition top-k +
+    single merge, never a global sort. Deterministic tie-break on
+    orderkey."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_REL_SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``join_anti`` — inactive customers: no order since 2001-01-01
+    (LEFT ANTI join, the NOT-EXISTS operator class; ``set_except`` covers
+    the distinct-set variant, this is the keyed relational one).
+
+    The anti join build side is the FILTERED orders key set — date
+    predicate pushed to the orders scan, then broadcast (a recent-window
+    key set is small at any corpus age); the customer side streams
+    through map-side without a shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
+    return cust.join(
+        F.broadcast(recent),
+        cust.c_custkey == recent.o_custkey,
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+_JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+)
+"""
+
+
+def q_win_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_user_gaps`` — per-user inter-event-gap analytics via LAG
+    (the analytic-offset window class: lag/lead over an ordered
+    partition, distinct from ranking in ``win_rank_sessions``).
+
+    One window exchange on ``user_id`` feeding one hash aggregation on
+    the same key — Catalyst reuses the partitioning, so the agg adds no
+    second shuffle. Gap seconds are exact microsecond arithmetic cast to
+    DECIMAL before averaging (order-independent mean, bit-equal in the
+    oracle). Deterministic within-ties order via ``event_id``."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    prev_s = F.lag(ts_s).over(w)
+    gap = (ts_s - prev_s).cast("decimal(18,6)")
+    gaps = ev.select("user_id", gap.alias("gap_s")).where(
+        F.col("gap_s").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            (F.sum("gap_s").cast("double") / F.count(F.lit(1))), 6
+        ).alias("avg_gap_s"),
+        F.max("gap_s").cast("double").alias("max_gap_s"),
+    )
+
+
+_WIN_USER_GAPS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS DECIMAL(18,6)) AS gap_s
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*), 6) AS avg_gap_s,
+       CAST(MAX(gap_s) AS DOUBLE) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_quantiles`` — exact percentiles (p25/p50/p75) of extended
+    price per return flag: Spark's ``percentile`` (exact, linear
+    interpolation) vs DuckDB ``quantile_cont`` — the same type-7
+    estimator, hash-checked. The sort-based exact percentile is fine at
+    any scale because it runs per GROUP (3 flags), each group's sort
+    distributed by the aggregation; the streaming-sketch variant for
+    ungrouped 100 TB percentiles is ``approx_percentile`` (same call
+    shape, not oracle-checkable bit-for-bit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("p", 1), 6).alias("p25"),
+            F.round(F.element_at("p", 2), 6).alias("p50"),
+            F.round(F.element_at("p", 3), 6).alias("p75"),
+        )
+    )
+
+
+_REL_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_cube`` — full CUBE over (returnflag, linestatus): all four
+    grouping sets in ONE pass (Catalyst expands the grouping sets into a
+    single shuffle keyed on the expanded grouping id — not one job per
+    set). Completes the grouping-sets family next to ``rel_rollup``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+_REL_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1344,6 +1536,11 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "cluster_profile": q_cluster_profile,
+    "rel_shipping_priority": q_rel_shipping_priority,
+    "join_anti": q_join_anti,
+    "win_user_gaps": q_win_user_gaps,
+    "rel_quantiles": q_rel_quantiles,
+    "rel_cube": q_rel_cube,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -1383,4 +1580,9 @@ EXTENDED_ORACLES: dict[str, str] = {
     "pack_sequences": _PACK_ORACLE,
     "decontaminate": _DECONTAMINATE_ORACLE,
     "cluster_profile": _cluster_profile_oracle(),
+    "rel_shipping_priority": _REL_SHIPPING_PRIORITY_ORACLE,
+    "join_anti": _JOIN_ANTI_ORACLE,
+    "win_user_gaps": _WIN_USER_GAPS_ORACLE,
+    "rel_quantiles": _REL_QUANTILES_ORACLE,
+    "rel_cube": _REL_CUBE_ORACLE,
 }

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""sf1-scale probe for the dedup family (SCALING.md r3 section).
+
+The driver provides testdata only up to sf0.1 (5k documents / 2k
+embeddings). This probe generates a **statistically faithful** 10×
+corpus ("sf1-style", 50k docs / 20k vectors) and times the dedup family
+on real-sf0.1 vs generated-sf1, reporting the scaling ratio/exponent.
+
+Why not the r2 replica-tag probe: tagging every word with a replica id
+preserves row counts but DISTORTS the constant factors — string lengths
+grow, the shingle document-frequency distribution collapses (no shingle
+crosses replicas), LSH bucket occupancy thins artificially. This
+generator instead builds each synthetic document by concatenating random
+word-windows of REAL sf0.1 documents; 90% of a doc's windows get a
+deterministic per-doc caesar rotation of their letters (novel content —
+exact word lengths, zero cross-doc shingle sharing, like the unique tail
+of a real crawl) while 10% stay verbatim (shared boilerplate whose
+document frequency grows with corpus size, like real boilerplate). That
+keeps the shingle-df distribution SCALE-INVARIANT — a pure mosaic of a
+5k-doc template pool would instead inflate every shingle's df ~10× and
+blow the pairs-from-postings volume quadratically (measured: broadcast
+OOM at 50k docs), which no real 10× crawl does. Exact duplicates (~2%)
+and perturbed near-duplicates (~5%) are planted on top. Embeddings are
+resampled real vectors with small Gaussian noise plus planted
+near-copies. Seeded; fully deterministic.
+
+Output data lives under /root/repo/.scaling/sf1/ (gitignored — the
+generator IS the artifact). Run: python scripts/sf1_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+SF01 = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling", "sf1")
+SEED = 42
+N_DOCS = 50_000
+N_VECS = 20_000
+
+
+def generate() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    src = pq.read_table(os.path.join(SF01, "documents.parquet")).to_pylist()
+    texts = [r["text"] or "" for r in src]
+    words_per_doc = [t.split() for t in texts]
+    lengths = np.array([max(len(w), 1) for w in words_per_doc])
+    vocab = sorted({w for ws in words_per_doc for w in ws})
+
+    def rot(word: str, shift: int) -> str:
+        # length-preserving letter rotation; digits/punct untouched
+        out = []
+        for ch in word:
+            if "a" <= ch <= "z":
+                out.append(chr((ord(ch) - 97 + shift) % 26 + 97))
+            elif "A" <= ch <= "Z":
+                out.append(chr((ord(ch) - 65 + shift) % 26 + 65))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    docs: list[str] = []
+    for doc_i in range(N_DOCS):
+        target = int(rng.choice(lengths))
+        shift = 1 + int(rng.integers(25))
+        out: list[str] = []
+        while len(out) < target:
+            d = words_per_doc[int(rng.integers(len(words_per_doc)))]
+            if not d:
+                continue
+            m = int(rng.integers(5, 30))
+            off = int(rng.integers(max(len(d) - m, 0) + 1))
+            chunk = d[off : off + m]
+            if rng.random() < 0.9:  # novel content: per-doc rotation
+                chunk = [rot(w, shift) for w in chunk]
+            out.extend(chunk)
+        docs.append(" ".join(out[:target]))
+    # planted exact duplicates (~2%) and near-duplicates (~5%, ~10% of
+    # words swapped for vocabulary draws at random positions)
+    n_exact, n_near = N_DOCS // 50, N_DOCS // 20
+    for i in range(n_exact):
+        docs[N_DOCS - 1 - i] = docs[int(rng.integers(N_DOCS - n_exact - n_near))]
+    for i in range(n_near):
+        base = docs[int(rng.integers(N_DOCS - n_exact - n_near))].split()
+        for j in rng.integers(0, len(base), max(len(base) // 10, 1)):
+            base[int(j)] = vocab[int(rng.integers(len(vocab)))]
+        docs[N_DOCS - n_exact - 1 - i] = " ".join(base)
+
+    os.makedirs(OUT, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(N_DOCS), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+                "lang": pa.array(["en"] * N_DOCS, pa.string()),
+                "source": pa.array(["gen"] * N_DOCS, pa.string()),
+                "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+            }
+        ),
+        os.path.join(OUT, "documents.parquet"),
+    )
+
+    emb_src = pq.read_table(os.path.join(SF01, "embeddings.parquet"))
+    em = np.array(emb_src.column("embedding").to_pylist(), dtype=np.float32)
+    idx = rng.integers(0, len(em), N_VECS)
+    vecs = em[idx] + rng.normal(0, 0.05, (N_VECS, em.shape[1])).astype(np.float32)
+    for i in range(N_VECS // 50):  # planted near-copies
+        vecs[N_VECS - 1 - i] = vecs[int(rng.integers(N_VECS - N_VECS // 50))] * 1.01
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N_VECS), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(OUT, "embeddings.parquet"),
+    )
+
+
+def probe() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+
+    from flink_audit_sessions_example_spark.plans import QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    keys = [
+        "dedup_exact",
+        "dedup_count",
+        "dedup_ngram",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_embed",
+        "decontaminate",
+        "text_stats",
+    ]
+    results: dict[str, dict[str, float]] = {}
+    for sf_dir, tag in ((SF01, "sf0.1"), (OUT, "sf1")):
+        for key in keys:
+            best = float("inf")
+            for _ in range(3):
+                df = QUERIES[key](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(key, {})[tag] = best
+            print(f"{tag} {key}: {best:.2f}s", flush=True)
+    print("\n| query | sf0.1 (5k/2k) | sf1-style (50k/20k) | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for key in keys:
+        a, b = results[key]["sf0.1"], results[key]["sf1"]
+        import math
+
+        print(
+            f"| `{key}` | {a:.2f} s | {b:.2f} s | {b / a:.1f} | "
+            f"**{math.log(b / a) / math.log(10):.2f}** |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if not os.path.isdir(OUT) or "--regen" in sys.argv:
+        print("generating sf1-style corpus ...", flush=True)
+        generate()
+    probe()
