@@ -1495,6 +1495,146 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_xform_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``xform_json_extract`` — semi-structured extraction: pull the
+    numeric ``$.k`` property out of the events' JSON ``props`` column and
+    aggregate per event type (the reference's own parse path is a full
+    typed ``from_json``; this is the complementary JSON-PATH class for
+    ad-hoc fields).
+
+    ``get_json_object`` is a scan-side JVM projection — the extraction
+    runs inside whole-stage codegen before the one hash-agg shuffle, so
+    at 100 TB the JSON never leaves the scan stage. k summed as BIGINT
+    (exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_XFORM_JSON_EXTRACT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_win_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_retention`` — cohort retention: users grouped by first-seen
+    week, counted distinct-active per (cohort_week, week_offset) — the
+    standard product-analytics rollup.
+
+    ONE shuffle total: the per-user first-week comes from a MIN window
+    over ``user_id`` (not a self-join back to a firsts table — the
+    window reuses the same hash partitioning the reference's ``keyBy``
+    would create), and the final count-distinct aggregation groups by
+    (cohort, offset) with the user id as the distinct key."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    w = Window.partitionBy("user_id")
+    withc = ev.select(
+        "user_id",
+        week.alias("week"),
+    ).withColumn("cohort_week", F.min("week").over(w))
+    return (
+        withc.select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+_WIN_RETENTION_ORACLE = """
+WITH weekly AS (
+  SELECT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week,
+         MIN(CAST(date_trunc('week', ts) AS DATE))
+           OVER (PARTITION BY user_id) AS cohort_week
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM weekly
+GROUP BY 1, 2
+"""
+
+
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_ntile`` — account-balance quartiles WITHIN each nation
+    (NTILE over a partitioned order — the quantile-bucketing window
+    class).
+
+    Partitioned ntile keeps every sort local to its nation partition —
+    the 100 TB shape. (A GLOBAL ntile would funnel the corpus through
+    one sorted partition; for that, use ``rel_quantiles``-style exact
+    percentiles or ``approx_percentile`` instead.) Deterministic
+    tie-break on ``c_custkey``; balances aggregated via exact DECIMAL
+    sums."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bal"),
+        )
+    )
+
+
+_WIN_NTILE_ORACLE = """
+WITH t AS (
+  SELECT c_nationkey, c_acctbal,
+         CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(c_acctbal), 2) AS min_bal,
+       ROUND(MAX(c_acctbal), 2) AS max_bal,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_bal
+FROM t
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1541,6 +1681,9 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "win_user_gaps": q_win_user_gaps,
     "rel_quantiles": q_rel_quantiles,
     "rel_cube": q_rel_cube,
+    "xform_json_extract": q_xform_json_extract,
+    "win_retention": q_win_retention,
+    "win_ntile": q_win_ntile,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -1585,4 +1728,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "win_user_gaps": _WIN_USER_GAPS_ORACLE,
     "rel_quantiles": _REL_QUANTILES_ORACLE,
     "rel_cube": _REL_CUBE_ORACLE,
+    "xform_json_extract": _XFORM_JSON_EXTRACT_ORACLE,
+    "win_retention": _WIN_RETENTION_ORACLE,
+    "win_ntile": _WIN_NTILE_ORACLE,
 }

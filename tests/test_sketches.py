@@ -1,0 +1,69 @@
+"""Error-bound gates for the sketch aggregations (operators/sketches.py).
+
+Sketch register layouts are engine-specific, so these operators cannot be
+DuckDB-value-hashed; their contract IS the error bound vs the exact twin,
+pinned here on the driver's real tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_audit_sessions_example_spark.operators import sketches as K
+from flink_audit_sessions_example_spark.sources import load_table
+
+from conftest import SF_DIR_001
+
+
+def test_approx_distinct_within_rsd(spark):
+    ev = load_table(spark, SF_DIR_001, "events")
+    exact = {
+        tuple(r[:-1]): r[-1]
+        for r in K.exact_distinct_by(ev, ["event_type"], "user_id").collect()
+    }
+    approx = {
+        tuple(r[:-1]): r[-1]
+        for r in K.approx_distinct_by(ev, ["event_type"], "user_id", rsd=0.05).collect()
+    }
+    assert set(exact) == set(approx)
+    for key, ex in exact.items():
+        # 4 standard deviations of headroom on the 5% target rsd
+        assert abs(approx[key] - ex) <= max(0.2 * ex, 2), (key, ex, approx[key])
+
+
+def test_approx_quantiles_rank_error(spark):
+    li = load_table(spark, SF_DIR_001, "lineitem")
+    approx = {
+        r.l_returnflag: (r.p_25, r.p_50, r.p_75)
+        for r in K.approx_quantiles_by(
+            li, ["l_returnflag"], "l_extendedprice"
+        ).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+            ).alias("p")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("p", 1).alias("p25"),
+            F.element_at("p", 2).alias("p50"),
+            F.element_at("p", 3).alias("p75"),
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    # rank error <= 1/accuracy; translate to a loose value tolerance via
+    # the group's value spread
+    spreads = {
+        r.l_returnflag: r.mx - r.mn
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"))
+        .collect()
+    }
+    for flag, ex in exact.items():
+        for a, e in zip(approx[flag], ex):
+            assert abs(a - e) <= 0.01 * spreads[flag] + 1e-6, (flag, a, e)
