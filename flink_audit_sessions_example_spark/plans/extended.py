@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators import corpus as C
 from ..operators import dedup as D
+from ..operators import groupsets as G
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as X
@@ -911,16 +912,20 @@ FROM w GROUP BY 1
 
 
 def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``rel_rollup`` — hierarchical grouping-sets aggregation (ROLLUP) with
-    grouping id, another category absent from the reference."""
+    """``rel_rollup`` — hierarchical grouping-sets aggregation (ROLLUP)
+    with grouping id, another category absent from the reference.
+
+    Implemented via the two-level re-aggregation in
+    ``operators/groupsets.py`` rather than Spark's ``rollup()``: the
+    built-in plans an ``Expand`` that shuffles every row once per
+    grouping set (3× here), while COUNT + exact DECIMAL sums are
+    algebraic — one base-grain hash agg + re-aggregation of the tiny
+    base result is bit-identical at a third of the shuffle volume."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.grouping_id().cast("bigint").alias("gid"),
-        )
+    return G.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": _dec("l_quantity")},
     )
 
 
@@ -1469,18 +1474,22 @@ GROUP BY l_returnflag
 
 def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_cube`` — full CUBE over (returnflag, linestatus): all four
-    grouping sets in ONE pass (Catalyst expands the grouping sets into a
-    single shuffle keyed on the expanded grouping id — not one job per
-    set). Completes the grouping-sets family next to ``rel_rollup``."""
+    grouping sets. Completes the grouping-sets family next to
+    ``rel_rollup``.
+
+    Same two-level re-aggregation as ``rel_rollup``
+    (``operators/groupsets.py``): Spark's ``cube()`` Expand would
+    shuffle the corpus 4×; the base-grain agg + re-agg is bit-identical
+    (COUNT + exact DECIMAL sums are algebraic) at 1× shuffle volume —
+    the difference between 100 TB and 400 TB through the exchange."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
-            F.grouping_id().cast("bigint").alias("gid"),
-        )
+    return G.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": _dec("l_quantity"),
+            "sum_price": _dec("l_extendedprice"),
+        },
     )
 
 
