@@ -33,7 +33,14 @@ def audit_tree_path(sf_dir: str) -> str:
     reused as-is; creation is atomic (staging dir + rename) so concurrent
     callers can't observe a partial tree.
     """
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # cache key includes the SOURCE FILE identity (size + mtime), not just
+    # the path: the round driver regenerates /root/testdata between
+    # rounds, and a path-keyed cache would silently serve a tree built
+    # from the previous round's events table
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"audit-tree-{tag}")
     if os.path.isdir(root):
         return root
