@@ -737,8 +737,12 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_pricing_summary`` — TPC-H Q1-shaped scan+agg on lineitem.
     Money math in DECIMAL per-row then exact sums (order-independent),
     final cast to DOUBLE. Pure scan → partial agg → final agg: the ideal
-    100 TB plan (no joins, one small shuffle)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    100 TB plan (no joins, one small shuffle). ``spread=True``: the
+    per-row DECIMAL arithmetic is the cost center and the first shuffle
+    carries only 6 groups, so a coarser-than-cluster test-scale scan
+    would single-thread it (measured 1.15 s → 0.77 s; no-op at
+    production split counts)."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
     )

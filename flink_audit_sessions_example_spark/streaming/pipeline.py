@@ -158,6 +158,34 @@ def write_memory(
     return writer.start()
 
 
+def write_foreach_batch(
+    df: DataFrame,
+    batch_fn,
+    *,
+    checkpoint_dir: str,
+    poll_seconds: int | None = None,
+    available_now: bool = False,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """``snk_foreach_batch`` — the escape-hatch sink for targets without
+    a native streaming connector (JDBC upserts, multi-table fan-out,
+    MERGE INTO): ``batch_fn(batch_df, batch_id)`` runs once per
+    micro-batch with a BATCH DataFrame, so any batch writer works.
+
+    Delivery is at-least-once (a failed batch re-runs with the SAME
+    ``batch_id`` after restart from the checkpoint): the canonical
+    pattern is an idempotent ``batch_fn`` keyed on ``batch_id`` —
+    exactly the contract the reference's at-least-once Kafka sink gives
+    downstream consumers (``App.java:97``)."""
+    writer = (
+        df.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    writer = _with_trigger(writer, poll_seconds, available_now)
+    return writer.start()
+
+
 def _with_trigger(writer, poll_seconds: int | None, available_now: bool):
     if available_now:
         return writer.trigger(availableNow=True)

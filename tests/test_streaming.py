@@ -135,6 +135,37 @@ def test_streaming_sessions_end_to_end(spark, audit_tree):
     assert c["end"] == dt.datetime(2022, 9, 26, 10, 25, 0)
 
 
+def test_foreach_batch_sink_collects_sessions(spark, audit_tree, tmp_path):
+    """``write_foreach_batch`` drives the same session pipeline into a
+    driver-side callback: batch_fn receives BATCH DataFrames with the
+    streaming result schema, and the union of batches equals the
+    memory-sink answer (the at-least-once escape hatch for connector-less
+    targets)."""
+    from flink_audit_sessions_example_spark.streaming.pipeline import (
+        write_foreach_batch,
+    )
+
+    sessions = stream_denied_sessions(
+        spark, _cfg(audit_tree), max_files_per_trigger=1
+    )
+    seen: list = []
+
+    def batch_fn(batch_df, batch_id):
+        assert not batch_df.isStreaming  # a plain batch DataFrame
+        seen.extend(
+            (r["reqUser"], r["denies"]) for r in batch_df.collect()
+        )
+
+    q = write_foreach_batch(
+        sessions,
+        batch_fn,
+        checkpoint_dir=str(tmp_path / "fb-ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == [("bob", 2), ("carol", 3), ("wdyson", 10)]
+
+
 def test_custom_state_sessionizer_matches_builtin(spark, audit_tree):
     """The applyInPandasWithState twin must produce the exact golden
     sessions the built-in session_window path produces (same merge,
