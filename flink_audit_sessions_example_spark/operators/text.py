@@ -71,7 +71,21 @@ def _with_words(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn(_WORDS, _words(F.col(text_col)))
 
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _stage_words(df: DataFrame, text_col: str, words_staged: bool) -> DataFrame:
+    """Stage the token array unless the caller already did.
+
+    ``words_staged=True`` is the multi-signal composition contract: a
+    pipeline scoring several text signals stages :func:`_with_words`
+    ONCE and passes ``words_staged=True`` to every subsequent operator,
+    so the document is tokenized once per row for the whole pipeline
+    instead of once per operator (the scan-side cost center at corpus
+    scale). The caller drops the staged column when done."""
+    return df if words_staged else _with_words(df, text_col)
+
+
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", *, words_staged: bool = False
+) -> DataFrame:
     """``text_stats`` — per-document surface statistics.
 
     Adds: ``n_chars``, ``n_words``, ``n_tokens`` (BPE-ish regex),
@@ -88,8 +102,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(
         F.array_intersect(words, F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]))
     )
-    return (
-        _with_words(df, text_col)
+    out = (
+        _stage_words(df, text_col, words_staged)
         .withColumn("n_chars", n_chars.cast("bigint"))
         .withColumn("n_words", n_words.cast("bigint"))
         .withColumn(
@@ -112,11 +126,13 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars))
         .withColumn("n_stopwords_distinct", n_stop.cast("bigint"))
-        .drop(_WORDS)
     )
+    return out if words_staged else out.drop(_WORDS)
 
 
-def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_language_id(
+    df: DataFrame, text_col: str = "text", *, words_staged: bool = False
+) -> DataFrame:
     """``text_langid`` — stopword-voting language identification.
 
     Score per language = number of distinct language stopwords present in
@@ -128,7 +144,7 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # stage 2: the four intersection scores, each computed ONCE as a
     # column — the argmax below references these attributes, so the
     # (non-cheap) intersections are not duplicated per CASE branch
-    scored = _with_words(df, text_col)
+    scored = _stage_words(df, text_col, words_staged)
     for lang, sw in LANG_STOPWORDS.items():
         scored = scored.withColumn(
             f"score_{lang}",
@@ -160,10 +176,13 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         for i, lang in enumerate(langs)
     ]
     pred = F.array_max(F.array(*candidates))["lang"]
-    return scored.withColumn("pred_lang", pred).drop(_WORDS)
+    out = scored.withColumn("pred_lang", pred)
+    return out if words_staged else out.drop(_WORDS)
 
 
-def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", *, words_staged: bool = False
+) -> DataFrame:
     """``text_quality`` — heuristic document-quality score in [0, 1].
 
     0.4·min(words/100, 1) + 0.3·(1 − punct_ratio) + 0.3·min(stop/5, 1):
@@ -190,11 +209,10 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(n_stop / F.lit(5.0), F.lit(1.0))
     )
-    return (
-        _with_words(df, text_col)
-        .withColumn("quality", F.round(score, 6))
-        .drop(_WORDS)
+    out = _stage_words(df, text_col, words_staged).withColumn(
+        "quality", F.round(score, 6)
     )
+    return out if words_staged else out.drop(_WORDS)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -230,7 +248,11 @@ def with_shingle_fingerprint(
 
 
 def with_repetition_ratio(
-    df: DataFrame, text_col: str = "text", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    *,
+    words_staged: bool = False,
 ) -> DataFrame:
     """``text_repetition`` — intra-document repeated ``k``-gram ratio, the
     classic repetition quality signal (Gopher §A1.1 / RefinedWeb use the
@@ -246,8 +268,8 @@ def with_repetition_ratio(
     words = F.col(_WORDS)
     total = F.size(words) - F.lit(k - 1)
     distinct = F.size(shingle_array(words, k))
-    return (
-        _with_words(df, text_col)
+    out = (
+        _stage_words(df, text_col, words_staged)
         .withColumn(
             "rep_ratio",
             F.when(
@@ -258,8 +280,8 @@ def with_repetition_ratio(
                 ),
             ),
         )
-        .drop(_WORDS)
     )
+    return out if words_staged else out.drop(_WORDS)
 
 
 #: PII patterns shared by the scrubber and its oracle — restricted to

@@ -1020,9 +1020,16 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-runs the (expensive, substituted) score predicate on the
     aggregate output, outside codegen."""
     docs = load_table(spark, sf_dir, "documents")
+    # ONE token-array staging shared by all three scorers (words_staged
+    # contract, operators/text.py): the tokenizer split is the pipeline's
+    # per-row cost center and would otherwise run once per operator
+    staged = X._with_words(X.with_fingerprint(docs), "text")
     scored = X.with_language_id(
-        X.with_quality_score(X.with_text_stats(X.with_fingerprint(docs)))
-    )
+        X.with_quality_score(
+            X.with_text_stats(staged, words_staged=True), words_staged=True
+        ),
+        words_staged=True,
+    ).drop(X._WORDS)
     passing = scored.where(
         (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
     )
