@@ -1515,6 +1515,40 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``join_semi`` — the TPC-H Q4 shape: count orders per priority that
+    have ≥ 1 returned line item (LEFT SEMI join = EXISTS; the dual of
+    ``join_anti``).
+
+    The semi join filters without multiplying rows, so each qualifying
+    order contributes exactly once no matter how many returned items it
+    has; the return-flag predicate is pushed into the lineitem scan and
+    only the 8-byte orderkey column survives to the join. One big-big
+    shuffle on orderkey, then a tiny-key aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_JOIN_SEMI_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+"""
+
+
 def q_xform_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``xform_json_extract`` — semi-structured extraction: pull the
     numeric ``$.k`` property out of the events' JSON ``props`` column and
@@ -1704,6 +1738,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xform_json_extract": q_xform_json_extract,
     "win_retention": q_win_retention,
     "win_ntile": q_win_ntile,
+    "join_semi": q_join_semi,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -1751,4 +1786,5 @@ EXTENDED_ORACLES: dict[str, str] = {
     "xform_json_extract": _XFORM_JSON_EXTRACT_ORACLE,
     "win_retention": _WIN_RETENTION_ORACLE,
     "win_ntile": _WIN_NTILE_ORACLE,
+    "join_semi": _JOIN_SEMI_ORACLE,
 }

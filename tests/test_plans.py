@@ -61,3 +61,28 @@ def test_session_query_has_single_group_exchange(spark):
     assert "session_window" in plan or "SessionWindow" in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "props" not in read  # unused wide column pruned from the scan
+
+
+def test_shipping_priority_broadcasts_dim_and_pushes_dates(spark):
+    plan = _plan(spark, "rel_shipping_priority")
+    assert "BroadcastHashJoin" in plan  # filtered customer side broadcast
+    # both date predicates reach the parquet readers
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    # top-k plans as TakeOrderedAndProject, never a global Sort+collect
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouping_sets_reaggregation_has_no_expand(spark):
+    """rel_rollup / rel_cube use the two-level re-aggregation
+    (operators/groupsets.py): the corpus-replicating Expand operator the
+    built-in rollup()/cube() would plan must NOT appear."""
+    for key in ("rel_rollup", "rel_cube"):
+        plan = _plan(spark, key)
+        assert "Expand" not in plan, key
+
+
+def test_join_anti_builds_on_filtered_side(spark):
+    plan = _plan(spark, "join_anti")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to orders scan
