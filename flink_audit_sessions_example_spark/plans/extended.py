@@ -1549,6 +1549,45 @@ GROUP BY o_orderpriority
 """
 
 
+def q_rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_above_avg`` — the scalar-subquery class: line items priced
+    above the GLOBAL average price, counted per return flag.
+
+    The global average is a one-row aggregate broadcast into the
+    predicate (Catalyst plans the cross join of a 1-row relation as a
+    broadcast nested loop — no shuffle of the big side); the mean is an
+    exact DECIMAL sum / count so the threshold is bit-identical in the
+    oracle, and the per-flag count then reuses the same scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_row = li.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        li.join(F.broadcast(avg_row))
+        .where(F.col("l_extendedprice") > F.col("avg_price"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_above"),
+        )
+    )
+
+
+_REL_ABOVE_AVG_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       ROUND(MIN(l_extendedprice), 2) AS min_above
+FROM lineitem
+WHERE l_extendedprice > (
+  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / COUNT(*) FROM lineitem
+)
+GROUP BY l_returnflag
+"""
+
+
 def q_xform_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``xform_json_extract`` — semi-structured extraction: pull the
     numeric ``$.k`` property out of the events' JSON ``props`` column and
@@ -1739,6 +1778,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "win_retention": q_win_retention,
     "win_ntile": q_win_ntile,
     "join_semi": q_join_semi,
+    "rel_above_avg": q_rel_above_avg,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -1787,4 +1827,5 @@ EXTENDED_ORACLES: dict[str, str] = {
     "win_retention": _WIN_RETENTION_ORACLE,
     "win_ntile": _WIN_NTILE_ORACLE,
     "join_semi": _JOIN_SEMI_ORACLE,
+    "rel_above_avg": _REL_ABOVE_AVG_ORACLE,
 }
