@@ -86,3 +86,23 @@ def test_join_anti_builds_on_filtered_side(spark):
     plan = _plan(spark, "join_anti")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to orders scan
+
+
+def test_no_antipatterns_in_any_registered_plan(spark):
+    """Fleet-wide invariant over ALL registered queries: no Cartesian
+    product ever reaches a physical plan, and no row-at-a-time Python
+    UDF (BatchEvalPython) appears — Python is allowed only as
+    Arrow-batched MapInPandas/FlatMapGroupsInPandas. Catches an
+    accidental unconditioned join or a F.udf() slipping into any future
+    query at test time rather than at 100 TB."""
+    offenders = {}
+    for key in sorted(QUERIES):
+        plan = _plan(spark, key)
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[key] = bad
+    assert not offenders, offenders
