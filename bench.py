@@ -50,6 +50,19 @@ def main() -> int:
     ).split():
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    # spawn the Arrow Python worker pool once, untimed: the first
+    # mapInPandas-bearing query otherwise pays one worker fork per core
+    def _identity(batches):
+        yield from batches
+
+    (
+        spark.range(0, 10_000, 1, int(cpus))
+        .mapInPandas(_identity, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     # min over repeated runs, reporting steady-state plan throughput: the
     # first run pays one-time whole-stage-codegen compilation + Python-
     # worker spin-up, which amortize to ~zero over any real workload.
