@@ -305,6 +305,89 @@ def test_kafka_option_contract_reference_passthrough(tmp_path):
     }
 
 
+def test_session_state_recovers_across_restart(spark, tmp_path):
+    """Checkpointed session-window STATE must survive a stop/start and
+    MERGE with post-restart events — the Spark analog of the Flink
+    savepoint recovery the reference's ``uid()``s exist for
+    (``App.java:47-59,131-133``).
+
+    Run 1 sees carol's first denied event; the watermark (max event −
+    2 days) passes alice's early session (it emits) but NOT carol's, so
+    carol's partial session lives only in the state store at the
+    checkpoint. Run 2 — a NEW query resumed from the same checkpoint —
+    adds a second carol event 10 min later (inside the 1200 s gap) and a
+    clock event that advances the watermark: carol must emit ONE merged
+    session counting BOTH events, with bounds spanning them."""
+    from flink_audit_sessions_example_spark.streaming.pipeline import (
+        stream_denied_sessions,
+        write_foreach_batch,
+    )
+
+    d1 = tmp_path / "20220926"
+    d1.mkdir()
+    (d1 / "a.log").write_text(
+        "\n".join(
+            [
+                _line("alice", 0, 5, "2022-09-26 10:00:00.000"),
+                _line("alice", 0, 2, "2022-09-26 10:05:00.000"),
+                # carol's session OPENS near the watermark frontier
+                _line("carol", 0, 3, "2022-09-29 11:00:00.000"),
+                # allowed-only clock event: advances the watermark to
+                # 9/27 12:00 (flushes alice), contributes no session
+                _line("clock", 1, 1, "2022-09-29 12:00:00.000"),
+            ]
+        )
+        + "\n"
+    )
+    ckpt = str(tmp_path / "state-ckpt")
+    cfg = _cfg(tmp_path)
+
+    def collect_into(bucket):
+        def fn(batch_df, batch_id):
+            bucket.extend(
+                (r["reqUser"], r["denies"], r["start"], r["end"])
+                for r in batch_df.collect()
+            )
+
+        return fn
+
+    run1: list = []
+    q1 = write_foreach_batch(
+        stream_denied_sessions(spark, cfg),
+        collect_into(run1),
+        checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q1.awaitTermination(120)
+    assert [(u, n) for u, n, *_ in run1] == [("alice", 7)]
+
+    # restart input: carol's second event merges into the checkpointed
+    # session; a later clock event pushes the watermark past it
+    d2 = tmp_path / "20220930"
+    d2.mkdir()
+    (d2 / "b.log").write_text(
+        "\n".join(
+            [
+                _line("carol", 0, 4, "2022-09-29 11:10:00.000"),
+                _line("clock", 1, 1, "2022-10-03 12:00:00.000"),
+            ]
+        )
+        + "\n"
+    )
+    run2: list = []
+    q2 = write_foreach_batch(
+        stream_denied_sessions(spark, cfg),
+        collect_into(run2),
+        checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert [(u, n) for u, n, *_ in run2] == [("carol", 7)]
+    _, _, start, end = run2[0]
+    assert start == dt.datetime(2022, 9, 29, 11, 0, 0)
+    assert end == dt.datetime(2022, 9, 29, 11, 30, 0)  # last event + 1200 s
+
+
 def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     """``dedup_stream``: an at-least-once upstream re-delivers audit
     records (same `id`) in a later micro-batch; the watermark-bounded
