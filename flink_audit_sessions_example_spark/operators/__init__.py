@@ -10,4 +10,14 @@ from .sessionize import (  # noqa: F401
     audit_denied_sessions,
     with_event_time,
 )
-from . import asof, corpus, dedup, multimodal, similarity, skew, text  # noqa: F401
+from . import (  # noqa: F401
+    asof,
+    corpus,
+    dedup,
+    groupsets,
+    multimodal,
+    similarity,
+    sketches,
+    skew,
+    text,
+)

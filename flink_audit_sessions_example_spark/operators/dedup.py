@@ -441,12 +441,25 @@ def minhash_near_dup_pairs(
         # speed replaces a JVM conv(substring(md5(...))) pair per shingle
         # row (the r2 expression-tax hot spot) and the shuffle carries
         # 24 B of fixed-width ints instead of shingle strings
-        keyed = hashed_shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
+        def keyed_rows(src: DataFrame) -> DataFrame:
+            return hashed_shingle_rows(src, id_col=id_col, text_col=text_col, k=k)
+
         key_cols = ["k1", "k2"]
         h = lambda i: F.col("k1") + F.lit(i) * F.col("k2")  # noqa: E731
+        keyed = keyed_rows(df)
+    elif hash_family == "xxhash64":
+
+        def keyed_rows(src: DataFrame) -> DataFrame:
+            shingled = shingle_rows(src, id_col=id_col, text_col=text_col, k=k)
+            return shingled.select("id", F.xxhash64("sh").alias("k1"))
+
+        key_cols = ["k1"]
+        h = lambda i: F.xxhash64(F.col("k1"), F.lit(i))  # noqa: E731
+        keyed = keyed_rows(df)
     else:
-        shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
-        keyed, key_cols, h = _minhash_keyed(shingled, hash_family)
+        raise ValueError(
+            f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
+        )
     keyed = _p(keyed)
     per_doc = _p(
         keyed.groupBy("id").agg(
@@ -473,12 +486,19 @@ def minhash_near_dup_pairs(
     if max_bucket_size is not None:
         bucket_sizes = bucket_sizes.where(F.size("ids") <= max_bucket_size)
     cand_ids = bucket_sizes.select(F.explode("ids").alias("id")).distinct()
-    # semi joins throughout the verify tail: they filter without
+    # verify tail restricted BEFORE the tokenizer: the candidate-id semi
+    # join filters the DOCUMENTS, so the second Arrow tokenizer pass
+    # touches only candidate docs — at corpus scale candidates ≪ corpus,
+    # and a post-tokenize filter (the r2 shape) would re-shingle 100 TB
+    # to keep a sliver. Semi joins throughout: they filter without
     # multiplying rows, and the per-doc shingle counts (`sizes`) are
-    # computed only for candidate docs — at corpus scale the "sizes of
-    # every doc" branch this replaces was a second full aggregation over
-    # the whole corpus feeding a join that discarded almost all of it.
-    verify_rows = keyed.join(F.broadcast(cand_ids), "id", "left_semi")
+    # likewise computed only for candidate docs.
+    cand_docs = df.join(
+        F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
+        id_col,
+        "left_semi",
+    )
+    verify_rows = keyed_rows(cand_docs)
     sizes = verify_rows.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     vposts = verify_rows.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list("id")).alias("ids")

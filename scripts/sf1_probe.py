@@ -151,6 +151,10 @@ def probe() -> None:
         "dedup_embed",
         "decontaminate",
         "text_stats",
+        "sim_topk",
+        "sim_topk_lsh",
+        "sim_topk_ivf",
+        "cluster_profile",
     ]
     results: dict[str, dict[str, float]] = {}
     for sf_dir, tag in ((SF01, "sf0.1"), (OUT, "sf1")):
