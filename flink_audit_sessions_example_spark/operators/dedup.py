@@ -418,10 +418,13 @@ def minhash_near_dup_pairs(
     additionally caps verify-side posting lists (rarely needed once
     buckets are capped — candidate sets are already bounded).
 
-    ``persist=True`` caches the two diamond nodes — the keyed shingle
-    rows (so the Arrow tokenizer runs exactly once across the signature
-    and verify branches) and the per-doc signature table — at
-    ``MEMORY_AND_DISK``. CALLER CONTRACT: the caches outlive this call —
+    ``persist=True`` caches the two diamond nodes — the corpus keyed
+    shingle rows and the per-doc signature table — at
+    ``MEMORY_AND_DISK``. (The verify branch tokenizes the
+    candidate-restricted documents separately by design — that pass is
+    proportional to the candidate set, not the corpus, and caching the
+    full-corpus rows would not shrink it.) CALLER CONTRACT: the caches
+    outlive this call —
     after materializing the result, release them with
     ``spark.catalog.clearCache()`` (or track ``df.persist()`` handles
     yourself) in long-lived sessions; nothing here unpersists for you.
