@@ -49,3 +49,36 @@ def test_cube_agg_matches_builtin_with_null_dims(spark):
     df = spark.createDataFrame(ROWS)
     ours = G.cube_agg(df, ["a", "b"], {"sum_v": F.col("v").cast("decimal(18,6)")})
     assert _norm(ours) == _norm(_builtin(df, "cube"))
+
+
+def test_cube_agg_matches_builtin_on_random_frames(spark):
+    """Hypothesis breadth: random tiny frames (dims drawn from a small
+    alphabet INCLUDING None, exact dyadic values) — the re-aggregation
+    must equal the built-in cube on every one."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    dim_vals = st.sampled_from(["x", "y", "z", None])
+    # dyadic fractions: exact in double AND in decimal(18,6)
+    vals = st.integers(-1000, 1000).map(lambda n: n / 8.0)
+    rows = st.lists(
+        st.tuples(dim_vals, dim_vals, vals), min_size=1, max_size=12
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=rows)
+    def check(rows):
+        df = spark.createDataFrame(
+            [Row(a=a, b=b, v=v) for a, b, v in rows],
+            schema="a string, b string, v double",
+        )
+        ours = G.cube_agg(
+            df, ["a", "b"], {"sum_v": F.col("v").cast("decimal(18,6)")}
+        )
+        assert _norm(ours) == _norm(_builtin(df, "cube"))
+
+    check()
