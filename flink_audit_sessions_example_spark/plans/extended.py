@@ -1549,6 +1549,43 @@ GROUP BY o_orderpriority
 """
 
 
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``agg_multi_distinct`` — several COUNT(DISTINCT …) over different
+    columns in ONE aggregation (distinct users and distinct active days
+    per event type).
+
+    Catalyst plans multi-distinct with an Expand (one replica per
+    distinct column) feeding a two-phase aggregate — the one place the
+    engine legitimately keeps Expand, because unlike the grouping-sets
+    case (``operators/groupsets.py``) distinct counts are NOT algebraic
+    and cannot be re-aggregated from a base grain. At 100 TB the
+    sketch variant (``operators/sketches.py``) replaces this with
+    constant-state HLL registers; this exact form is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(
+                F.date_trunc("day", F.col("ts")).cast("date")
+            ).alias("n_days"),
+        )
+    )
+
+
+_AGG_MULTI_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS n_days
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_above_avg`` — the scalar-subquery class: line items priced
     above the GLOBAL average price, counted per return flag.
@@ -1779,6 +1816,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "win_ntile": q_win_ntile,
     "join_semi": q_join_semi,
     "rel_above_avg": q_rel_above_avg,
+    "agg_multi_distinct": q_agg_multi_distinct,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -1828,4 +1866,5 @@ EXTENDED_ORACLES: dict[str, str] = {
     "win_ntile": _WIN_NTILE_ORACLE,
     "join_semi": _JOIN_SEMI_ORACLE,
     "rel_above_avg": _REL_ABOVE_AVG_ORACLE,
+    "agg_multi_distinct": _AGG_MULTI_DISTINCT_ORACLE,
 }
