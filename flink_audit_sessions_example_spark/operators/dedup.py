@@ -318,6 +318,7 @@ def lsh_candidate_pairs(
     rows_per_band: int,
     max_bucket_size: int | None = None,
     bucket_hash: str = "xxhash64",
+    hash_family: str | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all ``rows_per_band`` minima of any
     band become a candidate pair. Band key = hash of (band index ‖ the
@@ -347,10 +348,22 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` drops degenerate buckets (e.g. thousands of
     identical boilerplate docs) whose pair explosion would be quadratic;
     their members still pair through their other, more selective bands.
+
+    ``hash_family`` (optional hint): the family that produced ``sig``;
+    when given, the affine/xxhash64 overflow hazard is rejected eagerly
+    instead of silently wrapping (or erroring under ANSI mode) at run
+    time.
     """
     if bucket_hash not in ("xxhash64", "md5", "affine"):
         raise ValueError(
             f"bucket_hash must be 'xxhash64', 'md5' or 'affine', got {bucket_hash!r}"
+        )
+    if bucket_hash == "affine" and hash_family is not None and hash_family != "md5":
+        # see minhash_near_dup_pairs: the affine fold overflows on
+        # full-range signed-64 minima (xxhash64 family)
+        raise ValueError(
+            "bucket_hash='affine' requires md5-family signatures (bounded "
+            f"nonnegative minima); got hash_family={hash_family!r}"
         )
     banded = signatures.select(
         "id",
@@ -474,6 +487,15 @@ def minhash_near_dup_pairs(
     )
     if bucket_hash is None:
         bucket_hash = "xxhash64" if hash_family == "xxhash64" else "affine"
+    if bucket_hash == "affine" and hash_family != "md5":
+        # xxhash64 minima span the full signed-64 range, so the affine
+        # fold acc·P + hᵢ overflows — silent wraparound in default Spark
+        # and a runtime error under spark.sql.ansi.enabled=true. The fold
+        # is only sound for the md5 family's bounded nonnegative minima.
+        raise ValueError(
+            "bucket_hash='affine' requires hash_family='md5' (bounded "
+            f"nonnegative minima); got hash_family={hash_family!r}"
+        )
 
     banded = sigs.select(
         "id",

@@ -69,8 +69,11 @@ def approx_quantiles_by(
     ``p_<percent>`` column per requested probability.
     """
     probs = ", ".join(f"{p}D" for p in probabilities)
+    # backtick-quote the identifier (escaping embedded backticks) so names
+    # with spaces/dots/hyphens/keywords resolve like every Column-based API
+    quoted = value_col.replace("`", "``")
     agg = F.expr(
-        f"approx_percentile({value_col}, array({probs}), {accuracy})"
+        f"approx_percentile(`{quoted}`, array({probs}), {accuracy})"
     ).alias("_q")
     out = df.groupBy(*key_cols).agg(agg)
     return out.select(

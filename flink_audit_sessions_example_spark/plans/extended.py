@@ -29,6 +29,7 @@ from ..operators import dedup as D
 from ..operators import groupsets as G
 from ..operators import multimodal as M
 from ..operators import similarity as S
+from ..operators import sketches as K
 from ..operators import text as X
 from ..sources.tables import load_table
 
@@ -1253,16 +1254,24 @@ FROM t
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``decontaminate`` — GPT-3-style 8-gram decontamination of the
-    training split (doc_id % 100 != 0) against a genuinely small eval
-    slice (doc_id % 100 == 0, 1% of the corpus): eval postings
-    broadcast, training corpus never shuffled by shingle. The broadcast
-    contract is enforced by the operator's eval-size probe
+    training split (doc_id % 20 != 0) against a small eval slice
+    (doc_id % 20 == 0, 5% of the corpus): eval postings broadcast,
+    training corpus never shuffled by shingle. The broadcast contract is
+    enforced by the operator's eval-size probe
     (``MAX_BROADCAST_EVAL_DOCS``) — oversized eval splits fall back to a
-    shuffled shingle join instead of OOMing executors."""
+    shuffled shingle join instead of OOMing executors.
+
+    The split is %20 rather than %100 because the gate must exercise the
+    join: with %100 the registered query returns 0 rows at every test
+    scale (measured r3), making the cross-engine hash check vacuous
+    (empty==empty). %20 yields 2 contaminated docs at sf0.01 and 27 at
+    sf0.1 (measured), so the join/aggregation path is actually hashed;
+    the eval side is still a small bounded fraction and the broadcast
+    probe still governs."""
     docs = load_table(spark, sf_dir, "documents")
     return C.decontaminate(
-        docs.where(F.col("doc_id") % 100 != 0),
-        docs.where(F.col("doc_id") % 100 == 0),
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
         k=8,
     )
 
@@ -1273,7 +1282,7 @@ WITH sh AS (
 ), hits AS (
   SELECT t.doc_id, e.doc_id AS eval_id
   FROM sh t JOIN sh e ON t.sh = e.sh
-  WHERE t.doc_id % 100 <> 0 AND e.doc_id % 100 = 0
+  WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0
 )
 SELECT doc_id, CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_hits
 FROM hits GROUP BY doc_id
@@ -1452,11 +1461,18 @@ def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_quantiles`` — exact percentiles (p25/p50/p75) of extended
     price per return flag: Spark's ``percentile`` (exact, linear
     interpolation) vs DuckDB ``quantile_cont`` — the same type-7
-    estimator, hash-checked. The sort-based exact percentile is fine at
-    any scale because it runs per GROUP (3 flags), each group's sort
-    distributed by the aggregation; the streaming-sketch variant for
-    ungrouped 100 TB percentiles is ``approx_percentile`` (same call
-    shape, not oracle-checkable bit-for-bit)."""
+    estimator, hash-checked.
+
+    SCALE WARNING — this is the cross-engine-verifiable EXACT variant,
+    not the 100 TB plan: Spark's exact ``percentile`` buffers ALL of a
+    group's values in one aggregation buffer on one reducer (the
+    per-group "sort" is NOT distributed), so with only 3 return-flag
+    groups at 100 TB each reducer would hold ~1/3 of the column — OOM.
+    It is registered because it is bit-reproducible against DuckDB at
+    test scale; the plan you'd run at 100 TB is the single-pass bounded-
+    state sketch twin ``rel_quantiles_approx`` (``approx_percentile``,
+    ``operators/sketches.py``), whose rank-error bound is pinned against
+    this exact query by ``tests/test_sketches.py``."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.expr(
         "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
@@ -1481,6 +1497,28 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def q_rel_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_quantiles_approx`` — the 100 TB twin of ``rel_quantiles``:
+    grouped p25/p50/p75 via ``approx_percentile`` (Greenwald-Khanna
+    summaries, rank error ≤ 1/accuracy), ONE streaming pass with bounded
+    per-group state that merges map-side like any hash agg — no reducer
+    ever buffers a group's full value set, which is exactly the failure
+    mode of the exact ``percentile`` it replaces.
+
+    NOT DuckDB-hash-checkable by construction (sketch layouts are
+    engine-specific), so the driver records a rows-only check; the real
+    correctness gate is the rank-error bound pinned against the exact
+    ``rel_quantiles`` result in ``tests/test_sketches.py``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return K.approx_quantiles_by(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        probabilities=(0.25, 0.5, 0.75),
+        accuracy=10_000,
+    )
 
 
 def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,14 +1631,19 @@ def q_rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global average is a one-row aggregate broadcast into the
     predicate (Catalyst plans the cross join of a 1-row relation as a
     broadcast nested loop — no shuffle of the big side); the mean is an
-    exact DECIMAL sum / count so the threshold is bit-identical in the
-    oracle, and the per-flag count then reuses the same scan."""
+    exact DECIMAL sum / count, then cast to DOUBLE before the compare:
+    DuckDB's DECIMAL/COUNT division returns DOUBLE while Spark's stays
+    DECIMAL, so without the cast a price within ~1 ulp of the average
+    could flip the ``>`` between engines (ADVICE r3). Both engines now
+    compare against the identical double threshold."""
     li = load_table(spark, sf_dir, "lineitem")
     avg_row = li.agg(
         (
             F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
             / F.count(F.lit(1))
-        ).alias("avg_price")
+        )
+        .cast("double")
+        .alias("avg_price")
     )
     return (
         li.join(F.broadcast(avg_row))
@@ -1810,6 +1853,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_anti": q_join_anti,
     "win_user_gaps": q_win_user_gaps,
     "rel_quantiles": q_rel_quantiles,
+    "rel_quantiles_approx": q_rel_quantiles_approx,
     "rel_cube": q_rel_cube,
     "xform_json_extract": q_xform_json_extract,
     "win_retention": q_win_retention,

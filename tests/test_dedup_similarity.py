@@ -53,6 +53,24 @@ def test_minhash_md5_family_matches_xxhash_family_shape(spark):
     assert len(md5_pairs) / len(exact) >= 0.8
 
 
+def test_affine_bucket_hash_rejects_xxhash64_family(spark):
+    """bucket_hash='affine' folds minima with acc*P+h — sound only for the
+    md5 family's bounded nonnegative minima; xxhash64's full-range signed
+    minima overflow (silent wrap / ANSI error), so the combination is
+    rejected eagerly (ADVICE r3)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="affine"):
+        D.minhash_near_dup_pairs(
+            docs, k=3, hash_family="xxhash64", bucket_hash="affine"
+        )
+    sigs = spark.createDataFrame([Row(id=1, sig=[1, 2, 3, 4])])
+    with pytest.raises(ValueError, match="affine"):
+        D.lsh_candidate_pairs(
+            sigs, bands=2, rows_per_band=2,
+            bucket_hash="affine", hash_family="xxhash64",
+        )
+
+
 def test_shingle_df_cap_bounds_pair_explosion(spark):
     """One boilerplate shingle shared by every doc may not explode into
     O(n²) pairs: with the df cap active, only docs connected by *rare*

@@ -67,3 +67,43 @@ def test_approx_quantiles_rank_error(spark):
     for flag, ex in exact.items():
         for a, e in zip(approx[flag], ex):
             assert abs(a - e) <= 0.01 * spreads[flag] + 1e-6, (flag, a, e)
+
+
+def test_registered_quantiles_twin_tracks_exact(spark):
+    """The REGISTERED sketch twin (rel_quantiles_approx) stays within the
+    documented rank-error envelope of the REGISTERED exact plan
+    (rel_quantiles) — the pair the docstrings point users at."""
+    from flink_audit_sessions_example_spark.plans import QUERIES
+
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in QUERIES["rel_quantiles"](spark, SF_DIR_001).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.p_25, r.p_50, r.p_75)
+        for r in QUERIES["rel_quantiles_approx"](spark, SF_DIR_001).collect()
+    }
+    assert set(exact) == set(approx)
+    li = load_table(spark, SF_DIR_001, "lineitem")
+    spreads = {
+        r.l_returnflag: r.mx - r.mn
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"))
+        .collect()
+    }
+    for flag, ex in exact.items():
+        for a, e in zip(approx[flag], ex):
+            assert abs(a - e) <= 0.01 * spreads[flag] + 1e-6, (flag, a, e)
+
+
+def test_approx_quantiles_quoted_identifier(spark):
+    """Column names needing quoting (spaces, dots, hyphens, keywords)
+    resolve — the expr backtick-quotes the identifier (ADVICE r3)."""
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)], ["k", "the value.col-1"]
+    )
+    out = K.approx_quantiles_by(
+        df, ["k"], "the value.col-1", probabilities=(0.5,)
+    ).collect()
+    assert len(out) == 1
+    assert abs(out[0].p_50 - 50.0) <= 1.0
