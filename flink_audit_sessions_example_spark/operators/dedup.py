@@ -477,13 +477,19 @@ def minhash_near_dup_pairs(
             f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
         )
     keyed = _p(keyed)
+    # the signature aggregation also emits each doc's shingle count —
+    # free in the same shuffle (+8 B/doc of agg state), and it spares the
+    # verify tail an entire branch (see below)
     per_doc = _p(
         keyed.groupBy("id").agg(
             *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)],
+            F.count(F.lit(1)).alias("n_sh"),
         )
     )
     sigs = per_doc.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        "id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        "n_sh",
     )
     if bucket_hash is None:
         bucket_hash = "xxhash64" if hash_family == "xxhash64" else "affine"
@@ -497,8 +503,15 @@ def minhash_near_dup_pairs(
             f"nonnegative minima); got hash_family={hash_family!r}"
         )
 
+    # n_sh rides the banding explode (bands × 8 B/doc of extra shuffle)
+    # so the candidate set comes out annotated with each doc's shingle
+    # count — the verify tail then never has to re-derive sizes, which
+    # previously cost a SECOND candidate Arrow tokenize + semi join +
+    # groupBy branch (r4: one Arrow pass, one broadcast and one shuffle
+    # fewer; result-identical since both passes tokenize the same docs).
     banded = sigs.select(
         "id",
+        "n_sh",
         F.explode(
             F.array(
                 *[_band_key(bucket_hash, rows_per_band, b) for b in range(bands)]
@@ -506,25 +519,28 @@ def minhash_near_dup_pairs(
         ).alias("bkey"),
     )
     bucket_sizes = banded.groupBy("bkey").agg(
-        F.collect_list("id").alias("ids")
+        F.collect_list(F.struct("id", "n_sh")).alias("ids")
     ).where(F.size("ids") >= 2)
     if max_bucket_size is not None:
         bucket_sizes = bucket_sizes.where(F.size("ids") <= max_bucket_size)
-    cand_ids = bucket_sizes.select(F.explode("ids").alias("id")).distinct()
+    cand_sizes = (
+        bucket_sizes.select(F.explode("ids").alias("s"))
+        .select(F.col("s.id").alias("id"), F.col("s.n_sh").alias("n"))
+        .distinct()
+    )
+    cand_ids = cand_sizes.select("id")
     # verify tail restricted BEFORE the tokenizer: the candidate-id semi
     # join filters the DOCUMENTS, so the second Arrow tokenizer pass
     # touches only candidate docs — at corpus scale candidates ≪ corpus,
     # and a post-tokenize filter (the r2 shape) would re-shingle 100 TB
-    # to keep a sliver. Semi joins throughout: they filter without
-    # multiplying rows, and the per-doc shingle counts (`sizes`) are
-    # likewise computed only for candidate docs.
+    # to keep a sliver.
     cand_docs = df.join(
         F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
         id_col,
         "left_semi",
     )
     verify_rows = keyed_rows(cand_docs)
-    sizes = verify_rows.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = cand_sizes
     vposts = verify_rows.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     ).where(F.size("ids") >= 2)

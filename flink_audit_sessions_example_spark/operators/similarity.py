@@ -58,6 +58,17 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+#: NOTE on a rejected "optimization": unrolling the literal-vector dot
+#: into a left-associated ``0.0 + a₁v₁ + a₂v₂ + …`` expression chain is
+#: bit-identical to :func:`dot` and looks codegen-friendly, but the
+#: generated Java for nbits·dim (or nc·dim) fused multiply-adds blows
+#: janino's method limits — measured: compile time DOMINATES (6.5 s for
+#: a 16-bit sketch over 500 rows vs ~1 s end-to-end for the HOF fold),
+#: with InternalCompilerException fallbacks at realistic widths. The
+#: interpreted HOF fold is the faster total path at every width tried;
+#: the real scale lever is the BLAS impl (same joins, matmul per batch).
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -381,6 +392,55 @@ def _band_keys(
     return F.array(*entries)
 
 
+def lsh_probe_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    nbits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    multiprobe: bool = True,
+    impl: str = "blas",
+) -> DataFrame:
+    """The candidate-generation stage of :func:`lsh_topk`, exposed so the
+    selectivity of an operating point is directly measurable: returns the
+    DISTINCT ``(query_id, neighbor_id)`` candidate set (everything the
+    exact-cosine verify would have to score). Candidate fraction =
+    ``count / (|queries| · (|corpus| − 1))`` — the fraction of the corpus
+    each query reads; the quantity SCALING.md's recall table records and
+    the per-point pytest ceilings pin."""
+    sketcher = with_lsh_sketch_expr if impl == "expr" else with_lsh_sketch
+    c_sk = sketcher(
+        corpus, vec_col=vec_col, dim=dim, nbits=nbits, seed=seed
+    ).select(F.col(id_col).alias("neighbor_id"), "lsh_sketch")
+    q_sk = sketcher(
+        queries, vec_col=vec_col, dim=dim, nbits=nbits, seed=seed
+    ).select(F.col(id_col).alias("query_id"), "lsh_sketch")
+    c_keys = c_sk.select(
+        "neighbor_id",
+        F.explode(
+            _band_keys(F.col("lsh_sketch"), nbits=nbits, bands=bands, probes=False)
+        ).alias("bk"),
+    ).select("neighbor_id", "bk.band", "bk.val")
+    q_keys = q_sk.select(
+        "query_id",
+        F.explode(
+            _band_keys(
+                F.col("lsh_sketch"), nbits=nbits, bands=bands, probes=multiprobe
+            )
+        ).alias("bk"),
+    ).select("query_id", "bk.band", "bk.val")
+    return (
+        c_keys.join(F.broadcast(q_keys), ["band", "val"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -417,32 +477,17 @@ def lsh_topk(
     at bit-match prob p is p⁴+4p³(1−p) — over 4 bands ≈0.96 even for
     weakly-similar neighbors (p≈0.645 at cos≈0.44).
     """
-    sketcher = with_lsh_sketch_expr if impl == "expr" else with_lsh_sketch
-    c_sk = sketcher(
-        corpus, vec_col=vec_col, dim=dim, nbits=nbits, seed=seed
-    ).select(F.col(id_col).alias("neighbor_id"), "lsh_sketch")
-    q_sk = sketcher(
-        queries, vec_col=vec_col, dim=dim, nbits=nbits, seed=seed
-    ).select(F.col(id_col).alias("query_id"), "lsh_sketch")
-    c_keys = c_sk.select(
-        "neighbor_id",
-        F.explode(
-            _band_keys(F.col("lsh_sketch"), nbits=nbits, bands=bands, probes=False)
-        ).alias("bk"),
-    ).select("neighbor_id", "bk.band", "bk.val")
-    q_keys = q_sk.select(
-        "query_id",
-        F.explode(
-            _band_keys(
-                F.col("lsh_sketch"), nbits=nbits, bands=bands, probes=multiprobe
-            )
-        ).alias("bk"),
-    ).select("query_id", "bk.band", "bk.val")
-    cands = (
-        c_keys.join(F.broadcast(q_keys), ["band", "val"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    cands = lsh_probe_candidates(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        nbits=nbits,
+        bands=bands,
+        seed=seed,
+        multiprobe=multiprobe,
+        impl=impl,
     )
     return _exact_topk_on_candidates(
         cands, corpus, queries, id_col=id_col, vec_col=vec_col, k=k, impl=impl
@@ -662,6 +707,34 @@ def ivf_topk_expr(
     corpus collect. Assignment is a pure projection
     (:func:`_assign_cluster_expr` — no shuffle, no Python workers).
     """
+    cands = ivf_probe_candidates(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+    )
+    return _exact_topk_on_candidates(
+        cands, corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+        impl="expr",
+    )
+
+
+def ivf_probe_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The candidate-generation stage of :func:`ivf_topk_expr` (seed
+    quantizer → inverted lists → nprobe-list probe), exposed so an
+    operating point's selectivity is directly measurable — candidate
+    fraction = ``count / (|queries| · (|corpus| − 1))``, ≈ the mass of
+    the probed lists, ~nprobe/n_centroids when lists are balanced."""
     cvecs, cnorms = _seed_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
     )
@@ -702,14 +775,10 @@ def ivf_topk_expr(
         .where(F.col("rn") <= nprobe)
         .select("query_id", "cluster")
     )
-    cands = (
+    return (
         inverted.join(F.broadcast(probes), "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-    )
-    return _exact_topk_on_candidates(
-        cands, corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
-        impl="expr",
     )
 
 

@@ -59,8 +59,15 @@ def _sql_shingles(k: int) -> str:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_exact`` — content dedup: group by normalized-text md5
     fingerprint, keep min doc_id (deterministic survivor). One shuffle,
-    map-side partial agg collapses local dups first."""
-    docs = X.with_fingerprint(load_table(spark, sf_dir, "documents"))
+    map-side partial agg collapses local dups first.
+
+    ``spread=False``: the plan is scan → light projection → hash agg;
+    its first (and only) exchange is the agg shuffle, so the scan-spread
+    repartition is pure overhead (measured 2×: 0.51 → 0.26 s at sf0.1 —
+    the r3 "bench doubling" was this exchange, not the heavier data)."""
+    docs = X.with_fingerprint(
+        load_table(spark, sf_dir, "documents", spread=False)
+    )
     return D.exact_dedup(docs, ["fingerprint"], "doc_id")
 
 
@@ -72,8 +79,13 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup sizing pre-pass: total rows vs distinct texts."""
-    return D.distinct_count(load_table(spark, sf_dir, "documents"), ["text"])
+    """Dedup sizing pre-pass: total rows vs distinct texts.
+
+    ``spread=False``: pure scan-side aggregation — see ``q_dedup_exact``
+    (same measured 2× exchange tax)."""
+    return D.distinct_count(
+        load_table(spark, sf_dir, "documents", spread=False), ["text"]
+    )
 
 
 _DEDUP_COUNT_ORACLE = """
@@ -277,8 +289,14 @@ def _sql_cos(a: str, b: str) -> str:
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``sim_topk`` — exact cosine top-10 for query vectors
     (vec_id % 50 == 0) against the full corpus; broadcast the queries,
-    stream the corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    stream the corpus.
+
+    ``spread=False``: the BLAS batch scorer is fast enough that the
+    scan-spread exchange dominates at bench scale (measured 1.44 →
+    0.78 s — the r3 "bench doubling" was the repartition, not the
+    regenerated embeddings); at production split counts spread is a
+    no-op either way."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=False)
     return S.brute_force_topk(
         emb, emb.where(F.col("vec_id") % 50 == 0), k=10
     )
@@ -320,19 +338,30 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists → nprobe-list probing → exact verify on candidates.
 
     Registered with the deterministic-seed quantizer (centroids = first
-    16 corpus vectors in md5 order) and fold-exact scoring, so the whole
-    pipeline is hash-checked against a DuckDB oracle that derives the
-    SAME centroids from the table. The k-means-trained variant
-    (``S.ivf_topk``) is the production path — same join topology, better
-    centroids, pytest-covered recall (iterative numpy training is the one
-    genuinely non-SQL step)."""
+    ``n_centroids`` corpus vectors in md5 order) and fold-exact scoring,
+    so the whole pipeline is hash-checked against a DuckDB oracle that
+    derives the SAME centroids from the table. The k-means-trained
+    variant (``S.ivf_topk``) is the production path — same join
+    topology, better centroids, pytest-covered recall (iterative numpy
+    training is the one genuinely non-SQL step).
+
+    Operating point (r4): nc=32, nprobe=6 — a SELECTIVE plan: measured
+    candidate fraction 0.17-0.19 of the corpus per query (driver data,
+    both SFs; r3's nc=16/nprobe=8 probed a structural 50%), with
+    planted-neighbor recall 0.975 on the clustered fixture
+    (``tests/test_ann_clustered.py`` pins both as regression floors).
+    On the driver's isotropic-noise embeddings recall@10 is 0.44-0.45 —
+    the honest ANN worst case; no selective point can do better there
+    (SCALING.md recall table). nc sits at ≈√n for the test scales
+    (√500≈22, √2000≈45); at production n, re-size nc≈√n so
+    nprobe/nc — and with it the per-query fraction — keeps shrinking."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk_expr(
         emb,
         emb.where(F.col("vec_id") % 50 == 0),
         k=10,
-        n_centroids=16,
-        nprobe=8,
+        n_centroids=32,
+        nprobe=6,
     )
 
 
@@ -398,19 +427,25 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production default is ``impl='blas'`` (numpy per Arrow batch; same
     joins), pytest-pinned equal to the expr twin at sf0.01.
 
-    ``bands=8`` (4-bit bands) is the measured r3 operating point: the
-    driver's embeddings are near-random (ANN worst case — true neighbors
-    barely closer than noise), and SCALING.md's recall table shows
-    bands=4 → 0.41 recall@10 vs bands=8 → 1.00 at both SFs for a modest
-    candidate-set increase."""
+    Operating point (r4): nbits=40, bands=4 — 10-bit bands, a SELECTIVE
+    plan: measured candidate fraction 0.047-0.050 of the corpus per
+    query at both SFs (r3's 4-bit bands collided ~40% of unrelated
+    pairs structurally and scanned 94%), with planted-neighbor recall
+    1.0 on the clustered fixture (``tests/test_ann_clustered.py`` pins
+    both as regression floors). On the driver's isotropic-noise
+    embeddings recall@10 is 0.13-0.21 — the honest ANN worst case:
+    without a distance gap no selective point can recall there
+    (SCALING.md recall table), and a "high-recall" setting would just
+    be a disguised exhaustive scan. Exact top-k at small n is
+    ``sim_topk``."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(
         emb,
         emb.where(F.col("vec_id") % 50 == 0),
         dim=64,
         k=10,
-        nbits=32,
-        bands=8,
+        nbits=40,
+        bands=4,
         impl="expr",
     )
 
@@ -570,8 +605,12 @@ def q_text_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``text_word_histogram`` — corpus-wide top-100 word frequencies:
     explode → two-level aggregation (map-side partial count collapses
     each task's vocabulary before the shuffle) → deterministic top-k.
-    The canonical vocabulary-building pass of a training-data pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
+    The canonical vocabulary-building pass of a training-data pipeline.
+
+    ``spread=False``: split+explode is cheap relative to the exchange a
+    scan-spread adds (measured 0.72 → 0.39 s at sf0.1 — the r3 "bench
+    doubling" was the repartition, not the heavier data)."""
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     words = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
     ).where(F.col("word") != "")
@@ -1880,8 +1919,8 @@ EXTENDED_ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_embed": _DEDUP_EMBED_ORACLE,
     "sim_topk": _SIM_TOPK_ORACLE,
-    "sim_topk_lsh": _sim_lsh_oracle(nbits=32, bands=8),
-    "sim_topk_ivf": _sim_ivf_oracle(nprobe=8),
+    "sim_topk_lsh": _sim_lsh_oracle(nbits=40, bands=4),
+    "sim_topk_ivf": _sim_ivf_oracle(n_centroids=32, nprobe=6),
     "text_stats": _TEXT_STATS_ORACLE,
     "text_langid": _langid_oracle(),
     "text_quality": _TEXT_QUALITY_ORACLE,

@@ -338,12 +338,18 @@ def test_frame_sample_reconstructs_prefix(spark):
 
 
 def test_ann_recall_floors(spark):
-    """Measured-recall floors at the REGISTERED operating points (the
-    SCALING.md r3 recall table pins the full curves): LSH bands=8 must
-    recall ≥ 0.9 of exact top-10, the IVF expr twin at nprobe=8 ≥ 0.6 —
-    on the driver's near-random embeddings, the ANN worst case."""
+    """The REGISTERED operating points on the driver's near-random
+    embeddings — the ANN worst case, where selectivity and recall trade
+    off degenerately. What is pinned here: the points stay SELECTIVE
+    (candidate fraction ceilings — the r4 fix over r3's 0.94/0.50
+    near-exhaustive points) and keep their measured worst-case recall
+    (r4: LSH 0.13, IVF 0.45 at sf0.01). The floors that make these
+    points GOOD plans live in test_ann_clustered.py, on a corpus with
+    real neighbor structure."""
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    nq = queries.count()
 
     def topk_set(df):
         out: dict = {}
@@ -358,14 +364,22 @@ def test_ann_recall_floors(spark):
         num = sum(len(approx.get(q, set()) & e) for q, e in exact.items())
         return num / sum(len(e) for e in exact.values())
 
+    lsh_frac = S.lsh_probe_candidates(
+        emb, queries, dim=64, nbits=40, bands=4
+    ).count() / (nq * (n - 1))
+    assert lsh_frac <= 0.10
     lsh = topk_set(
-        S.lsh_topk(emb, queries, dim=64, k=10, nbits=32, bands=8)
+        S.lsh_topk(emb, queries, dim=64, k=10, nbits=40, bands=4)
     )
-    assert recall(lsh) >= 0.9
+    assert recall(lsh) >= 0.10
+    ivf_frac = S.ivf_probe_candidates(
+        emb, queries, n_centroids=32, nprobe=6
+    ).count() / (nq * (n - 1))
+    assert ivf_frac <= 0.25
     ivf = topk_set(
-        S.ivf_topk_expr(emb, queries, k=10, n_centroids=16, nprobe=8)
+        S.ivf_topk_expr(emb, queries, k=10, n_centroids=32, nprobe=6)
     )
-    assert recall(ivf) >= 0.6
+    assert recall(ivf) >= 0.35
 
 
 def test_query_collect_oom_guard(spark, monkeypatch):
