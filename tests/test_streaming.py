@@ -388,6 +388,82 @@ def test_session_state_recovers_across_restart(spark, tmp_path):
     assert end == dt.datetime(2022, 9, 29, 11, 30, 0)  # last event + 1200 s
 
 
+def test_foreach_batch_redelivers_failed_batch_with_same_id(spark, tmp_path):
+    """At-least-once across a KILL for ``snk_foreach_batch``: a batch
+    whose ``batch_fn`` dies mid-write (sink outage) is re-run after
+    restart from the checkpoint with the SAME ``batch_id`` and the SAME
+    rows — the redelivery contract the sink's docstring promises, and
+    what makes the documented idempotent-``batch_id`` consumer pattern
+    exactly-once downstream. Companion to the session-state recovery
+    gate above (which restarts between CLEAN runs)."""
+    from flink_audit_sessions_example_spark.streaming.pipeline import (
+        stream_denied_sessions,
+        write_foreach_batch,
+    )
+
+    d1 = tmp_path / "20220926"
+    d1.mkdir()
+    (d1 / "a.log").write_text(
+        "\n".join(
+            [
+                _line("alice", 0, 5, "2022-09-26 10:00:00.000"),
+                _line("alice", 0, 2, "2022-09-26 10:05:00.000"),
+                # allowed-only clock event 3 days on: watermark passes
+                # alice's session end, so some batch EMITS her session
+                _line("clock", 1, 1, "2022-09-29 12:00:00.000"),
+            ]
+        )
+        + "\n"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    cfg = _cfg(tmp_path)
+
+    attempts: list = []  # every (batch_id, rows) the sink fn ever saw
+    delivered: dict = {}  # idempotent consumer: keyed on batch_id
+    state = {"fail": True}
+
+    def fn(batch_df, batch_id):
+        rows = sorted(
+            (r["reqUser"], r["denies"]) for r in batch_df.collect()
+        )
+        attempts.append((batch_id, rows))
+        if state["fail"] and rows:
+            # die AFTER reading the batch, BEFORE the checkpoint commit
+            raise RuntimeError("injected sink outage")
+        if rows:
+            delivered.setdefault(batch_id, rows)
+
+    q1 = write_foreach_batch(
+        stream_denied_sessions(spark, cfg),
+        fn,
+        checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    with pytest.raises(Exception, match="injected sink outage"):
+        q1.awaitTermination(120)
+        if q1.exception() is not None:
+            raise q1.exception()
+    failed = [(b, r) for b, r in attempts if r]
+    assert len(failed) == 1  # the emitting batch died exactly once
+
+    state["fail"] = False
+    q2 = write_foreach_batch(
+        stream_denied_sessions(spark, cfg),
+        fn,
+        checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+
+    # redelivery: same batch_id, same rows, attempted exactly twice
+    emitting = [(b, r) for b, r in attempts if r]
+    assert len(emitting) == 2
+    assert emitting[0] == emitting[1] == failed[0]
+    assert emitting[0][1] == [("alice", 7)]
+    # the idempotent consumer saw the session exactly once
+    assert list(delivered.values()) == [[("alice", 7)]]
+
+
 def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     """``dedup_stream``: an at-least-once upstream re-delivers audit
     records (same `id`) in a later micro-batch; the watermark-bounded
