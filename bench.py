@@ -18,6 +18,11 @@ import sys
 import time
 
 
+#: Queries whose CONSTRUCTION runs Spark actions (iterative fixpoints) —
+#: timed construction-inclusive; everything else is timed exec-only.
+ITERATIVE_QUERIES = frozenset({"dedup_cluster"})
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -74,9 +79,23 @@ def main() -> int:
         best = float("inf")
         runs = 0
         while runs < 2 or (runs < 3 and best >= 1.0):
-            df = QUERIES[key](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            # Lazy plans: construction is driver-side Python/py4j
+            # expression building (measured up to ~2 s for the widest
+            # expression trees) that a real workload pays once per JOB,
+            # not per executed query — kept OUTSIDE the timer, as in
+            # r1-r3. ITERATIVE operators are the exception: their
+            # construction runs the actual fixpoint actions
+            # (dedup_cluster's label propagation), so for those the
+            # timer covers construction too — else the bench would time
+            # only a checkpoint read.
+            if key in ITERATIVE_QUERIES:
+                t0 = time.perf_counter()
+                df = QUERIES[key](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df = QUERIES[key](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             runs += 1
         timings[key] = round(best, 4)

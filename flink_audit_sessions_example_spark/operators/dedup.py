@@ -563,6 +563,94 @@ def minhash_near_dup_pairs(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """``dedup_cluster`` — connected components over a near-dup pair
+    graph: every doc in a component gets the component's MINIMUM doc id
+    as ``cluster_id`` (the deterministic canonical representative — the
+    survivor a dedup pipeline keeps; everything else in the cluster is
+    the removal set). This is the step that turns pairwise near-dup
+    output (``dedup_ngram`` / ``dedup_minhash``) into actionable
+    dedup groups: near-duplication is transitive in practice (A≈B≈C
+    chains), and pairs alone can't answer "which docs do I drop".
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes ``min(own label, min of neighbors' labels)``; converged when
+    a round changes nothing. Each round is ONE join (labels into the
+    symmetrized edge list, broadcast when the pair set is small) + ONE
+    min-aggregation — both keyed on doc id, so Catalyst reuses the
+    partitioning across rounds. Rounds needed = component diameter;
+    near-dup components are dense (clique-ish — members share most
+    shingles), so 2-3 rounds in practice. The known pathological case —
+    a long chain, diameter ~n — would need pointer-jumping
+    (label(label(x)), O(log n) rounds, 2× joins/round); not implemented
+    because a CHAIN of pairwise-0.5-similar docs is not a structure
+    near-dup graphs exhibit, and ``max_iters`` turns the pathology into
+    a loud error instead of a silent wrong answer.
+
+    The per-round convergence check is ONE driver-side count of changed
+    labels (an agg over |V| rows) — the standard price of any iterative
+    fixpoint on Spark (GraphX/GraphFrames pay the same). Each round's
+    labels are ``localCheckpoint``-ed: without it round k re-evaluates
+    all k-1 prior joins from scratch (lazy lineage), turning the loop
+    quadratic — the checkpoint makes every round O(1) joins and bounds
+    the plan depth, at the cost of caching O(|V|) label rows per round.
+
+    Output: ``(doc_id, cluster_id)`` for every doc that appears in at
+    least one pair (singletons are their own cluster trivially — left
+    out so the output size is O(near-dups), not O(corpus))."""
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    # checkpointed: the edge list joins into EVERY round — without this
+    # each round would re-run the (expensive) upstream pair pipeline
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} rounds — "
+            "component diameter exceeds max_iters (degenerate chain "
+            "graph); raise max_iters or pre-split the input"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -31,6 +31,10 @@ _FRONT_KEYS = [
     "decontaminate",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "dedup_cluster",
+    "rel_pivot",
+    "win_moving_avg",
+    "rel_window_share",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}

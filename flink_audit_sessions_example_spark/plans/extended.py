@@ -140,6 +140,41 @@ WHERE c / (sa.n + sb.n - c) >= 0.5
 """
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_cluster`` — connected components over the exact near-dup
+    pair graph (``dedup_ngram``'s output): every doc in a component is
+    labeled with the component's min doc id — the canonical survivor,
+    turning pairwise near-dup output into actionable "keep one, drop
+    the rest" groups (``operators/dedup.py::near_dup_clusters``:
+    iterative min-label propagation, checkpointed rounds, rounds =
+    component diameter ≈ 2-3 on clique-ish near-dup graphs). The DuckDB
+    oracle is the same fixpoint as a recursive transitive closure, so
+    the iterative Spark algorithm is hash-checked end-to-end."""
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+    return D.near_dup_clusters(pairs)
+
+
+_DEDUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_DEDUP_NGRAM_ORACLE}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src AS id, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_minhash`` — MinHash→LSH-band candidates→exact-Jaccard
     verify *of candidates only*, registered with the md5 two-hash affine
@@ -1847,6 +1882,152 @@ GROUP BY 1, 2
 """
 
 
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_pivot`` — PIVOT (crosstab): quantity totals per return flag
+    with one column per line status. Explicit pivot values (['F','O'])
+    keep the output schema static — the distributed contract (Spark with
+    implicit values runs an extra distinct scan to discover columns, and
+    the schema would depend on the data).
+
+    Plan: ``groupBy().pivot()`` compiles to the SAME single hash
+    aggregation as a conditional-sum projection (one shuffle, map-side
+    partials) — PIVOT is syntax, not a new operator, and the oracle says
+    it plainly with FILTER clauses. Sums are exact per-row DECIMAL; a
+    (flag, status) combination with no rows is NULL in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+_REL_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 2) AS qty_f,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 2) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_moving_avg`` — frame-based window aggregation (ROWS BETWEEN
+    4 PRECEDING AND CURRENT ROW): per-user 5-event moving average of the
+    event value — the rolling-metric class (none of the other window
+    queries exercise a bounded ROWS frame).
+
+    One exchange on ``user_id``, then the frame is evaluated in a single
+    sorted pass per partition (Spark's WindowExec keeps a sliding
+    buffer — state is O(frame), not O(partition)). Frame sums cast each
+    value to DECIMAL first: exact and order-independent, so the oracle
+    hash-matches without IEEE-order games; ties broken by ``event_id``
+    (unique) so frames are deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("mov_avg"),
+    )
+
+
+_WIN_MOVING_AVG_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w,
+         6) AS mov_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rel_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_window_share`` — ratio-to-report: each nation's share of its
+    REGION's revenue — a window aggregate OVER an aggregate result (the
+    two-level analytic class: heavy groupBy first, then a window on the
+    tiny aggregate output).
+
+    Plan: the revenue rollup is the expensive part (one shuffle of the
+    fact table keyed on custkey for the join, one hash agg); the window
+    then runs on ≤ |nations| rows — essentially free, no second big
+    exchange. Revenue sums are exact DECIMAL; the share is one double
+    division of two exact sums, identical in both engines."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                "_rev"
+            )
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double")
+            / F.sum("_rev").over(w).cast("double"),
+            6,
+        ).alias("region_share"),
+    )
+
+
+_REL_WINDOW_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(rev AS DOUBLE)
+               / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE),
+             6) AS region_share
+FROM rev
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1900,6 +2081,10 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_semi": q_join_semi,
     "rel_above_avg": q_rel_above_avg,
     "agg_multi_distinct": q_agg_multi_distinct,
+    "dedup_cluster": q_dedup_cluster,
+    "rel_pivot": q_rel_pivot,
+    "win_moving_avg": q_win_moving_avg,
+    "rel_window_share": q_rel_window_share,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -1950,4 +2135,8 @@ EXTENDED_ORACLES: dict[str, str] = {
     "join_semi": _JOIN_SEMI_ORACLE,
     "rel_above_avg": _REL_ABOVE_AVG_ORACLE,
     "agg_multi_distinct": _AGG_MULTI_DISTINCT_ORACLE,
+    "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
+    "rel_pivot": _REL_PIVOT_ORACLE,
+    "win_moving_avg": _WIN_MOVING_AVG_ORACLE,
+    "rel_window_share": _REL_WINDOW_SHARE_ORACLE,
 }

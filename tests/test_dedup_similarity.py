@@ -267,6 +267,44 @@ def test_ivf_topk_expr_planted_duplicates_and_recall(spark):
     assert hits / len(exact) >= 0.4
 
 
+def test_near_dup_clusters_components(spark):
+    """Transitive grouping: A-B and B-C pairs put all three in ONE
+    cluster labeled min(id); disconnected pairs get their own label;
+    singleton docs (no pairs) are absent from the output."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=2, id_b=5), Row(id_a=5, id_b=9), Row(id_a=20, id_b=30)]
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in D.near_dup_clusters(pairs).collect()
+    }
+    assert out == {2: 2, 5: 2, 9: 2, 20: 20, 30: 20}
+
+
+def test_near_dup_clusters_chain_converges(spark):
+    """A path graph (worst diameter per edge count) still converges to a
+    single component within max_iters."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n)]
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in D.near_dup_clusters(pairs, max_iters=n + 1).collect()
+    }
+    assert set(out) == set(range(n + 1))
+    assert set(out.values()) == {0}
+
+
+def test_near_dup_clusters_raises_past_max_iters(spark):
+    """Non-convergence is a loud error, not a silently-wrong labeling."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(10)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.near_dup_clusters(pairs, max_iters=2)
+
+
 def test_pnm_codec_roundtrip():
     """The dependency-free PNM codec is real: it parses headers it wrote,
     rejects garbage, and nearest-neighbor resize picks the exact pixels."""
