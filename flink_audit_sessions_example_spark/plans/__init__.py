@@ -35,6 +35,8 @@ _FRONT_KEYS = [
     "rel_pivot",
     "win_moving_avg",
     "rel_window_share",
+    "rel_promo_share",
+    "rel_top_suppliers",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}

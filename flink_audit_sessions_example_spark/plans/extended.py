@@ -2028,6 +2028,83 @@ FROM rev
 """
 
 
+def q_rel_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_promo_share`` — TPC-H Q14 shape: promo-type parts' share of
+    revenue, a conditional aggregate over a big⨝dim join reduced to ONE
+    row. ``part`` broadcast (dim); revenue = extprice·(1−disc) per row
+    in exact DECIMAL; the share is one double division of two exact
+    sums — bit-identical cross-engine without IEEE-order games."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+_REL_PROMO_SHARE_ORACLE = """
+SELECT ROUND(
+  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+  6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_rel_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_top_suppliers`` — revenue per supplier with nation name
+    (supplier and nation both broadcast dims), deterministic top-5 —
+    completes table coverage (every driver table now appears in at
+    least one registered query). Top-k plans as TakeOrderedAndProject
+    (per-partition top-k + single merge), never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("s_name").asc())
+        .limit(5)
+    )
+
+
+_REL_TOP_SUPPLIERS_ORACLE = """
+SELECT s_name, n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, s_name ASC
+LIMIT 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2085,6 +2162,8 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pivot": q_rel_pivot,
     "win_moving_avg": q_win_moving_avg,
     "rel_window_share": q_rel_window_share,
+    "rel_promo_share": q_rel_promo_share,
+    "rel_top_suppliers": q_rel_top_suppliers,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -2139,4 +2218,6 @@ EXTENDED_ORACLES: dict[str, str] = {
     "rel_pivot": _REL_PIVOT_ORACLE,
     "win_moving_avg": _WIN_MOVING_AVG_ORACLE,
     "rel_window_share": _REL_WINDOW_SHARE_ORACLE,
+    "rel_promo_share": _REL_PROMO_SHARE_ORACLE,
+    "rel_top_suppliers": _REL_TOP_SUPPLIERS_ORACLE,
 }

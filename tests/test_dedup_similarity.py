@@ -296,6 +296,53 @@ def test_near_dup_clusters_chain_converges(spark):
     assert set(out.values()) == {0}
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_near_dup_clusters_matches_union_find(spark, edges):
+    """Random graphs: the distributed label propagation must agree with
+    a reference union-find on every component labeling."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges]
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in D.near_dup_clusters(pairs, max_iters=40).collect()
+    }
+    assert got == expected
+
+
 def test_near_dup_clusters_raises_past_max_iters(spark):
     """Non-convergence is a loud error, not a silently-wrong labeling."""
     pairs = spark.createDataFrame(

@@ -88,6 +88,41 @@ def test_join_anti_builds_on_filtered_side(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to orders scan
 
 
+def test_pivot_is_one_agg_no_expand(spark):
+    """rel_pivot must compile to the same single hash aggregation a
+    conditional-sum projection would — PIVOT is syntax, not a plan
+    shape: no Expand, no join, one scan."""
+    plan = _plan(spark, "rel_pivot")
+    assert "Expand" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2  # tree line + detail block
+
+
+def test_window_share_broadcasts_dims_and_prunes(spark):
+    """rel_window_share: nation/region ride broadcast joins (never
+    shuffled); the window over the aggregate result must not add a
+    second scan of the fact table."""
+    plan = _plan(spark, "rel_window_share")
+    assert plan.count("BroadcastHashJoin") >= 2
+    # lineitem + orders + customer + nation + region, each printed twice
+    assert plan.count("Scan parquet") == 10
+    read = next(
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "lineitem" in plan[: plan.index(l)]
+    )
+    assert "l_comment" not in read
+
+
+def test_moving_avg_single_exchange(spark):
+    """win_moving_avg: one hashpartitioning exchange on user_id feeds the
+    window; no extra repartition or join."""
+    plan = _plan(spark, "win_moving_avg")
+    assert plan.count("Exchange") <= 2  # tree line + detail block
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_no_antipatterns_in_any_registered_plan(spark):
     """Fleet-wide invariant over ALL registered queries: no Cartesian
     product ever reaches a physical plan, and no row-at-a-time Python
