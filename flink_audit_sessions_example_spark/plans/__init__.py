@@ -37,6 +37,10 @@ _FRONT_KEYS = [
     "rel_window_share",
     "rel_promo_share",
     "rel_top_suppliers",
+    "win_range_frame",
+    "agg_approx_distinct",
+    # r4 spread=False plan change — keep a driver row this round
+    "text_word_histogram",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}

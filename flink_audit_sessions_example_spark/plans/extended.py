@@ -2105,6 +2105,57 @@ LIMIT 5
 """
 
 
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_range_frame`` — VALUE-based window frame (RANGE BETWEEN):
+    for each order, how many other orders the same customer placed
+    within ±30 days — the co-keyed interval-join class, expressed as a
+    range frame instead of a self-join (the self-join formulation would
+    shuffle orders twice and explode per-customer pairs; the window
+    reads each partition once with a sliding value-bounded buffer).
+
+    One exchange on ``o_custkey``; frames are value-bounded on the
+    epoch-seconds order date, so the result is deterministic even with
+    order-date ties (RANGE includes all peers — no tiebreaker needed,
+    unlike ROWS frames)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts)
+        .rangeBetween(-30 * 86400, 30 * 86400)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.count(F.lit(1)).over(w) - F.lit(1)).alias("n_nearby"),
+    )
+
+
+_WIN_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING)
+         - 1 AS n_nearby
+FROM orders
+"""
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``agg_approx_distinct`` — the HyperLogLog++ scale path for
+    grouped distinct counts (``operators/sketches.py``): fixed ~KB
+    register state per group, map-side mergeable — what replaces
+    ``COUNT(DISTINCT)``'s per-key shuffle at 100 TB.
+
+    Like ``rel_quantiles_approx``, NOT DuckDB-hash-checkable (register
+    layouts are engine-specific) — driver records a rows-only check;
+    the correctness contract is the rsd error bound pinned against the
+    exact twin in ``tests/test_sketches.py``."""
+    ev = load_table(spark, sf_dir, "events")
+    return K.approx_distinct_by(ev, ["event_type"], "user_id", rsd=0.05)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2164,6 +2215,8 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_window_share": q_rel_window_share,
     "rel_promo_share": q_rel_promo_share,
     "rel_top_suppliers": q_rel_top_suppliers,
+    "win_range_frame": q_win_range_frame,
+    "agg_approx_distinct": q_agg_approx_distinct,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -2220,4 +2273,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "rel_window_share": _REL_WINDOW_SHARE_ORACLE,
     "rel_promo_share": _REL_PROMO_SHARE_ORACLE,
     "rel_top_suppliers": _REL_TOP_SUPPLIERS_ORACLE,
+    "win_range_frame": _WIN_RANGE_FRAME_ORACLE,
+    # agg_approx_distinct: intentionally NO oracle (HLL registers are
+    # engine-specific) — rows-only driver check + pytest error bound
 }
