@@ -39,6 +39,7 @@ _FRONT_KEYS = [
     "rel_top_suppliers",
     "win_range_frame",
     "agg_approx_distinct",
+    "join_salted",
     # r4 spread=False plan change — keep a driver row this round
     "text_word_histogram",
 ]

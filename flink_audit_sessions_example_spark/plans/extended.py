@@ -2156,6 +2156,49 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.approx_distinct_by(ev, ["event_type"], "user_id", rsd=0.05)
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``join_salted`` — the manual skew-mitigation join
+    (``operators/skew.py::salted_join``): the big side's rows are spread
+    over 16 salt sub-keys and the lookup side is replicated per salt, so
+    one pathological hot key lands on 16 reducers instead of one. The
+    hash check pins the operator's correctness contract — the salted
+    formulation is ROW-IDENTICAL to the plain equi-join (the oracle IS
+    the plain join). At this test scale Catalyst broadcasts the tiny
+    replicated side (the salt is then free); the salted shape matters at
+    the broadcast-ineligible + AQE-can't-split corner documented in
+    operators/skew.py."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "suppkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "suppkey"
+    )
+    return (
+        salted_join(li, sup.select("suppkey", "s_name"), key_col="suppkey")
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+_JOIN_SALTED_ORACLE = """
+SELECT s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2217,6 +2260,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_top_suppliers": q_rel_top_suppliers,
     "win_range_frame": q_win_range_frame,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "join_salted": q_join_salted,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -2274,6 +2318,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "rel_promo_share": _REL_PROMO_SHARE_ORACLE,
     "rel_top_suppliers": _REL_TOP_SUPPLIERS_ORACLE,
     "win_range_frame": _WIN_RANGE_FRAME_ORACLE,
+    "join_salted": _JOIN_SALTED_ORACLE,
     # agg_approx_distinct: intentionally NO oracle (HLL registers are
     # engine-specific) — rows-only driver check + pytest error bound
 }
