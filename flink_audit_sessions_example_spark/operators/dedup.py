@@ -431,6 +431,21 @@ def minhash_near_dup_pairs(
     additionally caps verify-side posting lists (rarely needed once
     buckets are capped — candidate sets are already bounded).
 
+    Corpus-dependence of the verify cost (measured r4, driver sf0.1):
+    this synthetic word-salad corpus has high background shingle
+    overlap, so 91% of docs band-collide with SOMETHING (4537/5000
+    candidate docs, 17k distinct candidate pairs) and the doc-level
+    verify's pairs-from-postings emits ~1.15M pair rows. A
+    PAIR-restricted verify (join shingles through the explicit LSH pair
+    list) would bound that volume by pairs×shingles (~0.9M here — a
+    wash locally) at the cost of losing the "extra true pairs" property
+    above and a full oracle rewrite — not taken. On real corpora
+    background Jaccard is far lower, candidate docs ≪ corpus, and the
+    doc-level design keeps its intended sliver-verify shape; if a
+    production corpus shows this corpus's saturation, the knobs that
+    matter are ``max_bucket_size`` (already active) and more rows per
+    band (higher-precision bands at the S-curve's threshold cost).
+
     ``persist=True`` caches the two diamond nodes — the corpus keyed
     shingle rows and the per-doc signature table — at
     ``MEMORY_AND_DISK``. (The verify branch tokenizes the
