@@ -40,8 +40,11 @@ _FRONT_KEYS = [
     "win_range_frame",
     "agg_approx_distinct",
     "join_salted",
-    # r4 spread=False plan change — keep a driver row this round
+    "rel_stats_corr",
+    "rel_histogram_bins",
+    # r4 spread=False plan changes — keep driver rows this round
     "text_word_histogram",
+    "sim_topk",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}

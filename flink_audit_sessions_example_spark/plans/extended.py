@@ -2199,6 +2199,102 @@ GROUP BY s_name
 """
 
 
+def q_rel_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_stats_corr`` — grouped Pearson correlation
+    (quantity vs extended price per return flag), computed from EXACT
+    DECIMAL moment sums (n, Σx, Σy, Σx², Σy², Σxy) combined in double
+    at the very end.
+
+    Spark's built-in ``corr`` accumulates co-moments in DOUBLE — the
+    result depends on partial-aggregation order, so it can't be
+    hash-checked cross-engine (and at 100 TB it isn't even run-to-run
+    stable). The moment-sum formulation is algebraic over exact
+    decimals: order-independent, one hash agg with map-side partials,
+    and the final (identical) double arithmetic is the only IEEE step
+    in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    # product operands use the narrowest lossless widths (quantity ≤ 5
+    # digits, price ≤ 11) so the DECIMAL multiply fits both engines'
+    # 128-bit arithmetic (DuckDB overflows on (18,6)×(18,6))
+    xq = F.col("l_quantity").cast("decimal(9,3)")
+    yq = F.col("l_extendedprice").cast("decimal(14,3)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((xq * yq).cast("decimal(38,6)")).alias("sxy"),
+        F.sum((xq * xq).cast("decimal(38,6)")).alias("sxx"),
+        F.sum((yq * yq).cast("decimal(38,6)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )
+
+
+_REL_STATS_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(9,3)) * CAST(l_extendedprice AS DECIMAL(14,3)) AS DECIMAL(38,6))) AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(9,3)) * CAST(l_quantity AS DECIMAL(9,3)) AS DECIMAL(38,6))) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,3)) * CAST(l_extendedprice AS DECIMAL(14,3)) AS DECIMAL(38,6))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+         6) AS corr_qty_price
+FROM m
+"""
+
+
+def q_rel_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_histogram_bins`` — numeric binning (width_bucket class):
+    lineitem counts and exact revenue per fixed-width price bucket. A
+    scan-side integer projection feeding one hash agg — the
+    distribution-profiling pass every pipeline runs before choosing
+    partition bounds or clip thresholds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(10000.0)).cast("bigint")
+    return (
+        li.select(bucket.alias("price_bucket"), "l_extendedprice")
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+_REL_HISTOGRAM_BINS_ORACLE = """
+SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS price_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2261,6 +2357,8 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "win_range_frame": q_win_range_frame,
     "agg_approx_distinct": q_agg_approx_distinct,
     "join_salted": q_join_salted,
+    "rel_stats_corr": q_rel_stats_corr,
+    "rel_histogram_bins": q_rel_histogram_bins,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -2319,6 +2417,8 @@ EXTENDED_ORACLES: dict[str, str] = {
     "rel_top_suppliers": _REL_TOP_SUPPLIERS_ORACLE,
     "win_range_frame": _WIN_RANGE_FRAME_ORACLE,
     "join_salted": _JOIN_SALTED_ORACLE,
+    "rel_stats_corr": _REL_STATS_CORR_ORACLE,
+    "rel_histogram_bins": _REL_HISTOGRAM_BINS_ORACLE,
     # agg_approx_distinct: intentionally NO oracle (HLL registers are
     # engine-specific) — rows-only driver check + pytest error bound
 }
