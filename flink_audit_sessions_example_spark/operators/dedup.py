@@ -608,13 +608,19 @@ def near_dup_clusters(
     near-dup graphs exhibit, and ``max_iters`` turns the pathology into
     a loud error instead of a silent wrong answer.
 
-    The per-round convergence check is ONE driver-side count of changed
-    labels (an agg over |V| rows) — the standard price of any iterative
-    fixpoint on Spark (GraphX/GraphFrames pay the same). Each round's
-    labels are ``localCheckpoint``-ed: without it round k re-evaluates
-    all k-1 prior joins from scratch (lazy lineage), turning the loop
-    quadratic — the checkpoint makes every round O(1) joins and bounds
-    the plan depth, at the cost of caching O(|V|) label rows per round.
+    Cost model per round: ONE join (labels into the symmetrized edges,
+    keyed on doc id) + ONE min-aggregation; the convergence signal is a
+    ``changed`` flag FUSED into the same projection (labels only ever
+    decrease, so ``new < old`` is exact), counted with a cheap scan of
+    the just-checkpointed frame — no separate old-vs-new join. Round 1
+    is fused further: ``min(id, min(neighbors))`` is a single
+    aggregation over the edge list (every node appears as ``src`` in
+    the symmetrized edges), skipping the generic round's distinct +
+    two joins. Each round's labels are ``localCheckpoint``-ed: without
+    it round k re-evaluates all k-1 prior joins from scratch (lazy
+    lineage), turning the loop quadratic — the checkpoint makes every
+    round O(1) joins and bounds the plan depth, at the cost of caching
+    O(|V|) label rows per round.
 
     Output: ``(doc_id, cluster_id)`` for every doc that appears in at
     least one pair (singletons are their own cluster trivially — left
@@ -627,10 +633,17 @@ def near_dup_clusters(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
+    # round 1, fused: label = min(id, min(direct neighbors)) in one agg
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("nmin")).alias("label"),
+        )
+        .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for _ in range(max_iters - 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -642,17 +655,18 @@ def near_dup_clusters(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .select(
+                "id",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") < F.col("old_label")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("changed").count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     else:
