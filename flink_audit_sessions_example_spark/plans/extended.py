@@ -354,9 +354,13 @@ FROM ranked WHERE rank <= 10
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_embed`` — embedding-cosine near-dup pairs (cos ≥ 0.35;
-    exact at oracle scale, LSH path in ``sim_topk_lsh``)."""
+    exact at oracle scale, LSH path in ``sim_topk_lsh``).
+
+    ``spread=False``: the blocked-BLAS scorer repartitions internally by
+    block key, so a scan-spread exchange upstream is pure overhead
+    (measured 1.11 → 0.84 s at sf0.1)."""
     return S.cosine_pairs_above(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+        load_table(spark, sf_dir, "embeddings", spread=False), threshold=0.35
     )
 
 
@@ -473,7 +477,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALING.md recall table), and a "high-recall" setting would just
     be a disguised exhaustive scan. Exact top-k at small n is
     ``sim_topk``."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=False)
     return S.lsh_topk(
         emb,
         emb.where(F.col("vec_id") % 50 == 0),
@@ -668,9 +672,11 @@ LIMIT 100
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.with_fingerprint(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "fingerprint"
-    )
+    """``spread=False``: the rolling hash is one codegen expression — the
+    exchange costs more than the single-split compute (0.19 → 0.17 s)."""
+    return X.with_fingerprint(
+        load_table(spark, sf_dir, "documents", spread=False)
+    ).select("doc_id", "fingerprint")
 
 
 _TEXT_FINGERPRINT_ORACLE = """
@@ -687,8 +693,16 @@ FROM documents
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``multimodal_cols`` — binary payload + typed metadata, projected to
-    scalar metadata columns for the oracle (payload bytes stay opaque)."""
-    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    scalar metadata columns for the oracle (payload bytes stay opaque).
+
+    ``spread=False`` across the multimodal family: the payloads are
+    synthesized AFTER the scan, so the spread exchange moves only the
+    small text rows yet still pays a full round-robin shuffle; measured
+    0.61-0.82× without it (meta 0.65→0.48, decode 0.56→0.42,
+    resize 0.60→0.49, frames 0.38→0.23 s at sf0.1)."""
+    docs = M.with_binary_payload(
+        load_table(spark, sf_dir, "documents", spread=False)
+    )
     return docs.select(
         "doc_id",
         F.col("media_meta.media_type").alias("media_type"),
@@ -725,8 +739,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``with_pgm_payload``), parse its header back with the dependency-free
     PNM decoder in Arrow-batched ``mapInPandas``. The oracle reconstructs
     the same payload string in SQL and regex-parses the header, so the
-    decode is hash-checked end-to-end."""
-    docs = M.with_pgm_payload(load_table(spark, sf_dir, "documents"))
+    decode is hash-checked end-to-end. ``spread=False``: see
+    ``q_multimodal_meta``."""
+    docs = M.with_pgm_payload(
+        load_table(spark, sf_dir, "documents", spread=False)
+    )
     return M.decode_media(docs)
 
 
@@ -751,8 +768,11 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``multimodal_resize`` — REAL nearest-neighbor raster resize of the
     PGM payloads to 8×4 (``pnm_resize``); the payload bytes are ASCII so
     the oracle rebuilds the exact resized file with the same index
-    arithmetic and the result is hash-checked byte-for-byte."""
-    docs = M.with_pgm_payload(load_table(spark, sf_dir, "documents"))
+    arithmetic and the result is hash-checked byte-for-byte.
+    ``spread=False``: see ``q_multimodal_meta``."""
+    docs = M.with_pgm_payload(
+        load_table(spark, sf_dir, "documents", spread=False)
+    )
     return M.resize_media(docs, width=8, height=4).select(
         "doc_id",
         F.col("payload").cast("string").alias("payload_str"),
@@ -778,8 +798,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices), hex-encoded for oracle comparability: hex of a byte slice
     equals the slice of the hex string at 2× offsets, so parity is exact
     even for multi-byte utf-8 sequences split mid-character (DuckDB has
-    no blob substring; a string-cast comparison would need valid utf-8)."""
-    docs = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    no blob substring; a string-cast comparison would need valid utf-8).
+    ``spread=False``: see ``q_multimodal_meta``."""
+    docs = M.with_binary_payload(
+        load_table(spark, sf_dir, "documents", spread=False)
+    )
     return M.frame_sample(docs, stride=4).select(
         "doc_id",
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
@@ -1303,9 +1326,13 @@ PACK_SHARDS = 32
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``pack_sequences`` — context-window packing: docs fill
     512-token packs in id order within 32 hash shards (the sequential
-    region is one shard, so 1000 executors pack 1000 shards)."""
+    region is one shard, so 1000 executors pack 1000 shards).
+
+    ``spread=False``: the operator immediately repartitions by shard key,
+    so the scan-spread exchange is a second, redundant shuffle (measured
+    0.67 → 0.39 s at sf0.1)."""
     return C.pack_sequences(
-        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "documents", spread=False),
         budget=PACK_BUDGET,
         shards=PACK_SHARDS,
     )
@@ -1366,9 +1393,13 @@ FROM hits GROUP BY doc_id
 def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``cluster_profile`` — corpus composition by embedding cluster:
     nearest deterministic-seed centroid per vector (fold-exact argmax
-    projection), one hash agg; mean similarity via exact DECIMAL sums."""
+    projection), one hash agg; mean similarity via exact DECIMAL sums.
+
+    ``spread=False``: the argmax projection is codegen over ≤16 literal
+    centroids — scan-side work light enough that the spread exchange is
+    net negative (measured 0.87× without it at sf0.1)."""
     return S.cluster_profile(
-        load_table(spark, sf_dir, "embeddings"), n_centroids=16
+        load_table(spark, sf_dir, "embeddings", spread=False), n_centroids=16
     )
 
 
