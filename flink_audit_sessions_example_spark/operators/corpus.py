@@ -202,3 +202,81 @@ def decontaminate(
         hits.groupBy(F.col("id").alias(id_col))
         .agg(F.count_distinct("eval_id").alias("n_eval_hits"))
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    mode: str = "exact",
+) -> DataFrame:
+    """``domain_mix`` — resample the corpus to TARGET domain proportions:
+    the mixture step (à la Pile/Dolma mixing) that turns "whatever the
+    crawl yielded" into "30 % web, 20 % code, …" while keeping as much
+    data as the targets allow.
+
+    Given target weights ``w_d`` (need not sum to 1; unlisted domains are
+    dropped), the largest total consistent with the exact proportions is
+    ``t = min_d(count_d / w_d)``, and each domain keeps
+    ``quota_d = floor(w_d · t)`` documents. Which documents survive is
+    deterministic: the ``quota_d`` smallest md5 draws (full-hex string
+    order, doc id tie-break) — stable across runs, partitionings, and
+    engines, like :func:`stratified_sample`'s draw.
+
+    Two modes, same contract, different scale regime:
+
+    - ``mode='exact'`` — rank per domain with a ``row_number`` window and
+      keep ``rn ≤ quota``. Exact quotas; the window exchanges by domain,
+      so a dominant domain becomes one giant sorted partition — fine up
+      to mid scale, wrong shape for a 100 TB web-heavy corpus.
+    - ``mode='rate'`` — shuffle-free: keep rows whose draw falls below
+      ``quota_d / count_d`` of the draw space (binomially approximate
+      quotas, exact in expectation). This is the 100 TB path: a pure
+      filter, no exchange, at the cost of ±O(√quota) per-domain counts.
+
+    Both modes compute the per-domain quotas declaratively (two tiny
+    aggregates broadcast back) — no driver-side collect.
+    """
+    if mode not in ("exact", "rate"):
+        raise ValueError(f"mode must be 'exact' or 'rate', got {mode!r}")
+    w_map = F.create_map(
+        *[F.lit(x) for d, w in sorted(weights.items()) for x in (d, float(w))]
+    )
+    counts = (
+        df.where(F.col(domain_col).isin(*weights))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", w_map[F.col(domain_col)])
+    )
+    t = counts.agg(
+        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_t")
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(t))
+        .select(
+            F.col(domain_col).alias("_dom"),
+            F.floor(F.col("_w") * F.col("_t")).cast("bigint").alias("_quota"),
+            F.col("_n"),
+        )
+    )
+    draw = F.md5(F.col(id_col).cast("string"))
+    if mode == "exact":
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(domain_col).orderBy(draw, F.col(id_col))
+        ranked = df.select(
+            F.col(id_col), F.col(domain_col), F.row_number().over(w).alias("_rn")
+        )
+        kept = ranked.join(
+            F.broadcast(quotas), ranked[domain_col] == quotas["_dom"]
+        ).where(F.col("_rn") <= F.col("_quota"))
+    else:
+        thr = (
+            F.col("_quota").cast("double") / F.col("_n").cast("double")
+        ) * _DRAW_SPACE
+        kept = df.join(
+            F.broadcast(quotas), df[domain_col] == quotas["_dom"]
+        ).where(_sample_draw(F.col(id_col)) < thr)
+    return kept.select(F.col(id_col), F.col(domain_col))

@@ -767,3 +767,78 @@ def simhash_candidate_pairs(
         "id",
     )
     return _postings_pairs(keyed, "bkey", max_size=max_bucket_size).distinct()
+
+
+# --------------------------------------------------------------------------
+# Chunk-level (paragraph) dedup
+# --------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Sub-document exact dedup: drop repeated CHUNKS across the corpus,
+    keep each document's surviving text (the paragraph-dedup step of
+    RefinedWeb/Dolma-style pipelines, expressed over fixed-width word
+    chunks because the driver corpus has no paragraph breaks).
+
+    Semantics: each document's token stream is cut into consecutive
+    ``chunk_words``-word chunks (last chunk may be short). A chunk
+    survives iff it is the globally FIRST occurrence of its text, ordered
+    by ``(doc id, chunk index)`` — the deterministic survivor rule that
+    keeps original text for the earliest document and scrubs boilerplate
+    from later ones. Output per (non-empty) document: ``n_chunks``,
+    ``n_kept``, and ``text_kept`` (surviving chunks re-joined in order;
+    NULL when nothing survives).
+
+    Plan shape (scales linearly): chunking is a scan-side ``transform``
+    over the staged token array (no explode of words — one array op per
+    row), then ONE ``posexplode`` to chunk rows. First-occurrence is a
+    ``row_number`` window partitioned by the chunk text: high-cardinality
+    key, so the exchange spreads evenly (a boilerplate chunk repeated
+    millions of times makes one big partition — the same hot-key
+    phenomenon ``max_shingle_df`` caps for n-gram dedup; here the window
+    only ranks, so the sort within the hot key is the bound). The rebuild
+    is one hash agg by doc id with an in-row ``array_sort`` — no second
+    window.
+    """
+    from pyspark.sql.window import Window
+
+    c = chunk_words
+    words = _words(F.col(text_col))
+    n_chunks = F.floor((F.size(words) + (c - 1)) / F.lit(c)).cast("int")
+    idx = F.when(
+        F.size(words) > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunk_arr = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i * c + 1, c), " ")
+    )
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunk_arr).alias("chunk_idx", "chunk_text"),
+    )
+    w = Window.partitionBy("chunk_text").orderBy("id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("chunk_idx", "chunk_text")
+    )
+    out = ranked.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+        F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+    )
+    return out.select(
+        id_col,
+        "n_chunks",
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["chunk_text"]), " "
+            ),
+        ).alias("text_kept"),
+    )

@@ -448,3 +448,56 @@ def hashed_shingle_rows(
     return df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).mapInPandas(gen, "id long, k1 long, k2 long")
+
+
+def corpus_freq_score(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram corpus-frequency quality score — the hash-checkable core of
+    LM-based quality filtering: score each document by how "typical" its
+    tokens are under the corpus's own unigram distribution.
+
+    ``freq_score = (Σ_w c_doc(w) · c_corpus(w)) / (n_tokens · total)`` —
+    the document's mean corpus unigram probability. Common-word documents
+    score high; rare-token / garbage documents score low (the same signal
+    a unigram LM's mean probability gives; a log-prob/perplexity variant
+    is the identical plan with ``log`` applied in the final projection —
+    kept out of the REGISTERED contract because distributed double
+    summation of logs is partial-order dependent, while this formulation
+    aggregates only BIGINT counts and performs exactly one double division
+    per row at the end: bit-identical on any engine, any partitioning).
+
+    Plan shape: one tokenize+explode pass feeds both (a) per-(doc, word)
+    counts and (b) the corpus vocabulary counts; the score join is
+    per-(doc, DISTINCT word) — pre-aggregating before the join keeps the
+    join input at distinct-words-per-doc, not token occurrences, exactly
+    the hot-token (Zipf) skew mitigation a 100 TB run needs since repeated
+    stopwords collapse into one row per document before any exchange. The
+    vocabulary side is Zipf-small relative to the corpus (≤ low hundreds
+    of millions of rows at web scale) and joins by word; AQE broadcasts
+    it at test scale.
+    """
+    wd = _with_words(df, text_col).select(
+        F.col(id_col).alias("id"), F.explode(F.col(_WORDS)).alias("w")
+    )
+    doc_counts = wd.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = wd.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    total = vocab.agg(F.sum("cf").alias("total"))
+    scored = (
+        doc_counts.join(vocab, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("cf")).alias("_wsum"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.col("_wsum").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("freq_score"),
+    )

@@ -42,9 +42,24 @@ _FRONT_KEYS = [
     "join_salted",
     "rel_stats_corr",
     "rel_histogram_bins",
+    # r4 new queries
+    "dedup_chunk",
+    "text_corpus_freq",
+    "domain_mix",
+    "join_range",
     # r4 spread=False plan changes — keep driver rows this round
     "text_word_histogram",
     "sim_topk",
+    "dedup_exact",
+    "dedup_count",
+    "dedup_embed",
+    "cluster_profile",
+    "text_fingerprint",
+    "pack_sequences",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}

@@ -2326,6 +2326,184 @@ GROUP BY 1
 """
 
 
+def q_dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_chunk`` — sub-document (paragraph-level) exact dedup:
+    repeated 20-word chunks are scrubbed corpus-wide, keeping the first
+    occurrence by (doc id, chunk index); see
+    ``operators/dedup.py::chunk_dedup`` for the plan-shape rationale."""
+    return D.chunk_dedup(
+        load_table(spark, sf_dir, "documents"), chunk_words=20
+    )
+
+
+_DEDUP_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id AS id, {_SQL_WORDS} AS words FROM documents
+), ch AS (
+  SELECT id, i AS chunk_idx,
+         array_to_string(words[i*20+1 : i*20+20], ' ') AS chunk_text
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0,
+        CAST(ceil(len(words) / 20.0) AS INT) - 1)) AS i
+  ) s
+), r AS (
+  SELECT id, chunk_idx, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY chunk_text
+                            ORDER BY id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                  ORDER BY chunk_idx) AS text_kept
+FROM r GROUP BY id
+"""
+
+
+def q_text_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_corpus_freq`` — unigram-LM-style quality score: each
+    document's mean corpus unigram probability, aggregated entirely in
+    BIGINT so the score is order-independent and hash-checkable; see
+    ``operators/text.py::corpus_freq_score``."""
+    return X.corpus_freq_score(load_table(spark, sf_dir, "documents"))
+
+
+_TEXT_CORPUS_FREQ_ORACLE = f"""
+WITH wd AS (
+  SELECT doc_id AS id, unnest({_SQL_WORDS}) AS w FROM documents
+), dv AS (
+  SELECT id, w, COUNT(*) AS c FROM wd GROUP BY 1, 2
+), v AS (
+  SELECT w, COUNT(*) AS cf FROM wd GROUP BY 1
+), t AS (
+  SELECT COUNT(*) AS total FROM wd
+)
+SELECT dv.id AS doc_id,
+       CAST(SUM(dv.c) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(dv.c * v.cf) AS DOUBLE)
+             / (CAST(SUM(dv.c) AS DOUBLE)
+                * CAST(ANY_VALUE(t.total) AS DOUBLE)), 6) AS freq_score
+FROM dv JOIN v USING (w) CROSS JOIN t
+GROUP BY dv.id
+"""
+
+
+#: Target language proportions for the registered ``domain_mix`` query —
+#: deliberately different from the corpus's natural mix so every domain
+#: is actually resampled (en is downweighted, the rest upweighted).
+DOMAIN_MIX_WEIGHTS = {
+    "en": 0.30,
+    "zh": 0.20,
+    "es": 0.20,
+    "de": 0.15,
+    "fr": 0.15,
+}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``domain_mix`` — resample to target language proportions
+    (Pile/Dolma-style mixture): quotas = floor(w·t) with
+    t = min(count/w), survivors = smallest md5 draws per domain; see
+    ``operators/corpus.py::domain_mix`` (mode='exact' registered for the
+    oracle; mode='rate' is the shuffle-free 100 TB path, equality-tested
+    in expectation in tests)."""
+    return C.domain_mix(
+        load_table(spark, sf_dir, "documents"),
+        domain_col="lang",
+        weights=DOMAIN_MIX_WEIGHTS,
+        mode="exact",
+    )
+
+
+def _domain_mix_oracle(weights: dict[str, float]) -> str:
+    vals = ", ".join(f"('{d}', {w!r})" for d, w in sorted(weights.items()))
+    return f"""
+WITH wts(lang, w) AS (VALUES {vals}),
+c AS (
+  SELECT d.lang, COUNT(*) AS n FROM documents d
+  JOIN wts ON d.lang = wts.lang GROUP BY 1
+),
+t AS (
+  SELECT MIN(CAST(c.n AS DOUBLE) / wts.w) AS t
+  FROM c JOIN wts ON c.lang = wts.lang
+),
+q AS (
+  SELECT wts.lang, CAST(FLOOR(wts.w * t.t) AS BIGINT) AS quota
+  FROM wts CROSS JOIN t
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM r JOIN q ON r.lang = q.lang
+WHERE r.rn <= q.quota
+"""
+
+
+#: Non-uniform price bands for the registered range join — an interval
+#: dimension, not a computable bucket (contrast ``rel_histogram_bins``).
+PRICE_BANDS = [
+    (0, 0.0, 20_000.0),
+    (1, 20_000.0, 40_000.0),
+    (2, 40_000.0, 60_000.0),
+    (3, 60_000.0, 80_000.0),
+    (4, 80_000.0, 95_000.0),
+    (5, 95_000.0, 200_000.0),
+]
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``join_range`` — interval (range) join: fact rows matched to a
+    small dimension of [lo, hi) intervals, the band/tier/SLA-window join
+    Spark has no native operator for.
+
+    Plan: the interval table is tiny → ``broadcast`` + non-equi
+    predicate, which Catalyst executes as a BroadcastNestedLoopJoin:
+    each fact row tests B interval predicates locally, no shuffle of the
+    fact side at all — the right plan while B is small. For large
+    interval tables the standard rewrite is an equi-join prefilter on an
+    overlapping bucket key (bucket width ≥ max interval width) with the
+    range predicate as a residual — same output, broadcastable buckets;
+    documented here, not needed for a bands dimension. The aggregation
+    after the join is an exact-DECIMAL rollup per band."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band_id int, lo double, hi double"
+    )
+    price = F.col("l_extendedprice")
+    joined = li.join(
+        F.broadcast(bands), (price >= F.col("lo")) & (price < F.col("hi"))
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(price.cast("decimal(18,6)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def _join_range_oracle(bands: list[tuple[int, float, float]]) -> str:
+    vals = ", ".join(f"({b}, {lo!r}, {hi!r})" for b, lo, hi in bands)
+    return f"""
+SELECT b.band_id,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE),
+             2) AS revenue
+FROM lineitem l
+JOIN (VALUES {vals}) AS b(band_id, lo, hi)
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2390,6 +2568,10 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_salted": q_join_salted,
     "rel_stats_corr": q_rel_stats_corr,
     "rel_histogram_bins": q_rel_histogram_bins,
+    "dedup_chunk": q_dedup_chunk,
+    "text_corpus_freq": q_text_corpus_freq,
+    "domain_mix": q_domain_mix,
+    "join_range": q_join_range,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -2450,6 +2632,10 @@ EXTENDED_ORACLES: dict[str, str] = {
     "join_salted": _JOIN_SALTED_ORACLE,
     "rel_stats_corr": _REL_STATS_CORR_ORACLE,
     "rel_histogram_bins": _REL_HISTOGRAM_BINS_ORACLE,
+    "dedup_chunk": _DEDUP_CHUNK_ORACLE,
+    "text_corpus_freq": _TEXT_CORPUS_FREQ_ORACLE,
+    "domain_mix": _domain_mix_oracle(DOMAIN_MIX_WEIGHTS),
+    "join_range": _join_range_oracle(PRICE_BANDS),
     # agg_approx_distinct: intentionally NO oracle (HLL registers are
     # engine-specific) — rows-only driver check + pytest error bound
 }

@@ -157,3 +157,109 @@ def test_cluster_profile_partitions_the_corpus(spark):
     # seed vectors sit in their own cluster with sim 1 to themselves, so
     # every cluster's mean stays meaningfully positive on random data
     assert all(r.n_vectors >= 1 for r in out)
+
+
+def test_domain_mix_exact_quotas_and_proportions(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    weights = {"en": 0.3, "zh": 0.2, "es": 0.2, "de": 0.15, "fr": 0.15}
+    kept = C.domain_mix(docs, domain_col="lang", weights=weights).cache()
+    by_dom = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    t = min(counts[d] / w for d, w in weights.items())
+    for d, w in weights.items():
+        assert by_dom.get(d, 0) == int(w * t)  # exact quota per domain
+    # deterministic: re-running yields the identical id set
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in C.domain_mix(
+            docs, domain_col="lang", weights=weights
+        ).collect()
+    )
+    assert ids1 == ids2
+    kept.unpersist()
+
+
+def test_domain_mix_rate_mode_approximates_quotas(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    weights = {"en": 0.3, "zh": 0.2, "es": 0.2, "de": 0.15, "fr": 0.15}
+    exact = C.domain_mix(docs, domain_col="lang", weights=weights)
+    rate = C.domain_mix(docs, domain_col="lang", weights=weights, mode="rate")
+    e = {r["lang"]: r["n"] for r in exact.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    r_ = {r["lang"]: r["n"] for r in rate.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # binomial approximation: within 4·√quota of the exact quota
+    for d, q in e.items():
+        assert abs(r_.get(d, 0) - q) <= 4 * max(q, 1) ** 0.5
+    # the rate plan must be shuffle-free on the corpus side: no window
+    plan = rate._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_domain_mix_rejects_bad_mode(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="mode"):
+        C.domain_mix(docs, domain_col="lang", weights={"en": 1.0}, mode="nope")
+
+
+def test_chunk_dedup_scrubs_planted_duplicates(spark):
+    from flink_audit_sessions_example_spark.operators import dedup as D
+
+    chunk = " ".join(f"w{i}" for i in range(20))  # one full chunk
+    rows = [
+        Row(doc_id=1, text=chunk + " unique one"),
+        Row(doc_id=2, text=chunk + " other tail"),  # chunk repeated
+        Row(doc_id=3, text="totally distinct text"),
+        Row(doc_id=4, text="   "),  # whitespace-only: no chunks, no row
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in D.chunk_dedup(
+            spark.createDataFrame(rows), chunk_words=20
+        ).collect()
+    }
+    assert 4 not in out
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_kept"] == chunk + " unique one"
+    # doc 2 loses the repeated leading chunk, keeps its short tail
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_kept"] == "other tail"
+    assert out[3]["n_kept"] == 1 and out[3]["text_kept"] == "totally distinct text"
+
+
+def test_chunk_dedup_all_chunks_duplicated_yields_null_text(spark):
+    from flink_audit_sessions_example_spark.operators import dedup as D
+
+    body = " ".join(f"t{i}" for i in range(40))  # exactly two chunks
+    rows = [Row(doc_id=10, text=body), Row(doc_id=11, text=body)]
+    out = {
+        r["doc_id"]: r
+        for r in D.chunk_dedup(
+            spark.createDataFrame(rows), chunk_words=20
+        ).collect()
+    }
+    assert out[10]["n_kept"] == 2 and out[10]["text_kept"] == body
+    assert out[11]["n_kept"] == 0 and out[11]["text_kept"] is None
+
+
+def test_corpus_freq_score_orders_common_above_rare(spark):
+    rows = [
+        Row(doc_id=1, text="the the the the"),      # most common token
+        Row(doc_id=2, text="the the rare1 rare2"),  # mixed
+        Row(doc_id=3, text="zq1 zq2 zq3 zq4"),      # all singletons
+        Row(doc_id=4, text=""),                     # no tokens: excluded
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in X.corpus_freq_score(spark.createDataFrame(rows)).collect()
+    }
+    assert 4 not in out
+    assert out[1]["freq_score"] > out[2]["freq_score"] > out[3]["freq_score"]
+    assert out[1]["n_tokens"] == 4
+    # exact arithmetic: 'the' occurs 6 times of 12 tokens → 6/12 = 0.5
+    assert out[1]["freq_score"] == 0.5
