@@ -156,7 +156,13 @@ def probe() -> None:
         "sim_topk_lsh",
         "sim_topk_ivf",
         "cluster_profile",
+        "dedup_chunk",
+        "text_corpus_freq",
+        "domain_mix",
     ]
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--keys=")]
+    if only:
+        keys = [k for k in only[0].split(",") if k in keys]
     # iterative operators run their fixpoint actions during construction
     # (bench.py::ITERATIVE_QUERIES) — time construction too for those
     construction_timed = {"dedup_cluster"}
