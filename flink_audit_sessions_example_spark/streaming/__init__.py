@@ -8,6 +8,7 @@ sink dispatch (console / Kafka / memory), and the query lifecycle
 """
 
 from .custom_state import audit_denied_sessions_custom_state
+from .joins import denied_near_allowed, stream_interval_join
 from .pipeline import (
     start_session_query,
     stream_denied_sessions,
@@ -18,6 +19,8 @@ from .pipeline import (
 
 __all__ = [
     "audit_denied_sessions_custom_state",
+    "denied_near_allowed",
+    "stream_interval_join",
     "stream_denied_sessions",
     "start_session_query",
     "write_console",

@@ -528,3 +528,53 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
         stream_dedup(audits, ["id"])
     unbounded = stream_dedup(audits, ["id"], allow_unbounded_state=True)
     assert unbounded.isStreaming
+
+
+def test_stream_stream_interval_join_matches_batch(spark, audit_tree, tmp_path):
+    """Watermarked stream-stream interval join (denied ⋈ allowed within
+    ±20 min per user) produces exactly the pairs the equivalent batch
+    join computes over the same files."""
+    from flink_audit_sessions_example_spark.sources import read_audits, stream_audits
+    from flink_audit_sessions_example_spark.streaming.joins import (
+        denied_near_allowed,
+    )
+
+    stream = denied_near_allowed(
+        stream_audits(spark, str(audit_tree), min_date="20220101")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["reqUser"], r["denied_time"], r["allowed_time"])
+        for r in spark.table("ssj").collect()
+    }
+
+    batch = read_audits(spark, str(audit_tree), min_date="20220101")
+    d = batch.where("result != 1").selectExpr(
+        "reqUser", "evtTime as denied_time"
+    )
+    a = batch.where("result = 1").selectExpr(
+        "reqUser as u2", "evtTime as allowed_time"
+    )
+    import pyspark.sql.functions as F
+
+    expected = {
+        (r["reqUser"], r["denied_time"], r["allowed_time"])
+        for r in d.join(
+            a,
+            (d.reqUser == a.u2)
+            & (a.allowed_time >= d.denied_time - F.expr("INTERVAL 1200 SECONDS"))
+            & (a.allowed_time <= d.denied_time + F.expr("INTERVAL 1200 SECONDS")),
+        ).collect()
+    }
+    assert got == expected
+    # the fixture guarantees at least one cross-result pair (wdyson's
+    # denied 10:00 event within 20 min of the 10:10 allowed event)
+    assert any(u == "wdyson" for u, _, _ in got)
