@@ -236,11 +236,15 @@ def domain_mix(
       quotas, exact in expectation). This is the 100 TB path: a pure
       filter, no exchange, at the cost of ±O(√quota) per-domain counts.
 
-    Both modes compute the per-domain quotas declaratively (two tiny
-    aggregates broadcast back) — no driver-side collect.
+    The per-domain quotas are computed declaratively — one tiny count
+    aggregate, with ``t = min(n/w)`` as an unpartitioned window over its
+    ≤ |domains| rows (no self-join, no second corpus scan, no driver
+    collect) — then broadcast into the corpus-side filter.
     """
     if mode not in ("exact", "rate"):
         raise ValueError(f"mode must be 'exact' or 'rate', got {mode!r}")
+    from pyspark.sql.window import Window
+
     w_map = F.create_map(
         *[F.lit(x) for d, w in sorted(weights.items()) for x in (d, float(w))]
     )
@@ -250,16 +254,17 @@ def domain_mix(
         .agg(F.count(F.lit(1)).alias("_n"))
         .withColumn("_w", w_map[F.col(domain_col)])
     )
-    t = counts.agg(
-        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_t")
+    # min over ALL domains as a global window: ≤ |domains| rows reach the
+    # single window partition, and `counts` stays one lineage (a
+    # crossJoin with a separate min-aggregate would evaluate the corpus
+    # count subtree twice)
+    t_win = F.min(F.col("_n").cast("double") / F.col("_w")).over(
+        Window.partitionBy()
     )
-    quotas = (
-        counts.crossJoin(F.broadcast(t))
-        .select(
-            F.col(domain_col).alias("_dom"),
-            F.floor(F.col("_w") * F.col("_t")).cast("bigint").alias("_quota"),
-            F.col("_n"),
-        )
+    quotas = counts.select(
+        F.col(domain_col).alias("_dom"),
+        F.floor(F.col("_w") * t_win).cast("bigint").alias("_quota"),
+        F.col("_n"),
     )
     draw = F.md5(F.col(id_col).cast("string"))
     if mode == "exact":

@@ -808,8 +808,15 @@ def chunk_dedup(
     """
     from pyspark.sql.window import Window
 
+    from .text import _WORDS, _with_words
+
     c = chunk_words
-    words = _words(F.col(text_col))
+    # stage the token array as an ATTRIBUTE: referencing the split
+    # expression inside the transform lambda would re-tokenize the
+    # document once per chunk (the O(words²) HOF inlining pathology
+    # documented in operators/text.py::_with_words)
+    staged = _with_words(df, text_col)
+    words = F.col(_WORDS)
     n_chunks = F.floor((F.size(words) + (c - 1)) / F.lit(c)).cast("int")
     idx = F.when(
         F.size(words) > 0, F.sequence(F.lit(0), n_chunks - 1)
@@ -817,7 +824,7 @@ def chunk_dedup(
     chunk_arr = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i * c + 1, c), " ")
     )
-    chunks = df.select(
+    chunks = staged.select(
         F.col(id_col).alias("id"),
         F.posexplode(chunk_arr).alias("chunk_idx", "chunk_text"),
     )

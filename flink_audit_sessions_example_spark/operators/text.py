@@ -467,12 +467,15 @@ def corpus_freq_score(
     aggregates only BIGINT counts and performs exactly one double division
     per row at the end: bit-identical on any engine, any partitioning).
 
-    Plan shape: one tokenize+explode pass feeds both (a) per-(doc, word)
-    counts and (b) the corpus vocabulary counts; the score join is
-    per-(doc, DISTINCT word) — pre-aggregating before the join keeps the
-    join input at distinct-words-per-doc, not token occurrences, exactly
-    the hot-token (Zipf) skew mitigation a 100 TB run needs since repeated
-    stopwords collapse into one row per document before any exchange. The
+    Plan shape: ONE tokenize+explode pass, aggregated to per-(doc,
+    DISTINCT word) counts; the vocabulary and the corpus total are both
+    DERIVED from that aggregate (re-aggregations of its tiny output, not
+    second corpus scans — AQE's ReuseExchange computes the shared
+    subtree once, asserted in tests/test_plans.py). Pre-aggregating
+    before the vocabulary join also keeps the join input at
+    distinct-words-per-doc, not token occurrences — the hot-token (Zipf)
+    skew mitigation a 100 TB run needs, since repeated stopwords
+    collapse into one row per document before any exchange. The
     vocabulary side is Zipf-small relative to the corpus (≤ low hundreds
     of millions of rows at web scale) and joins by word; AQE broadcasts
     it at test scale.
@@ -481,7 +484,7 @@ def corpus_freq_score(
         F.col(id_col).alias("id"), F.explode(F.col(_WORDS)).alias("w")
     )
     doc_counts = wd.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
-    vocab = wd.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    vocab = doc_counts.groupBy("w").agg(F.sum("c").alias("cf"))
     total = vocab.agg(F.sum("cf").alias("total"))
     scored = (
         doc_counts.join(vocab, "w")

@@ -196,9 +196,11 @@ def test_domain_mix_rate_mode_approximates_quotas(spark):
     # binomial approximation: within 4·√quota of the exact quota
     for d, q in e.items():
         assert abs(r_.get(d, 0) - q) <= 4 * max(q, 1) ** 0.5
-    # the rate plan must be shuffle-free on the corpus side: no window
+    # the rate plan must be shuffle-free on the corpus side: no per-row
+    # ranking window (the only Window allowed is the min-over-counts
+    # quota computation on the tiny domain-count side)
     plan = rate._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    assert "row_number" not in plan, plan
 
 
 def test_domain_mix_rejects_bad_mode(spark):

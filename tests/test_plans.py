@@ -141,3 +141,15 @@ def test_no_antipatterns_in_any_registered_plan(spark):
         if bad:
             offenders[key] = bad
     assert not offenders, offenders
+
+
+def test_corpus_freq_reuses_the_tokenize_subtree(spark):
+    """corpus_freq_score derives vocabulary and total from the per-(doc,
+    word) aggregate; at runtime AQE's ReuseExchange must compute that
+    shared subtree once instead of re-scanning the corpus per branch."""
+    from flink_audit_sessions_example_spark.plans import QUERIES
+
+    df = QUERIES["text_corpus_freq"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
