@@ -849,3 +849,48 @@ def chunk_dedup(
             ),
         ).alias("text_kept"),
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    *,
+    key_cols: "list[str]",
+    order_cols: "list[str]",
+    payload_cols: "list[str]",
+) -> DataFrame:
+    """``xform_compact`` — log compaction / CDC upsert collapse: keep each
+    key's LATEST record, ordered by ``order_cols`` (e.g. event time, with
+    a unique id as tiebreak). The operator class behind changelog →
+    snapshot materialization, "current state per user", and
+    keep-newest-version dedup of re-crawled documents.
+
+    Plan: ONE aggregation of ``max(struct(order_cols ⧺ payload_cols))``
+    keyed on ``key_cols`` — struct comparison is lexicographic by field
+    order, so the max IS the latest record and the payload rides along
+    in the same comparison. Spark executes this as a SortAggregate
+    (struct aggregation buffers are not hash-agg mutable; ``max_by``
+    hits the same fallback), but the partial aggregate still runs
+    SCAN-SIDE: each task sorts only its own scan batch by key and
+    emits one row per key before the single exchange, so shuffle volume
+    is O(distinct keys), not O(rows). At 100 TB this beats the textbook
+    ``row_number() OVER (PARTITION BY key ORDER BY ... DESC) = 1``
+    window, which must shuffle EVERY row and then sort each key's full
+    history on one task (the hot-key hazard); here hot keys collapse
+    scan-side and no task ever holds more than its scan batch.
+
+    Determinism contract: callers must make ``order_cols`` total (append
+    a unique id after the event-time column) — otherwise ties fall
+    through to PAYLOAD comparison and the "latest" pick, while stable,
+    is semantically arbitrary. Rows with NULL in ``order_cols`` sort
+    below non-NULL under Spark struct comparison but are dropped
+    entirely by ``max`` only when every struct field is NULL; filter
+    NULL-ordered rows upstream if the source allows them.
+    """
+    packed = F.struct(
+        *[F.col(c) for c in order_cols], *[F.col(c) for c in payload_cols]
+    )
+    agg = df.groupBy(*key_cols).agg(F.max(packed).alias("_latest"))
+    return agg.select(
+        *key_cols,
+        *[F.col(f"_latest.{c}").alias(c) for c in (*order_cols, *payload_cols)],
+    )

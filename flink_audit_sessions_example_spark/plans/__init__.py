@@ -47,6 +47,7 @@ _FRONT_KEYS = [
     "text_corpus_freq",
     "domain_mix",
     "join_range",
+    "xform_compact",
     # r4 spread=False plan changes — keep driver rows this round
     "text_word_histogram",
     "sim_topk",

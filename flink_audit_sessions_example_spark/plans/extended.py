@@ -2545,6 +2545,37 @@ GROUP BY b.band_id
 """
 
 
+def q_xform_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``xform_compact`` — log compaction / CDC upsert collapse: each
+    user's latest event (changelog → current-state materialization).
+    ``operators/dedup.py::latest_by_key``: ONE ``max(struct)``
+    aggregation keyed on user — scan-side partials collapse each task to
+    one row per key, shuffle volume O(keys) not O(rows), no full-history
+    sort on any task (see the operator docstring for the SortAggregate
+    fallback analysis). Order is total (ts, then unique event_id), so
+    the pick is deterministic and the DuckDB ``row_number() = 1`` twin
+    matches exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return D.latest_by_key(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+    )
+
+
+_XFORM_COMPACT_ORACLE = """
+SELECT user_id, ts, event_id, event_type, value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2613,6 +2644,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_corpus_freq": q_text_corpus_freq,
     "domain_mix": q_domain_mix,
     "join_range": q_join_range,
+    "xform_compact": q_xform_compact,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -2677,6 +2709,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "text_corpus_freq": _TEXT_CORPUS_FREQ_ORACLE,
     "domain_mix": _domain_mix_oracle(DOMAIN_MIX_WEIGHTS),
     "join_range": _join_range_oracle(PRICE_BANDS),
+    "xform_compact": _XFORM_COMPACT_ORACLE,
     # agg_approx_distinct: intentionally NO oracle (HLL registers are
     # engine-specific) — rows-only driver check + pytest error bound
 }

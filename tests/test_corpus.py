@@ -265,3 +265,64 @@ def test_corpus_freq_score_orders_common_above_rare(spark):
     assert out[1]["n_tokens"] == 4
     # exact arithmetic: 'the' occurs 6 times of 12 tokens → 6/12 = 0.5
     assert out[1]["freq_score"] == 0.5
+
+
+def test_latest_by_key_planted_fixture(spark):
+    """Compaction picks (ts, tiebreak)-max per key, keys with a single
+    record pass through, and the payload never decides the winner."""
+    import datetime as dt
+
+    from flink_audit_sessions_example_spark.operators.dedup import latest_by_key
+
+    t = dt.datetime
+    rows = [
+        # u1: later ts wins regardless of payload sort order
+        (1, t(2024, 1, 1, 10), 1, "zzz", 9.0),
+        (1, t(2024, 1, 2, 10), 2, "aaa", 1.0),
+        # u2: ts tie -> higher event_id wins
+        (2, t(2024, 3, 1, 0), 10, "first", 5.0),
+        (2, t(2024, 3, 1, 0), 11, "second", 6.0),
+        # u3: single record
+        (3, t(2024, 5, 5, 5), 20, "only", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    out = {
+        r["user_id"]: r
+        for r in latest_by_key(
+            df,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            payload_cols=["event_type", "value"],
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[1]["event_id"] == 2 and out[1]["event_type"] == "aaa"
+    assert out[2]["event_id"] == 11 and out[2]["event_type"] == "second"
+    assert out[3]["event_id"] == 20 and out[3]["event_type"] == "only"
+
+
+def test_latest_by_key_matches_window_formulation(spark):
+    """Against the textbook row_number()=1 window on real events data."""
+    from pyspark.sql import Window, functions as F
+
+    from flink_audit_sessions_example_spark.operators.dedup import latest_by_key
+    from flink_audit_sessions_example_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = latest_by_key(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

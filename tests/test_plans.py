@@ -153,3 +153,20 @@ def test_corpus_freq_reuses_the_tokenize_subtree(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_xform_compact_partial_agg_before_single_exchange(spark):
+    plan = _plan(spark, "xform_compact")
+    # the scale contract: one exchange carrying O(keys) rows — the
+    # partial max(struct) must appear on the scan side of it
+    assert plan.count("Exchange") - plan.count("AQEShuffleRead") >= 1
+    assert "partial_max" in plan
+    # the exchange's input is (key, partial max buffer) — one row per key
+    # per task, never the raw 5-column event rows
+    import re
+
+    ex = re.search(r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]", plan)
+    assert ex is not None
+    assert int(ex.group(1)) == 2 and "max#" in ex.group(2)
+    # and never the row_number window formulation (full-row shuffle)
+    assert "Window" not in plan
