@@ -2230,14 +2230,20 @@ GROUP BY s_name
 """
 
 
-#: Salt-bucket count of ``rel_stats_corr``'s two-level moment agg. Keeps
-#: every (flag, salt) bucket's BIGINT moment sums far from signed-64
-#: overflow: the largest per-row term is yᵢ² ≤ (1.1e7)² ≈ 1.2e14 cents²,
-#: so a bucket stays exact up to ~7.6e4 rows — 64 salts give a ~24×
-#: margin at sf0.1 (≈3.1k rows/bucket). At larger scale pick
-#: n_salts ∝ rows (rows·1.2e14/(3·n_salts) < 2⁶³); the inner relation is
-#: only flags × n_salts rows either way, so the outer 128-bit reduce
-#: stays negligible.
+#: Minimum salt-bucket count of ``rel_stats_corr``'s two-level moment
+#: agg. Keeps every (flag, salt) bucket's BIGINT moment sums far from
+#: signed-64 overflow: the largest per-row term is yᵢ² ≤ (1.1e7)² ≈
+#: 1.2e14 cents², so a bucket stays exact up to ~7.6e4 rows — 64 salts
+#: give a ~24× margin at sf0.1 (≈3.1k rows/bucket). The registered query
+#: additionally scales the count with the SCAN's partition count
+#: (``max(64, 64·partitions)``: even at an extreme 4M rows per 128 MB
+#: input split, a bucket holds ≤ 4M/(3·64) ≈ 21k rows → 2.5e18, a 3.7×
+#: margin) so the plan survives arbitrary scale-up without retuning —
+#: probed: a fixed 64 salts at 100× data (60M rows) overflows LOUDLY
+#: under default-ANSI Spark (per-bucket ≈ 312k rows × 1.2e14 > 2⁶³),
+#: while the partition-scaled count stays exact. The inner relation is
+#: flags × n_salts rows — still vanishing relative to the input — so the
+#: outer 128-bit reduce stays negligible at any scale.
 _CORR_N_SALTS = 64
 
 
@@ -2270,6 +2276,10 @@ def q_rel_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     same integer regardless of their tie rule.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # partition-scaled salts: overflow headroom tracks data volume (see
+    # _CORR_N_SALTS) with no driver-side action — getNumPartitions only
+    # plans the scan splits
+    n_salts = max(_CORR_N_SALTS, _CORR_N_SALTS * li.rdd.getNumPartitions())
     xi = F.round(F.col("l_quantity") * 100).cast("bigint")
     yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     pre = li.select(
@@ -2277,7 +2287,7 @@ def q_rel_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         xi.alias("xi"),
         yi.alias("yi"),
         F.pmod(
-            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_CORR_N_SALTS)
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts)
         ).alias("salt"),
     )
     inner = pre.groupBy("l_returnflag", "salt").agg(
