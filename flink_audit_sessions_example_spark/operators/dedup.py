@@ -885,6 +885,15 @@ def latest_by_key(
     below non-NULL under Spark struct comparison but are dropped
     entirely by ``max`` only when every struct field is NULL; filter
     NULL-ordered rows upstream if the source allows them.
+
+    Streaming: pass a streaming DataFrame and run the result in
+    ``update`` output mode — the same aggregation becomes a streaming
+    aggregation whose state store holds exactly one (key → max struct)
+    row per key, updated as newer events arrive and re-emitted on
+    change (changelog → continuously-materialized view). State is
+    bounded by key cardinality, not stream length — here the per-key
+    state IS the product, so no watermark/eviction applies
+    (tests/test_streaming.py::test_stream_compact_latest_by_key_across_batches).
     """
     packed = F.struct(
         *[F.col(c) for c in order_cols], *[F.col(c) for c in payload_cols]
