@@ -283,3 +283,74 @@ def frame_sample(
             .alias("frame_bytes"),
         )
     )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_std", T.DoubleType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """``multimodal_features`` — pixel-level feature extraction: per-image
+    intensity statistics (mean, population std, 4-bin histogram over
+    [0,256) in 64-wide bins) from the REAL decoded raster. The
+    embedding-adjacent stage of a multimodal pipeline — the decode →
+    per-pixel-reduce shape is exactly what a CLIP-style featurizer costs
+    Spark-side (the model call replaces the numpy reduce; the plumbing —
+    Arrow batches of binary in, fixed-width feature rows out — is
+    identical and is what this operator pins down).
+
+    Numeric contract (what makes a pixel UDF hash-checkable): the
+    per-image reduce accumulates only INTEGER moment sums (n, Σp, Σp²,
+    bin counts) — exact in any engine — and the two doubles are derived
+    in single IEEE steps both engines perform identically:
+    ``mean = Σp/n`` (one divide), ``std = sqrt(n·Σp² − (Σp)²)/n`` (exact
+    integer radicand, one sqrt, one divide). The DuckDB oracle computes
+    the same sums by exploding the ASCII raster with ``string_split``
+    (the payload is pure ASCII by construction, `with_pgm_payload`).
+
+    Scale shape: one ``mapInPandas`` pass — payload bytes are read once,
+    feature rows are fixed-width, CPU parallelizes with partitions; no
+    shuffle at all (the per-image reduce happens inside the Arrow batch,
+    there is no cross-row aggregation).
+    """
+
+    def feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in FEATURES_SCHEMA}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                _, _, _, _, raster = _pnm_parse(bytes(payload))
+                px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                n = int(px.size)
+                sx = int(px.sum())
+                sxx = int((px * px).sum())
+                out["doc_id"].append(doc_id)
+                out["n_pixels"].append(n)
+                out["px_mean"].append(float(sx) / float(n))
+                out["px_std"].append(
+                    math.sqrt(float(n * sxx - sx * sx)) / float(n)
+                )
+                counts = [int(((px >= lo) & (px < lo + 64)).sum()) for lo in (0, 64, 128, 192)]
+                for b, c in zip(("b0", "b1", "b2", "b3"), counts):
+                    out[b].append(c)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(
+        feature_batches, FEATURES_SCHEMA
+    )

@@ -48,6 +48,7 @@ _FRONT_KEYS = [
     "domain_mix",
     "join_range",
     "xform_compact",
+    "multimodal_features",
     # r4 spread=False plan changes — keep driver rows this round
     "text_word_histogram",
     "sim_topk",

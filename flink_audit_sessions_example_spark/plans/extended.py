@@ -822,6 +822,47 @@ FROM f
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_features`` — pixel-level feature extraction over the
+    REAL PGM rasters (``operators/multimodal.py::extract_features``):
+    per-image intensity mean / population std / 4-bin histogram from an
+    Arrow-batched numpy reduce. Integer moment sums keep the whole
+    pipeline exact; the two doubles are single IEEE ops both engines
+    perform identically, so the pixel UDF is hash-checked end-to-end.
+    ``spread=False``: see ``q_multimodal_meta``."""
+    docs = M.with_pgm_payload(
+        load_table(spark, sf_dir, "documents", spread=False)
+    )
+    return M.extract_features(docs)
+
+
+_MULTIMODAL_FEATURES_ORACLE = f"""
+WITH img AS ({_PGM_IMG_SQL}),
+px AS (
+  SELECT doc_id,
+         list_transform(string_split(raster, ''), c -> ascii(c)) AS p
+  FROM img
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(p) AS BIGINT) AS n_pixels,
+         CAST(list_sum(p) AS BIGINT) AS sx,
+         CAST(list_sum(list_transform(p, v -> v * v)) AS BIGINT) AS sxx,
+         CAST(len(list_filter(p, v -> v >= 0 AND v < 64)) AS BIGINT) AS b0,
+         CAST(len(list_filter(p, v -> v >= 64 AND v < 128)) AS BIGINT) AS b1,
+         CAST(len(list_filter(p, v -> v >= 128 AND v < 192)) AS BIGINT) AS b2,
+         CAST(len(list_filter(p, v -> v >= 192 AND v < 256)) AS BIGINT) AS b3
+  FROM px
+)
+SELECT doc_id, n_pixels,
+       CAST(sx AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS px_mean,
+       sqrt(CAST(n_pixels * sxx - sx * sx AS DOUBLE))
+         / CAST(n_pixels AS DOUBLE) AS px_std,
+       b0, b1, b2, b3
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational (beyond the reference: joins, sort/limit, window analytics)
 # --------------------------------------------------------------------------
@@ -2655,6 +2696,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix": q_domain_mix,
     "join_range": q_join_range,
     "xform_compact": q_xform_compact,
+    "multimodal_features": q_multimodal_features,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -2720,6 +2762,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "domain_mix": _domain_mix_oracle(DOMAIN_MIX_WEIGHTS),
     "join_range": _join_range_oracle(PRICE_BANDS),
     "xform_compact": _XFORM_COMPACT_ORACLE,
+    "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     # agg_approx_distinct: intentionally NO oracle (HLL registers are
     # engine-specific) — rows-only driver check + pytest error bound
 }

@@ -477,3 +477,34 @@ def test_query_collect_oom_guard(spark, monkeypatch):
         S.brute_force_topk(emb, emb, k=1)
     with pytest.raises(ValueError, match="batch the queries"):
         S.ivf_topk(emb, emb, k=1)
+
+
+def test_extract_features_hand_computed(spark):
+    """Pixel stats from a hand-built 2x2 P5 raster: bytes 'ab01' =
+    [97, 98, 48, 49] -> n=4, mean=73.0, var from exact integer moments,
+    bins: two in [64,128), two in [0,64)."""
+    import math
+
+    payload = b"P5\n2 2\n255\nab01"
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    r = M.extract_features(df).collect()[0]
+    px = [97, 98, 48, 49]
+    n, sx = len(px), sum(px)
+    sxx = sum(v * v for v in px)
+    assert r.n_pixels == 4
+    assert r.px_mean == float(sx) / n
+    assert r.px_std == math.sqrt(float(n * sxx - sx * sx)) / n
+    assert (r.b0, r.b1, r.b2, r.b3) == (2, 2, 0, 0)
+
+
+def test_extract_features_over_generated_payloads(spark):
+    """Over real generated PGMs: histogram bins cover all pixels, std is
+    finite, and the raster is ASCII hex so every pixel lands in b0/b1."""
+    docs = M.with_pgm_payload(load_table(spark, SF_DIR, "documents"))
+    rows = M.extract_features(docs).limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r.b0 + r.b1 + r.b2 + r.b3 == r.n_pixels
+        assert (r.b2, r.b3) == (0, 0)  # hex chars are 48-57 / 97-102
+        assert 48 <= r.px_mean <= 102
+        assert r.px_std >= 0
