@@ -882,9 +882,12 @@ def latest_by_key(
     a unique id after the event-time column) — otherwise ties fall
     through to PAYLOAD comparison and the "latest" pick, while stable,
     is semantically arbitrary. Rows with NULL in ``order_cols`` sort
-    below non-NULL under Spark struct comparison but are dropped
-    entirely by ``max`` only when every struct field is NULL; filter
-    NULL-ordered rows upstream if the source allows them.
+    below non-NULL under Spark struct comparison, so they lose to any
+    ordered row — but ``F.struct`` never produces a NULL struct, so a
+    key with ONLY null-ordered rows still emits one (its pick decided
+    by payload comparison, i.e. arbitrarily); filter null-ordered rows
+    upstream if the source allows them and absent-key semantics are
+    wanted.
 
     Streaming: pass a streaming DataFrame and run the result in
     ``update`` output mode — the same aggregation becomes a streaming

@@ -342,9 +342,15 @@ def extract_features(
                 sxx = int((px * px).sum())
                 out["doc_id"].append(doc_id)
                 out["n_pixels"].append(n)
-                out["px_mean"].append(float(sx) / float(n))
+                # a zero-pixel image (P5 with w or h = 0 parses fine) gets
+                # NULL stats instead of killing the whole task on a
+                # division by zero — one degenerate payload in a batch
+                # must not fail the job
+                out["px_mean"].append(float(sx) / float(n) if n else None)
                 out["px_std"].append(
                     math.sqrt(float(n * sxx - sx * sx)) / float(n)
+                    if n
+                    else None
                 )
                 counts = [int(((px >= lo) & (px < lo + 64)).sum()) for lo in (0, 64, 128, 192)]
                 for b, c in zip(("b0", "b1", "b2", "b3"), counts):

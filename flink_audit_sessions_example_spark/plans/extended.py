@@ -856,7 +856,12 @@ m AS (
 )
 SELECT doc_id, n_pixels,
        CAST(sx AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS px_mean,
-       sqrt(CAST(n_pixels * sxx - sx * sx AS DOUBLE))
+       -- HUGEINT radicand: n*sxx passes 2^63 at ~12M pixels (a 4000x3000
+       -- photo) and checked BIGINT would raise; Spark's Python-int side
+       -- is arbitrary-precision, so widen here to keep the exact-integer
+       -- contract at realistic image sizes
+       sqrt(CAST(CAST(n_pixels AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                 AS DOUBLE))
          / CAST(n_pixels AS DOUBLE) AS px_std,
        b0, b1, b2, b3
 FROM m
@@ -2271,21 +2276,26 @@ GROUP BY s_name
 """
 
 
-#: Minimum salt-bucket count of ``rel_stats_corr``'s two-level moment
-#: agg. Keeps every (flag, salt) bucket's BIGINT moment sums far from
-#: signed-64 overflow: the largest per-row term is yᵢ² ≤ (1.1e7)² ≈
-#: 1.2e14 cents², so a bucket stays exact up to ~7.6e4 rows — 64 salts
-#: give a ~24× margin at sf0.1 (≈3.1k rows/bucket). The registered query
-#: additionally scales the count with the SCAN's partition count
-#: (``max(64, 64·partitions)``: even at an extreme 4M rows per 128 MB
-#: input split, a bucket holds ≤ 4M/(3·64) ≈ 21k rows → 2.5e18, a 3.7×
-#: margin) so the plan survives arbitrary scale-up without retuning —
-#: probed: a fixed 64 salts at 100× data (60M rows) overflows LOUDLY
-#: under default-ANSI Spark (per-bucket ≈ 312k rows × 1.2e14 > 2⁶³),
-#: while the partition-scaled count stays exact. The inner relation is
-#: flags × n_salts rows — still vanishing relative to the input — so the
-#: outer 128-bit reduce stays negligible at any scale.
-_CORR_N_SALTS = 64
+#: Salt-bucket count of ``rel_stats_corr``'s two-level moment agg. The
+#: first-level key is (flag, salt, spark_partition_id()), so the BIGINT
+#: moment sums are bounded PER TASK, independent of total data volume:
+#: the largest per-row term is yᵢ² ≤ (1.1e7)² ≈ 1.2e14 cents², and a
+#: (flag, salt) bucket within one task holds ≤ rows_per_task/128 rows
+#: even if a single flag owns the whole task — at an extreme 4M rows per
+#: 128 MB input split that is ≈ 31k rows → 3.8e18, a 2.4× margin to 2⁶³
+#: (realistic decoded lineitem rows are ≥ 100 B → ≤ 1.3M rows/task →
+#: ≥ 7× margin). Probed: WITHOUT the partition-id key a fixed 64 salts
+#: at 100× data (60M rows) overflows LOUDLY under default-ANSI Spark
+#: (merged bucket ≈ 312k rows × 1.2e14 > 2⁶³); the per-task key removes
+#: the dependence on volume entirely. Because the partition id is in the
+#: key, each task's partial aggregate emits ≤ 3·128 rows no matter how
+#: many rows it scanned — the exchange stays O(384·tasks), and the
+#: 128-bit DECIMAL reduce touches only that vanishing inner relation.
+#: (Scaling salts with partition count instead — the first fix attempted
+#: — keeps overflow safety but lets the partial agg stop compressing
+#: once 3·salts exceeds rows-per-task, degrading the shuffle back to
+#: ~O(rows) of wider rows at very large partition counts.)
+_CORR_N_SALTS = 128
 
 
 def q_rel_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2301,9 +2311,10 @@ def q_rel_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the codegen fast path (128-bit buffers, measured 6× a
     double agg at sf0.1) — so the moments are summed TWO-LEVEL: rows
     are cent-scaled to BIGINT (x·100, y·100 — both columns carry 2
-    decimals, so this is lossless) and summed per (flag, salt) bucket
-    in whole-stage codegen, and only the flags×``_CORR_N_SALTS``-row
-    inner relation pays the 128-bit DECIMAL reduce. Integer sums are
+    decimals, so this is lossless) and summed per (flag, salt,
+    partition-id) bucket in whole-stage codegen, and only the
+    ≤ 3·``_CORR_N_SALTS``-rows-per-task inner relation pays the 128-bit
+    DECIMAL reduce. Integer sums are
     associative, so the result is bit-identical to a one-level exact
     sum — the oracle uses DuckDB's plain HUGEINT sum, no salt mirror
     needed. Pearson r is scale-invariant, so the cents-domain combine
@@ -2317,21 +2328,21 @@ def q_rel_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     same integer regardless of their tie rule.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # partition-scaled salts: overflow headroom tracks data volume (see
-    # _CORR_N_SALTS) with no driver-side action — getNumPartitions only
-    # plans the scan splits
-    n_salts = max(_CORR_N_SALTS, _CORR_N_SALTS * li.rdd.getNumPartitions())
     xi = F.round(F.col("l_quantity") * 100).cast("bigint")
     yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    # the partition id in the grouping key bounds every BIGINT bucket per
+    # task (see _CORR_N_SALTS); grouping differently never changes the
+    # result — integer sums are associative
     pre = li.select(
         "l_returnflag",
         xi.alias("xi"),
         yi.alias("yi"),
         F.pmod(
-            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts)
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_CORR_N_SALTS)
         ).alias("salt"),
+        F.spark_partition_id().alias("pid"),
     )
-    inner = pre.groupBy("l_returnflag", "salt").agg(
+    inner = pre.groupBy("l_returnflag", "salt", "pid").agg(
         F.count(F.lit(1)).alias("n_p"),
         F.sum("xi").alias("sx_p"),
         F.sum("yi").alias("sy_p"),

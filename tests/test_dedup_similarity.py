@@ -508,3 +508,16 @@ def test_extract_features_over_generated_payloads(spark):
         assert (r.b2, r.b3) == (0, 0)  # hex chars are 48-57 / 97-102
         assert 48 <= r.px_mean <= 102
         assert r.px_std >= 0
+
+
+def test_extract_features_zero_pixel_payload_yields_null_stats(spark):
+    """A well-formed 0x0 P5 payload must produce NULL mean/std, not kill
+    the task with a division by zero."""
+    df = spark.createDataFrame(
+        [(1, b"P5\n0 0\n255\n"), (2, b"P5\n2 2\n255\nab01")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in M.extract_features(df).collect()}
+    assert rows[1].n_pixels == 0
+    assert rows[1].px_mean is None and rows[1].px_std is None
+    assert rows[2].n_pixels == 4 and rows[2].px_mean is not None
