@@ -189,3 +189,53 @@ def test_merge_sessions_invariants(raw, gap_ms):
             assert s > merged[i - 1][1] + gap_ms
     # idempotent
     assert _merge_sessions([list(x) for x in merged], gap_ms) == merged
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),                  # key
+            st.one_of(st.none(), st.integers(0, 50)),               # ts offset (None = null)
+            st.integers(min_value=0, max_value=10**6),              # unique-ified below
+            st.sampled_from(["a", "b", "c"]),                       # payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_latest_by_key_matches_reference(spark, rows):
+    """Random changelogs (duplicate timestamps, NULL event times, single-
+    row keys) against a pure-Python argmax under the documented
+    semantics: order by (ts, event_id) with NULLs sorting below
+    non-NULLs; ties impossible because event_id is unique."""
+    from flink_audit_sessions_example_spark.operators.dedup import latest_by_key
+
+    # unique event ids (the determinism contract callers must provide)
+    rows = [
+        (k, None if off is None else EPOCH + dt.timedelta(seconds=off), i, p)
+        for i, (k, off, _, p) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"], r["event_type"])
+        for r in latest_by_key(
+            df,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            payload_cols=["event_type"],
+        ).collect()
+    }
+    want = {}
+    for k, ts, eid, p in rows:
+        # NULL ts sorts below any non-NULL ts (Spark struct comparison)
+        key = (0, dt.datetime.min, eid) if ts is None else (1, ts, eid)
+        if k not in want or key > want[k][0]:
+            want[k] = (key, (ts, eid, p))
+    assert got == {k: v for k, (_, v) in want.items()}
