@@ -2048,11 +2048,18 @@ def q_rel_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level analytic class: heavy groupBy first, then a window on the
     tiny aggregate output).
 
-    Plan: the revenue rollup is the expensive part (one shuffle of the
-    fact table keyed on custkey for the join, one hash agg); the window
-    then runs on ≤ |nations| rows — essentially free, no second big
-    exchange. Revenue sums are exact DECIMAL; the share is one double
-    division of two exact sums, identical in both engines."""
+    Plan: the revenue rollup is the expensive part (the fact⨝orders join
+    plus one hash agg); the window then runs on ≤ |nations| rows —
+    essentially free, no second big exchange. Revenue is summed as
+    cent-scaled BIGINT per (region, nation, partition-id) in whole-stage
+    codegen — Spark's DECIMAL(38,_) sum runs outside the codegen fast
+    path (measured: 1.10 → 0.84 s at sf0.1 against a 0.53 s join-only
+    floor), and unlike the squared moments in ``rel_stats_corr`` a plain
+    Σy cannot overflow per task (4M rows × 1.1e7 cents leaves a ~2e5×
+    margin), so no salt is needed — the partition id alone bounds the
+    accumulation. The tiny 128-bit reduce and the window run on
+    ≤ |nations| rows; the share is one double division of two exact
+    integer sums (cents cancel), identical in both engines."""
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2060,26 +2067,29 @@ def q_rel_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
-                "_rev"
-            )
+        .select(
+            "r_name", "n_name", yi.alias("yi"),
+            F.spark_partition_id().alias("pid"),
         )
+        .groupBy("r_name", "n_name", "pid")
+        .agg(F.sum("yi").alias("c_p"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("c_p").cast("decimal(38,0)")).alias("_c"))
     )
     w = Window.partitionBy("r_name")
     return rev.select(
         "r_name",
         "n_name",
-        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(F.col("_c").cast("double") / F.lit(100.0), 2).alias("revenue"),
         F.round(
-            F.col("_rev").cast("double")
-            / F.sum("_rev").over(w).cast("double"),
+            F.col("_c").cast("double")
+            / F.sum("_c").over(w).cast("double"),
             6,
         ).alias("region_share"),
     )
@@ -2088,18 +2098,18 @@ def q_rel_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REL_WINDOW_SHARE_ORACLE = """
 WITH rev AS (
   SELECT r.r_name, n.n_name,
-         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS rev
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
   GROUP BY 1, 2
 )
 SELECT r_name, n_name,
-       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
-       ROUND(CAST(rev AS DOUBLE)
-               / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE),
+       ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(cents AS DOUBLE)
+               / CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE),
              6) AS region_share
 FROM rev
 """
