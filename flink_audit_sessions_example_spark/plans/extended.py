@@ -879,40 +879,78 @@ def _dec(c: str) -> F.Column:
 
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_pricing_summary`` — TPC-H Q1-shaped scan+agg on lineitem.
-    Money math in DECIMAL per-row then exact sums (order-independent),
-    final cast to DOUBLE. Pure scan → partial agg → final agg: the ideal
-    100 TB plan (no joins, one small shuffle). ``spread=True``: the
-    per-row DECIMAL arithmetic is the cost center and the first shuffle
-    carries only 6 groups, so a coarser-than-cluster test-scale scan
-    would single-thread it (measured 1.15 s → 0.77 s; no-op at
-    production split counts)."""
-    li = load_table(spark, sf_dir, "lineitem", spread=True)
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
+    Pure scan → partial agg → final agg: the ideal 100 TB plan (no
+    joins, one small shuffle).
+
+    Money math as EXACT cent-scaled integers (the ``rel_stats_corr``
+    pattern): quantity/price carry 2 decimals so ×100 is lossless, and
+    the discounted price yᵢ·(100−dᵢ) is the exact 4-decimal product —
+    strictly tighter than the old per-row ``DOUBLE`` multiply rounded to
+    DECIMAL(18,6). Sums accumulate as BIGINT per (flag, status,
+    partition-id) bucket in whole-stage codegen; per-task bounds
+    (Σyᵢ·(100−dᵢ) ≤ 4M rows × 1.1e11 = 4.4e17 ≪ 2⁶³) make the
+    accumulation safe at any input volume, and only the ≤
+    groups×tasks inner relation pays the 128-bit DECIMAL reduce. Each
+    output is then a single chain of IEEE ops over exact integers,
+    identical in both engines. ``spread=False``: the DECIMAL version
+    needed the scan-spread exchange (its per-row 128-bit arithmetic was
+    the cost center, 1.15 → 0.77 s); integer math flips that economics —
+    the plan is now pure scan → agg whose only profitable exchange is
+    the tiny aggregation shuffle (spread=True 1.00 s vs spread=False
+    0.42 s at sf0.1, same data)."""
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
+    qi = F.round(F.col("l_quantity") * 100).cast("bigint")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    di = F.round(F.col("l_discount") * 100).cast("bigint")
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qi.alias("qi"),
+        yi.alias("yi"),
+        di.alias("di"),
+        F.spark_partition_id().alias("pid"),
     )
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            (
-                F.sum(_dec("l_quantity")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    inner = pre.groupBy("l_returnflag", "l_linestatus", "pid").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum("qi").alias("sq_p"),
+        F.sum("yi").alias("sb_p"),
+        F.sum(F.col("yi") * (F.lit(100) - F.col("di"))).alias("sd_p"),
+    )
+    agg = inner.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("n_p").alias("n"),
+        F.sum(F.col("sq_p").cast("decimal(38,0)")).alias("sq"),
+        F.sum(F.col("sb_p").cast("decimal(38,0)")).alias("sb"),
+        F.sum(F.col("sd_p").cast("decimal(38,0)")).alias("sd"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sq").cast("double") / F.lit(100.0)).alias("sum_qty"),
+        (F.col("sb").cast("double") / F.lit(100.0)).alias("sum_base_price"),
+        (F.col("sd").cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+        (
+            F.col("sq").cast("double") / F.lit(100.0)
+            / F.col("n").cast("double")
+        ).alias("avg_qty"),
+        F.col("n").alias("count_order"),
     )
 
 
 _REL_PRICING_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qi,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yi,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS di
+  FROM lineitem
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(qi) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(yi) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(yi * (100 - di)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(qi) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
        CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem
+FROM c
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -1118,28 +1156,44 @@ SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
 def q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_revenue_by_nation`` — the big shuffle join: lineitem ⨝ orders
     on orderkey (two large tables → sort-merge/shuffled hash, AQE decides),
-    then broadcast joins to the small customer/nation dims; revenue summed
-    in DECIMAL for exactness. The canonical 100 TB join topology: exactly
-    one big-big shuffle, dims never shuffled."""
+    then broadcast joins to the small customer/nation dims. The canonical
+    100 TB join topology: exactly one big-big shuffle, dims never
+    shuffled. Revenue is the exact 4-decimal integer yᵢ·(100−dᵢ) summed
+    as BIGINT per (nation, partition-id) bucket in whole-stage codegen
+    (per-task bound 4M rows × 1.1e11 ≪ 2⁶³ — the ``rel_stats_corr``
+    pattern), with the 128-bit reduce on the tiny inner relation only."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
+    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    di = F.round(F.col("l_discount") * 100).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            (yi * (F.lit(100) - di)).alias("ri"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .groupBy("n_name", "pid")
+        .agg(F.sum("ri").alias("r_p"))
         .groupBy("n_name")
-        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .agg(
+            (
+                F.sum(F.col("r_p").cast("decimal(38,0)")).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
     )
 
 
 _REL_REVENUE_ORACLE = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2118,39 +2172,54 @@ FROM rev
 def q_rel_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_promo_share`` — TPC-H Q14 shape: promo-type parts' share of
     revenue, a conditional aggregate over a big⨝dim join reduced to ONE
-    row. ``part`` broadcast (dim); revenue = extprice·(1−disc) per row
-    in exact DECIMAL; the share is one double division of two exact
-    sums — bit-identical cross-engine without IEEE-order games."""
+    row. ``part`` broadcast (dim); revenue = the exact 4-decimal
+    integer yᵢ·(100−dᵢ) summed as BIGINT per partition-id bucket (the
+    ``rel_stats_corr`` pattern — codegen fast path, per-task bound
+    4M × 1.1e11 ≪ 2⁶³), conditional and total in the same aggregation;
+    the share is one double division of two exact integer sums (the
+    1e-4 scale cancels) — bit-identical cross-engine without IEEE-order
+    games."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
+    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    di = F.round(F.col("l_discount") * 100).cast("bigint")
     joined = li.join(
         F.broadcast(part), li.l_partkey == part.p_partkey
     )
-    return joined.agg(
+    inner = (
+        joined.select(
+            (yi * (F.lit(100) - di)).alias("ri"),
+            (F.col("p_type") == "PROMO").alias("is_promo"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("ri")).otherwise(F.lit(0))).alias("pr_p"),
+            F.sum("ri").alias("r_p"),
+        )
+    )
+    return inner.agg(
         F.round(
             F.lit(100.0)
-            * F.sum(
-                F.when(F.col("p_type") == "PROMO", rev).otherwise(
-                    F.lit(0).cast("decimal(18,6)")
-                )
-            ).cast("double")
-            / F.sum(rev).cast("double"),
+            * F.sum(F.col("pr_p").cast("decimal(38,0)")).cast("double")
+            / F.sum(F.col("r_p").cast("decimal(38,0)")).cast("double"),
             6,
         ).alias("promo_share_pct")
     )
 
 
 _REL_PROMO_SHARE_ORACLE = """
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS ri,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
 SELECT ROUND(
-  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
-                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+  100.0 * CAST(SUM(CASE WHEN is_promo THEN ri ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(ri) AS DOUBLE),
   6) AS promo_share_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
+FROM c
 """
 
 
@@ -2582,22 +2651,33 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval tables the standard rewrite is an equi-join prefilter on an
     overlapping bucket key (bucket width ≥ max interval width) with the
     range predicate as a residual — same output, broadcastable buckets;
-    documented here, not needed for a bands dimension. The aggregation
-    after the join is an exact-DECIMAL rollup per band."""
+    documented here, not needed for a bands dimension. The rollup after
+    the join sums exact cent-scaled BIGINT per (band, partition-id)
+    bucket (the ``rel_stats_corr`` pattern — codegen fast path, Σyᵢ
+    bounded per task) with the 128-bit reduce on bands×tasks rows
+    only."""
     li = load_table(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(
         PRICE_BANDS, "band_id int, lo double, hi double"
     )
     price = F.col("l_extendedprice")
+    yi = F.round(price * 100).cast("bigint")
     joined = li.join(
         F.broadcast(bands), (price >= F.col("lo")) & (price < F.col("hi"))
     )
     return (
-        joined.groupBy("band_id")
+        joined.select(
+            "band_id", yi.alias("yi"), F.spark_partition_id().alias("pid")
+        )
+        .groupBy("band_id", "pid")
+        .agg(F.count(F.lit(1)).alias("n_p"), F.sum("yi").alias("c_p"))
+        .groupBy("band_id")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_p").alias("n_items"),
             F.round(
-                F.sum(price.cast("decimal(18,6)")).cast("double"), 2
+                F.sum(F.col("c_p").cast("decimal(38,0)")).cast("double")
+                / F.lit(100.0),
+                2,
             ).alias("revenue"),
         )
     )
@@ -2608,7 +2688,8 @@ def _join_range_oracle(bands: list[tuple[int, float, float]]) -> str:
     return f"""
 SELECT b.band_id,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE),
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0,
              2) AS revenue
 FROM lineitem l
 JOIN (VALUES {vals}) AS b(band_id, lo, hi)
