@@ -32,6 +32,8 @@ def grouping_sets_agg(
     dims: list[str],
     dec_sums: dict[str, Column],
     sets: list[tuple[str, ...]],
+    *,
+    int_sums: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Aggregate ``df`` over each grouping set in ``sets`` via one
     base-grain aggregation + re-aggregation.
@@ -40,11 +42,70 @@ def grouping_sets_agg(
     expression to sum (decimal ⇒ exact ⇒ decomposable). Output columns:
     ``*dims`` (NULL where aggregated away), ``n`` (row count),
     ``*dec_sums`` keys (as DOUBLE), ``gid`` (grouping id, BIGINT).
+
+    ``int_sums`` maps output column name → a per-row BIGINT expression
+    (e.g. cent-scaled money) to sum on the codegen fast path — Spark's
+    DECIMAL(38,_) sum runs outside whole-stage codegen (measured ~6×
+    a bigint agg), so exact-integer measures are summed as BIGINT at a
+    (dims, partition-id) base grain, then widened to DECIMAL(38,0) for
+    every re-aggregation. The partition id bounds each BIGINT
+    accumulation PER TASK (the caller owns the bound: per-row magnitude
+    × rows-per-task < 2⁶³ — e.g. price cents at 1.1e7 × 4M rows/task
+    ≈ 4e13 leaves a ~2e5× margin), while a base grain WITHOUT it would
+    overflow at sufficient total volume no matter the magnitude.
+    Integer sums are associative, so results are bit-identical to the
+    ``dec_sums`` path modulo the caller's fixed-point scale; outputs
+    are CAST(…AS DOUBLE) of the exact sums — divide by the scale in a
+    final projection.
     """
-    base = df.groupBy(*dims).agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.sum(c).alias(f"__{name}") for name, c in dec_sums.items()],
-    )
+    int_sums = int_sums or {}
+    overlap = set(int_sums) & set(dec_sums)
+    if overlap:
+        raise ValueError(f"measure named in both dec_sums and int_sums: {overlap}")
+    if int_sums:
+        # bigint base grain needs the per-task bound: partition id joins
+        # the base grain, then the first re-aggregation (which also
+        # erases it) widens to exact DECIMAL
+        base = (
+            df.select(
+                *dims,
+                F.spark_partition_id().alias("__pid"),
+                *[c.alias(f"__i_{name}") for name, c in int_sums.items()],
+                *[c.alias(f"__d_{name}") for name, c in dec_sums.items()],
+            )
+            .groupBy(*dims, "__pid")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(f"__i_{name}").alias(f"__i_{name}")
+                    for name in int_sums
+                ],
+                *[
+                    F.sum(f"__d_{name}").alias(f"__d_{name}")
+                    for name in dec_sums
+                ],
+            )
+            .groupBy(*dims)
+            .agg(
+                F.sum("__n").alias("__n"),
+                *[
+                    F.sum(F.col(f"__i_{name}").cast("decimal(38,0)")).alias(
+                        f"__{name}"
+                    )
+                    for name in int_sums
+                ],
+                *[
+                    F.sum(f"__d_{name}").alias(f"__{name}")
+                    for name in dec_sums
+                ],
+            )
+        )
+        dec_sums = {**dec_sums, **int_sums}
+    else:
+        base = df.groupBy(*dims).agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(c).alias(f"__{name}") for name, c in dec_sums.items()],
+        )
     dim_types = {d: base.schema[d].dataType for d in dims}
     parts = []
     for keep in sets:
@@ -79,15 +140,23 @@ def grouping_sets_agg(
 
 
 def rollup_agg(
-    df: DataFrame, dims: list[str], dec_sums: dict[str, Column]
+    df: DataFrame,
+    dims: list[str],
+    dec_sums: dict[str, Column],
+    *,
+    int_sums: dict[str, Column] | None = None,
 ) -> DataFrame:
     """ROLLUP(dims) via :func:`grouping_sets_agg` (hierarchical sets)."""
     sets = [tuple(dims[:i]) for i in range(len(dims), -1, -1)]
-    return grouping_sets_agg(df, dims, dec_sums, sets)
+    return grouping_sets_agg(df, dims, dec_sums, sets, int_sums=int_sums)
 
 
 def cube_agg(
-    df: DataFrame, dims: list[str], dec_sums: dict[str, Column]
+    df: DataFrame,
+    dims: list[str],
+    dec_sums: dict[str, Column],
+    *,
+    int_sums: dict[str, Column] | None = None,
 ) -> DataFrame:
     """CUBE(dims) via :func:`grouping_sets_agg` (all 2^d subsets, in
     grouping-id order)."""
@@ -97,4 +166,4 @@ def cube_agg(
     for r in range(len(dims), -1, -1):
         for combo in combinations(range(len(dims)), r):
             sets.append(tuple(dims[i] for i in combo))
-    return grouping_sets_agg(df, dims, dec_sums, sets)
+    return grouping_sets_agg(df, dims, dec_sums, sets, int_sums=int_sums)

@@ -1104,21 +1104,27 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implemented via the two-level re-aggregation in
     ``operators/groupsets.py`` rather than Spark's ``rollup()``: the
     built-in plans an ``Expand`` that shuffles every row once per
-    grouping set (3× here), while COUNT + exact DECIMAL sums are
-    algebraic — one base-grain hash agg + re-aggregation of the tiny
-    base result is bit-identical at a third of the shuffle volume."""
+    grouping set (3× here), while COUNT + exact sums are algebraic —
+    one base-grain hash agg + re-aggregation of the tiny base result is
+    bit-identical at a third of the shuffle volume. The measure rides
+    the ``int_sums`` codegen fast path (cent-scaled BIGINT per (dims,
+    partition-id), exact DECIMAL re-agg — see
+    ``operators/groupsets.py``), descaled in the final projection."""
     li = load_table(spark, sf_dir, "lineitem")
-    return G.rollup_agg(
+    out = G.rollup_agg(
         li,
         ["l_returnflag", "l_linestatus"],
-        {"sum_qty": _dec("l_quantity")},
+        {},
+        int_sums={"sum_qty": F.round(F.col("l_quantity") * 100).cast("bigint")},
     )
+    return out.withColumn("sum_qty", F.col("sum_qty") / F.lit(100.0))
 
 
 _REL_ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_qty,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1734,24 +1740,33 @@ def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same two-level re-aggregation as ``rel_rollup``
     (``operators/groupsets.py``): Spark's ``cube()`` Expand would
     shuffle the corpus 4×; the base-grain agg + re-agg is bit-identical
-    (COUNT + exact DECIMAL sums are algebraic) at 1× shuffle volume —
-    the difference between 100 TB and 400 TB through the exchange."""
+    (COUNT + exact sums are algebraic) at 1× shuffle volume — the
+    difference between 100 TB and 400 TB through the exchange. Both
+    measures ride the ``int_sums`` codegen fast path (cent-scaled
+    BIGINT per (dims, partition-id), exact DECIMAL re-agg), descaled in
+    the final projection."""
     li = load_table(spark, sf_dir, "lineitem")
-    return G.cube_agg(
+    out = G.cube_agg(
         li,
         ["l_returnflag", "l_linestatus"],
-        {
-            "sum_qty": _dec("l_quantity"),
-            "sum_price": _dec("l_extendedprice"),
+        {},
+        int_sums={
+            "sum_qty": F.round(F.col("l_quantity") * 100).cast("bigint"),
+            "sum_price": F.round(F.col("l_extendedprice") * 100).cast("bigint"),
         },
     )
+    return out.withColumn(
+        "sum_qty", F.col("sum_qty") / F.lit(100.0)
+    ).withColumn("sum_price", F.col("sum_price") / F.lit(100.0))
 
 
 _REL_CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_price,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)

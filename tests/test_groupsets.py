@@ -82,3 +82,40 @@ def test_cube_agg_matches_builtin_on_random_frames(spark):
         assert _norm(ours) == _norm(_builtin(df, "cube"))
 
     check()
+
+
+def test_int_sums_path_matches_dec_sums_path(spark):
+    """The codegen-fast-path BIGINT measures (summed per (dims, pid),
+    DECIMAL re-agg) must equal the DECIMAL path exactly after descaling
+    — integer sums are associative, so any grouping gives the same
+    exact result."""
+    rows = [
+        Row(a="x", b="p", v=1.25),
+        Row(a="x", b="q", v=2.50),
+        Row(a="x", b=None, v=0.75),
+        Row(a="y", b="p", v=10.00),
+        Row(a="y", b="p", v=0.01),
+    ]
+    df = spark.createDataFrame(rows)
+    dec = G.cube_agg(df, ["a", "b"], {"s": F.col("v").cast("decimal(18,6)")})
+    ints = G.cube_agg(
+        df, ["a", "b"], {},
+        int_sums={"s": F.round(F.col("v") * 100).cast("bigint")},
+    ).withColumn("s", F.col("s") / F.lit(100.0))
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(map(tuple, ints.collect()), key=key)
+    want = sorted(map(tuple, dec.collect()), key=key)
+    assert got == want
+
+
+def test_int_sums_name_collision_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([Row(a="x", v=1.0)])
+    with pytest.raises(ValueError, match="both"):
+        G.grouping_sets_agg(
+            df, ["a"],
+            {"s": F.col("v").cast("decimal(18,6)")},
+            [("a",), ()],
+            int_sums={"s": F.round(F.col("v") * 100).cast("bigint")},
+        )
