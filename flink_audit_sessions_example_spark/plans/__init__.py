@@ -49,6 +49,10 @@ _FRONT_KEYS = [
     "join_range",
     "xform_compact",
     "multimodal_features",
+    # late-r4 cents-pattern rewrites — need fresh driver rows
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_rollup",
     # r4 spread=False plan changes — keep driver rows this round
     "text_word_histogram",
     "sim_topk",
