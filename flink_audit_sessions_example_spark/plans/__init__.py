@@ -53,6 +53,7 @@ _FRONT_KEYS = [
     "rel_pricing_summary",
     "rel_revenue_by_nation",
     "rel_rollup",
+    "rel_quantiles_dist",
     # r4 spread=False plan changes — keep driver rows this round
     "text_word_histogram",
     "sim_topk",

@@ -1674,16 +1674,17 @@ def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation) vs DuckDB ``quantile_cont`` — the same type-7
     estimator, hash-checked.
 
-    SCALE WARNING — this is the cross-engine-verifiable EXACT variant,
-    not the 100 TB plan: Spark's exact ``percentile`` buffers ALL of a
-    group's values in one aggregation buffer on one reducer (the
-    per-group "sort" is NOT distributed), so with only 3 return-flag
-    groups at 100 TB each reducer would hold ~1/3 of the column — OOM.
-    It is registered because it is bit-reproducible against DuckDB at
-    test scale; the plan you'd run at 100 TB is the single-pass bounded-
-    state sketch twin ``rel_quantiles_approx`` (``approx_percentile``,
-    ``operators/sketches.py``), whose rank-error bound is pinned against
-    this exact query by ``tests/test_sketches.py``."""
+    SCALE WARNING — this is the cross-engine-verifiable EXACT variant
+    via the builtin aggregate, not the 100 TB plan: Spark's exact
+    ``percentile`` keeps a value→count map per group in one aggregation
+    buffer on one reducer — O(distinct values per group), which is
+    O(rows) for continuous measures (measured: OutOfMemoryError at 60M
+    unique prices in a 3 GiB JVM, `operators/quantiles.py` docstring).
+    The 100 TB plans are ``rel_quantiles_dist`` (exact, range-
+    partitioned selection, chunk-bounded memory — same answer, same
+    oracle) and ``rel_quantiles_approx`` (bounded-state sketch, rank
+    error pinned by ``tests/test_sketches.py``). Registered because it
+    is the engines' shared reference semantics at test scale."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.expr(
         "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
@@ -1708,6 +1709,35 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def q_rel_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_quantiles_dist`` — the EXACT percentiles that survive
+    100 TB: distributed type-7 selection
+    (``operators/quantiles.py::exact_grouped_percentiles``) instead of
+    the builtin ``percentile``'s one-buffer-per-group funnel. Range
+    partitioning bounds every task's sort by chunk size — never by
+    group size — and the interpolation is the engines' shared
+    ``lo·(1−f) + hi·f`` IEEE expression, so the result is hash-checked
+    against the identical ``quantile_cont`` oracle as ``rel_quantiles``.
+    Same answer three ways: builtin exact (cross-engine baseline),
+    sketch (bounded-state approximate), and this — exact AND
+    scale-sane."""
+    from ..operators.quantiles import exact_grouped_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = exact_grouped_percentiles(
+        li,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        percentiles=[0.25, 0.5, 0.75],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    )
 
 
 def q_rel_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2814,6 +2844,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_range": q_join_range,
     "xform_compact": q_xform_compact,
     "multimodal_features": q_multimodal_features,
+    "rel_quantiles_dist": q_rel_quantiles_dist,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -2880,6 +2911,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "join_range": _join_range_oracle(PRICE_BANDS),
     "xform_compact": _XFORM_COMPACT_ORACLE,
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
+    "rel_quantiles_dist": _REL_QUANTILES_ORACLE,
     # agg_approx_distinct: intentionally NO oracle (HLL registers are
     # engine-specific) — rows-only driver check + pytest error bound
 }

@@ -1,0 +1,97 @@
+"""Distributed exact percentiles (operators/quantiles.py): equality with
+the builtin exact aggregate (which IS the reference semantics), edge
+shapes, and the bounded-chunk plan contract."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from flink_audit_sessions_example_spark.operators.quantiles import (
+    exact_grouped_percentiles,
+)
+from flink_audit_sessions_example_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+def _builtin(df, ps):
+    arr = ", ".join(f"{p}D" for p in ps)
+    return {
+        r["g"]: list(r["p"])
+        for r in df.groupBy(F.col("l_returnflag").alias("g"))
+        .agg(F.expr(f"percentile(l_extendedprice, array({arr}))").alias("p"))
+        .collect()
+    }
+
+
+def test_matches_builtin_exact_on_lineitem(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    ps = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = {
+        r["l_returnflag"]: [r[f"p{int(round(p*100))}"] for p in ps]
+        for r in exact_grouped_percentiles(
+            li,
+            group_col="l_returnflag",
+            value_col="l_extendedprice",
+            percentiles=ps,
+        ).collect()
+    }
+    want = _builtin(li, ps)
+    assert got.keys() == want.keys()
+    for g in want:
+        assert got[g] == want[g], g  # bit-exact, incl. p=0 / p=1 edges
+
+
+def test_heavy_duplicate_runs_and_tiny_groups(spark):
+    """A constant-value group (the range-split worst case the per-row
+    tiebreak exists for), a single-row group, and a two-row group."""
+    rows = (
+        [("const", 5.0)] * 1000
+        + [("one", 42.0)]
+        + [("two", 1.0), ("two", 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p75"])
+        for r in exact_grouped_percentiles(
+            df, group_col="g", value_col="v", percentiles=[0.25, 0.5, 0.75],
+            n_range_partitions=8,
+        ).collect()
+    }
+    assert got["const"] == (5.0, 5.0, 5.0)
+    assert got["one"] == (42.0, 42.0, 42.0)
+    assert got["two"] == (1.25, 1.5, 1.75)
+
+
+def test_nulls_ignored_like_builtin(spark):
+    rows = [("a", None), ("a", 1.0), ("a", 3.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = exact_grouped_percentiles(
+        df, group_col="g", value_col="v", percentiles=[0.5]
+    ).collect()[0]
+    assert got["p50"] == 2.0
+
+
+def test_plan_range_partitions_and_chunk_bounded_window(spark):
+    """The scale contract in the plan: a range exchange feeds the rank
+    window, and the window partitions by (pid, group) — chunk-bounded —
+    never by the group alone."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = exact_grouped_percentiles(
+        li,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        percentiles=[0.5],
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan
+    # every Window's partition spec includes pid (chunk-bounded)
+    for line in plan.splitlines():
+        if "row_number()" in line and "windowspecdefinition" in line:
+            assert "pid" in line
