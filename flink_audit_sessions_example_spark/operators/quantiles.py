@@ -33,7 +33,10 @@ Algorithm (all built-in DataFrame ops, no Python in the row path):
 5. The target ranks are computed per group from the exact counts
    (type-7: rank (n−1)·p and its floor/ceil neighbors); the ranked
    relation is semi-joined to those ≤ 2·|groups|·|percentiles|
-   (group, rank) pairs by broadcast, so only the selected rows survive.
+   (group, rank) pairs by broadcast, so only the selected rows survive,
+   then collapsed to one rank→value map per group and broadcast back
+   into the tiny targets relation — the heavy ranked subtree executes
+   ONCE (not once per lo/hi side).
 6. Linear interpolation ``v_lo·(1−frac) + v_hi·frac`` on the tiny picked
    relation — not just the same type-7 estimator as Spark
    ``percentile`` and DuckDB ``quantile_cont`` but the same IEEE
@@ -48,6 +51,20 @@ multi-pass median-of-medians. Caveat: the broadcast chunk-count relation
 is ``N × groups`` rows — for very-high-cardinality groups use the sketch
 twin instead (this operator targets the few-groups regime that breaks
 the builtin).
+
+Determinism contract: the chunk-count branch and the rank branch both
+consume the range exchange, so global ranks are correct iff both see
+the SAME partition layout. That holds because the lineage is
+deterministic for columnar scans: ``monotonically_increasing_id`` is a
+pure function of (partition index, row position), and the range
+boundaries come from reservoir samples seeded by partition index — so
+even if AQE does not reuse the exchange between the two subtrees
+(reuse is a runtime optimization, not guaranteed), both evaluations
+produce the identical layout. For upstreams with NONDETERMINISTIC
+layout or order (round-robin ``repartition()``, ``rand()``-derived
+columns, some streaming sources), pass ``eager_checkpoint=True`` to
+pin the ranged relation with a ``localCheckpoint`` before it fans
+out.
 """
 
 from __future__ import annotations
@@ -63,14 +80,28 @@ def exact_grouped_percentiles(
     value_col: str,
     percentiles: list[float],
     n_range_partitions: int | None = None,
+    eager_checkpoint: bool = False,
 ) -> DataFrame:
     """Exact type-7 ``percentiles`` of ``value_col`` per ``group_col``.
 
     Output: one row per group — ``group_col``, then one DOUBLE column
     ``p<percent>`` per requested percentile (``0.25 → p25``), each the
-    exact linearly-interpolated percentile. NULL values are ignored
-    (Spark ``percentile`` and DuckDB ``quantile_cont`` semantics).
+    exact linearly-interpolated percentile. Matches the builtin
+    ``percentile`` / DuckDB ``quantile_cont`` semantics: NULL values are
+    ignored; a NULL GROUP KEY is a group like any other; a group whose
+    values are all NULL yields NULL percentiles (null-safe joins
+    throughout, and the group universe is taken from ``df`` itself, not
+    from the non-null value rows).
+
+    ``eager_checkpoint`` pins the range-partitioned relation with a
+    ``localCheckpoint`` — required only when the INPUT's partition
+    layout or row order is nondeterministic (see module docstring).
     """
+    if len({f"p{int(round(p * 100))}" for p in percentiles}) != len(percentiles):
+        raise ValueError(
+            "percentiles collide after column naming (p -> "
+            f"p<round(p*100)>): {percentiles}"
+        )
     spark = df.sparkSession
     n_parts = n_range_partitions or spark.sparkContext.defaultParallelism
 
@@ -85,6 +116,8 @@ def exact_grouped_percentiles(
     ranged = vals.repartitionByRange(n_parts, "g", "v", "tb").withColumn(
         "pid", F.spark_partition_id()
     )
+    if eager_checkpoint:
+        ranged = ranged.localCheckpoint()
 
     chunk_counts = ranged.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("c"))
     w_off = (
@@ -115,39 +148,46 @@ def exact_grouped_percentiles(
         .distinct()
     )
 
+    # the heavy subtree: rank within chunks, keep only the target ranks.
+    # pid joins on equality (never NULL); the group key joins null-safe so
+    # a NULL group behaves like any other group.
     w_rank = Window.partitionBy("pid", "g").orderBy("v", "tb")
+    offsets_r = offsets.select(
+        F.col("pid").alias("pid_o"), F.col("g").alias("g_o"), "off"
+    )
     picked = (
         ranged.withColumn("rn", F.row_number().over(w_rank))
-        .join(F.broadcast(offsets), ["pid", "g"])
+        .join(
+            F.broadcast(offsets_r),
+            (F.col("pid") == F.col("pid_o"))
+            & F.col("g").eqNullSafe(F.col("g_o")),
+        )
         .withColumn("grank", F.col("off") + F.col("rn") - 1)
         .join(
             F.broadcast(need),
-            (F.col("g") == F.col("g_n")) & (F.col("grank") == F.col("k")),
+            F.col("g").eqNullSafe(F.col("g_n")) & (F.col("grank") == F.col("k")),
             "left_semi",
         )
         .select("g", "grank", "v")
     )
-    lo = picked.select(
-        F.col("g").alias("g_l"),
-        F.col("grank").alias("kl"),
-        F.col("v").alias("v_lo"),
+    # collapse to ONE rank→value map per group so the expensive ranked
+    # subtree executes once; lo/hi lookups become map accesses on the
+    # tiny broadcast side
+    rank_maps = picked.groupBy("g").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("grank", "v")))
+        ).alias("kv")
     )
-    hi = picked.select(
-        F.col("g").alias("g_h"),
-        F.col("grank").alias("kh"),
-        F.col("v").alias("v_hi"),
-    )
-    assembled = (
-        targets.join(lo, (targets.g == lo.g_l) & (targets.k_lo == lo.kl))
-        .join(hi, (targets.g == hi.g_h) & (targets.k_hi == hi.kh))
-        .select(
-            "g",
-            "p",
-            (
-                F.col("v_lo") * (F.lit(1.0) - F.col("frac"))
-                + F.col("v_hi") * F.col("frac")
-            ).alias("val"),
-        )
+    assembled = targets.join(
+        F.broadcast(rank_maps.withColumnRenamed("g", "g_m")),
+        F.col("g").eqNullSafe(F.col("g_m")),
+    ).select(
+        "g",
+        "p",
+        (
+            F.element_at("kv", F.col("k_lo")) * (F.lit(1.0) - F.col("frac"))
+            + F.element_at("kv", F.col("k_hi")) * F.col("frac")
+        ).alias("val"),
     )
     agg_cols = [
         F.max(F.when(F.col("p") == float(p), F.col("val"))).alias(
@@ -155,6 +195,16 @@ def exact_grouped_percentiles(
         )
         for p in percentiles
     ]
+    per_group = assembled.groupBy("g").agg(*agg_cols)
+    # group universe from df itself: groups whose values are ALL NULL
+    # still appear (with NULL percentiles), matching the builtin
+    universe = df.select(F.col(group_col).alias("g")).distinct()
     return (
-        assembled.groupBy("g").agg(*agg_cols).withColumnRenamed("g", group_col)
+        universe.join(
+            per_group.withColumnRenamed("g", "g_r"),
+            F.col("g").eqNullSafe(F.col("g_r")),
+            "left",
+        )
+        .drop("g_r")
+        .withColumnRenamed("g", group_col)
     )

@@ -877,6 +877,13 @@ def _dec(c: str) -> F.Column:
     return F.col(c).cast("decimal(18,6)")
 
 
+def _cents(c: str) -> F.Column:
+    """Lossless cent-scaling of a 2-decimal double column (SCALING.md
+    "Exact-integer money math": round(x·100) cannot face a rounding tie,
+    so both engines produce the identical integer)."""
+    return F.round(F.col(c) * 100).cast("bigint")
+
+
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_pricing_summary`` — TPC-H Q1-shaped scan+agg on lineitem.
     Pure scan → partial agg → final agg: the ideal 100 TB plan (no
@@ -888,7 +895,8 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly tighter than the old per-row ``DOUBLE`` multiply rounded to
     DECIMAL(18,6). Sums accumulate as BIGINT per (flag, status,
     partition-id) bucket in whole-stage codegen; per-task bounds
-    (Σyᵢ·(100−dᵢ) ≤ 4M rows × 1.1e11 = 4.4e17 ≪ 2⁶³) make the
+    (yᵢ·(100−dᵢ) ≤ 1.1e7·100 ≈ 1.1e9, so Σ per task ≤ 4M rows ×
+    1.1e9 = 4.4e15 ≪ 2⁶³) make the
     accumulation safe at any input volume, and only the ≤
     groups×tasks inner relation pays the 128-bit DECIMAL reduce. Each
     output is then a single chain of IEEE ops over exact integers,
@@ -899,9 +907,9 @@ def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny aggregation shuffle (spread=True 1.00 s vs spread=False
     0.42 s at sf0.1, same data)."""
     li = load_table(spark, sf_dir, "lineitem", spread=False)
-    qi = F.round(F.col("l_quantity") * 100).cast("bigint")
-    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    di = F.round(F.col("l_discount") * 100).cast("bigint")
+    qi = _cents("l_quantity")
+    yi = _cents("l_extendedprice")
+    di = _cents("l_discount")
     pre = li.select(
         "l_returnflag",
         "l_linestatus",
@@ -1115,7 +1123,7 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_returnflag", "l_linestatus"],
         {},
-        int_sums={"sum_qty": F.round(F.col("l_quantity") * 100).cast("bigint")},
+        int_sums={"sum_qty": _cents("l_quantity")},
     )
     return out.withColumn("sum_qty", F.col("sum_qty") / F.lit(100.0))
 
@@ -1166,14 +1174,15 @@ def q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB join topology: exactly one big-big shuffle, dims never
     shuffled. Revenue is the exact 4-decimal integer yᵢ·(100−dᵢ) summed
     as BIGINT per (nation, partition-id) bucket in whole-stage codegen
-    (per-task bound 4M rows × 1.1e11 ≪ 2⁶³ — the ``rel_stats_corr``
+    (per-task bound: per-row ≤ 1.1e9, Σ ≤ 4M rows × 1.1e9 =
+    4.4e15 ≪ 2⁶³ — the ``rel_stats_corr``
     pattern), with the 128-bit reduce on the tiny inner relation only."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    di = F.round(F.col("l_discount") * 100).cast("bigint")
+    yi = _cents("l_extendedprice")
+    di = _cents("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -1781,8 +1790,8 @@ def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag", "l_linestatus"],
         {},
         int_sums={
-            "sum_qty": F.round(F.col("l_quantity") * 100).cast("bigint"),
-            "sum_price": F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+            "sum_qty": _cents("l_quantity"),
+            "sum_price": _cents("l_extendedprice"),
         },
     )
     return out.withColumn(
@@ -2166,7 +2175,7 @@ def q_rel_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    yi = _cents("l_extendedprice")
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -2220,14 +2229,15 @@ def q_rel_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     row. ``part`` broadcast (dim); revenue = the exact 4-decimal
     integer yᵢ·(100−dᵢ) summed as BIGINT per partition-id bucket (the
     ``rel_stats_corr`` pattern — codegen fast path, per-task bound
-    4M × 1.1e11 ≪ 2⁶³), conditional and total in the same aggregation;
+    per-row ≤ 1.1e9 → Σ ≤ 4.4e15 ≪ 2⁶³), conditional and total in the
+    same aggregation;
     the share is one double division of two exact integer sums (the
     1e-4 scale cancels) — bit-identical cross-engine without IEEE-order
     games."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    di = F.round(F.col("l_discount") * 100).cast("bigint")
+    yi = _cents("l_extendedprice")
+    di = _cents("l_discount")
     joined = li.join(
         F.broadcast(part), li.l_partkey == part.p_partkey
     )
@@ -2452,8 +2462,8 @@ def q_rel_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     same integer regardless of their tie rule.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    xi = F.round(F.col("l_quantity") * 100).cast("bigint")
-    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    xi = _cents("l_quantity")
+    yi = _cents("l_extendedprice")
     # the partition id in the grouping key bounds every BIGINT bucket per
     # task (see _CORR_N_SALTS); grouping differently never changes the
     # result — integer sums are associative

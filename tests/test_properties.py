@@ -196,7 +196,6 @@ def test_merge_sessions_invariants(raw, gap_ms):
         st.tuples(
             st.integers(min_value=1, max_value=5),                  # key
             st.one_of(st.none(), st.integers(0, 50)),               # ts offset (None = null)
-            st.integers(min_value=0, max_value=10**6),              # unique-ified below
             st.sampled_from(["a", "b", "c"]),                       # payload
         ),
         min_size=1,
@@ -216,9 +215,11 @@ def test_latest_by_key_matches_reference(spark, rows):
     from flink_audit_sessions_example_spark.operators.dedup import latest_by_key
 
     # unique event ids (the determinism contract callers must provide)
+    # event ids assigned by enumeration: the unique order tiebreak the
+    # determinism contract requires
     rows = [
         (k, None if off is None else EPOCH + dt.timedelta(seconds=off), i, p)
-        for i, (k, off, _, p) in enumerate(rows)
+        for i, (k, off, p) in enumerate(rows)
     ]
     df = spark.createDataFrame(
         rows, "user_id long, ts timestamp, event_id long, event_type string"

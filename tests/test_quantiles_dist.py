@@ -67,12 +67,31 @@ def test_heavy_duplicate_runs_and_tiny_groups(spark):
 
 
 def test_nulls_ignored_like_builtin(spark):
-    rows = [("a", None), ("a", 1.0), ("a", 3.0), ("a", None)]
+    """NULL values ignored; a NULL group key is a group; an all-NULL
+    group still appears with NULL percentiles — builtin semantics."""
+    rows = [
+        ("a", None), ("a", 1.0), ("a", 3.0), ("a", None),
+        (None, 10.0), (None, 20.0),
+        ("allnull", None),
+    ]
     df = spark.createDataFrame(rows, "g string, v double")
-    got = exact_grouped_percentiles(
-        df, group_col="g", value_col="v", percentiles=[0.5]
-    ).collect()[0]
-    assert got["p50"] == 2.0
+    got = {
+        r["g"]: r["p50"]
+        for r in exact_grouped_percentiles(
+            df, group_col="g", value_col="v", percentiles=[0.5]
+        ).collect()
+    }
+    assert got == {"a": 2.0, None: 15.0, "allnull": None}
+
+
+def test_percentile_name_collisions_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="collide"):
+        exact_grouped_percentiles(
+            df, group_col="g", value_col="v", percentiles=[0.999, 1.0]
+        )
 
 
 def test_plan_range_partitions_and_chunk_bounded_window(spark):
@@ -91,7 +110,15 @@ def test_plan_range_partitions_and_chunk_bounded_window(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "rangepartitioning" in plan
-    # every Window's partition spec includes pid (chunk-bounded)
+    # (exchange REUSE is an AQE runtime decision invisible to a
+    # pre-execution explain; the global-rank determinism contract rests
+    # on deterministic lineage — see the module docstring — and is
+    # behaviorally covered by the bit-equality tests above)
+    # every Window's partition spec includes pid (chunk-bounded); count
+    # matches so an explain-format change cannot make this vacuous
+    matches = 0
     for line in plan.splitlines():
         if "row_number()" in line and "windowspecdefinition" in line:
             assert "pid" in line
+            matches += 1
+    assert matches >= 1
