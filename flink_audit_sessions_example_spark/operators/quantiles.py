@@ -81,6 +81,7 @@ def exact_grouped_percentiles(
     percentiles: list[float],
     n_range_partitions: int | None = None,
     eager_checkpoint: bool = False,
+    include_empty_groups: bool = True,
 ) -> DataFrame:
     """Exact type-7 ``percentiles`` of ``value_col`` per ``group_col``.
 
@@ -96,6 +97,11 @@ def exact_grouped_percentiles(
     ``eager_checkpoint`` pins the range-partitioned relation with a
     ``localCheckpoint`` — required only when the INPUT's partition
     layout or row order is nondeterministic (see module docstring).
+
+    ``include_empty_groups=False`` skips the extra full-input DISTINCT
+    scan that exists only to surface all-NULL-value groups — pass it
+    when the measure column is known non-null (every group then has at
+    least one ranked value and the scan buys nothing).
     """
     if len({f"p{int(round(p * 100))}" for p in percentiles}) != len(percentiles):
         raise ValueError(
@@ -196,6 +202,8 @@ def exact_grouped_percentiles(
         for p in percentiles
     ]
     per_group = assembled.groupBy("g").agg(*agg_cols)
+    if not include_empty_groups:
+        return per_group.withColumnRenamed("g", group_col)
     # group universe from df itself: groups whose values are ALL NULL
     # still appear (with NULL percentiles), matching the builtin
     universe = df.select(F.col(group_col).alias("g")).distinct()

@@ -1740,6 +1740,9 @@ def q_rel_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="l_returnflag",
         value_col="l_extendedprice",
         percentiles=[0.25, 0.5, 0.75],
+        # l_extendedprice is non-null: every group surfaces through its
+        # ranked values, so the all-NULL-group universe scan buys nothing
+        include_empty_groups=False,
     )
     return out.select(
         "l_returnflag",

@@ -122,3 +122,15 @@ def test_plan_range_partitions_and_chunk_bounded_window(spark):
             assert "pid" in line
             matches += 1
     assert matches >= 1
+
+
+def test_include_empty_groups_false_matches_on_nonnull_values(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    kw = dict(
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        percentiles=[0.5],
+    )
+    fast = exact_grouped_percentiles(li, include_empty_groups=False, **kw)
+    full = exact_grouped_percentiles(li, **kw)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, full.collect()))
