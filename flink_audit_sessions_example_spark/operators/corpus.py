@@ -237,22 +237,36 @@ def domain_mix(
       filter, no exchange, at the cost of ±O(√quota) per-domain counts.
 
     The per-domain quotas are computed declaratively — one tiny count
-    aggregate, with ``t = min(n/w)`` as an unpartitioned window over its
-    ≤ |domains| rows (no self-join, no second corpus scan, no driver
-    collect) — then broadcast into the corpus-side filter.
+    aggregate LEFT-joined onto the literal weights relation (no
+    self-join, no second corpus scan, no driver collect), with
+    ``t = min(n/w)`` as an unpartitioned window over its ≤ |domains|
+    rows — then broadcast into the corpus-side filter.
+
+    A domain listed in ``weights`` but ABSENT from the data counts as
+    ``count_d = 0``, so ``t = 0`` and the result is EMPTY — the literal
+    reading of the mixture formula (no total can satisfy a positive
+    weight with zero supply). This is deliberate: silently dropping the
+    missing domain from the min would return a mix that ignores one of
+    the requested components. Callers that want "mix over whatever
+    domains exist" should filter ``weights`` to the observed domains
+    first.
     """
     if mode not in ("exact", "rate"):
         raise ValueError(f"mode must be 'exact' or 'rate', got {mode!r}")
     from pyspark.sql.window import Window
 
-    w_map = F.create_map(
-        *[F.lit(x) for d, w in sorted(weights.items()) for x in (d, float(w))]
+    wanted = df.sparkSession.createDataFrame(
+        sorted((d, float(w)) for d, w in weights.items()),
+        "_dom string, _w double",
     )
-    counts = (
+    observed = (
         df.where(F.col(domain_col).isin(*weights))
-        .groupBy(domain_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn("_w", w_map[F.col(domain_col)])
+        .groupBy(F.col(domain_col).alias("_dom"))
+        .agg(F.count(F.lit(1)).alias("_n_obs"))
+    )
+    # LEFT join keeps weighted-but-absent domains with n = 0 (⇒ t = 0)
+    counts = wanted.join(observed, "_dom", "left").withColumn(
+        "_n", F.coalesce(F.col("_n_obs"), F.lit(0).cast("bigint"))
     )
     # min over ALL domains as a global window: ≤ |domains| rows reach the
     # single window partition, and `counts` stays one lineage (a
@@ -262,7 +276,7 @@ def domain_mix(
         Window.partitionBy()
     )
     quotas = counts.select(
-        F.col(domain_col).alias("_dom"),
+        "_dom",
         F.floor(F.col("_w") * t_win).cast("bigint").alias("_quota"),
         F.col("_n"),
     )

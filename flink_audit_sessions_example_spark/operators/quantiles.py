@@ -54,17 +54,20 @@ the builtin).
 
 Determinism contract: the chunk-count branch and the rank branch both
 consume the range exchange, so global ranks are correct iff both see
-the SAME partition layout. That holds because the lineage is
-deterministic for columnar scans: ``monotonically_increasing_id`` is a
-pure function of (partition index, row position), and the range
-boundaries come from reservoir samples seeded by partition index — so
-even if AQE does not reuse the exchange between the two subtrees
-(reuse is a runtime optimization, not guaranteed), both evaluations
-produce the identical layout. For upstreams with NONDETERMINISTIC
-layout or order (round-robin ``repartition()``, ``rand()``-derived
-columns, some streaming sources), pass ``eager_checkpoint=True`` to
-pin the ranged relation with a ``localCheckpoint`` before it fans
-out.
+the SAME partition layout. Two independent evaluations of the ranged
+subtree do NOT guarantee that: ``RangePartitioner`` seeds its boundary
+reservoir sample with the RDD id (``byteswap32(idx ^ (rdd.id << 16))``,
+``Partitioner.scala``), which differs per materialization, so separate
+evaluations can pick different boundaries and silently misalign counts
+vs ranks. Correctness therefore rests on Spark DEDUPLICATING the two
+identical exchange subtrees into one physical exchange —
+``spark.sql.exchange.reuse`` (default true; AQE applies the same reuse
+via its stage cache), pinned by a ``ReusedExchange`` plan assertion in
+``tests/test_quantiles.py``. When that conf is disabled the operator
+falls back to ``localCheckpoint``-pinning the ranged relation
+automatically; pass ``eager_checkpoint=True`` to force the pin for
+upstreams whose layout is nondeterministic in ways reuse cannot see
+(e.g. a source that returns different rows per scan).
 """
 
 from __future__ import annotations
@@ -80,7 +83,7 @@ def exact_grouped_percentiles(
     value_col: str,
     percentiles: list[float],
     n_range_partitions: int | None = None,
-    eager_checkpoint: bool = False,
+    eager_checkpoint: bool | None = None,
     include_empty_groups: bool = True,
 ) -> DataFrame:
     """Exact type-7 ``percentiles`` of ``value_col`` per ``group_col``.
@@ -95,8 +98,13 @@ def exact_grouped_percentiles(
     from the non-null value rows).
 
     ``eager_checkpoint`` pins the range-partitioned relation with a
-    ``localCheckpoint`` — required only when the INPUT's partition
-    layout or row order is nondeterministic (see module docstring).
+    ``localCheckpoint``. Default ``None`` resolves automatically: pin
+    whenever ``spark.sql.exchange.reuse`` is disabled — with reuse off,
+    the two consumers of the ranged subtree would evaluate it twice
+    with differently-seeded range boundaries (see module docstring) and
+    silently corrupt the global ranks. Pass ``True`` to force the pin
+    (nondeterministic upstream), ``False`` only if you know the
+    exchange is reused.
 
     ``include_empty_groups=False`` skips the extra full-input DISTINCT
     scan that exists only to surface all-NULL-value groups — pass it
@@ -110,6 +118,11 @@ def exact_grouped_percentiles(
         )
     spark = df.sparkSession
     n_parts = n_range_partitions or spark.sparkContext.defaultParallelism
+    if eager_checkpoint is None:
+        # correctness depends on the two consumers sharing ONE physical
+        # range exchange (module docstring); with reuse disabled, pin it
+        reuse = str(spark.conf.get("spark.sql.exchange.reuse", "true"))
+        eager_checkpoint = reuse.lower() != "true"
 
     # per-ROW tiebreak (NOT a value hash — identical values must be able
     # to land in different partitions, or a heavy constant run defeats

@@ -19,54 +19,52 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: to the back. Keep any NEWLY ADDED query key in this list until it has a
 #: driver-green row.
 _FRONT_KEYS = [
-    "rel_quantiles",
-    "rel_cube",
-    "xform_json_extract",
-    "win_retention",
-    "win_ntile",
-    "join_semi",
-    "rel_above_avg",
+    # r5 new / changed plans — need fresh driver rows this round
+    "agg_exact_distinct",     # new r5: exact cross-engine anchor for the HLL path
+    "dedup_minhash",          # r5: exact-dup pre-pass before LSH
+    "dedup_cluster",          # r5: pointer-jumping fallback + sf1 probe
+    "sim_topk_ivf",           # r5: cheaper expr-twin centroid assignment
+    "domain_mix",             # r5: missing-domain semantics fix (ADVICE)
+    "join_range",             # r5: shared _cents helper (ADVICE)
+    "rel_quantiles_dist",     # r5: exchange-reuse determinism fix (ADVICE)
+    # the 27 keys whose last driver CORRECTNESS row is r3 — no key goes
+    # two consecutive rounds unverified (r4 verdict action 1)
+    "agg_denied_sum",
+    "dedup_ngram",  # (dedup_minhash is in the r5-changed block above)
+    "dedup_simhash",
+    "flt_nonzero",
+    "flt_valid_user",
+    "join_anti",
+    "join_asof",
+    "key_by_user",
+    "pipeline_clean_corpus",
+    "rel_filtered_scan",
+    "rel_shipping_priority",
+    "rel_top_customers",
+    "sample_stratified",
+    "set_except",
+    "set_intersect",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality",
+    "text_repetition",
+    "text_stats",
+    "time_watermark",
+    "win_rank_sessions",
+    "win_sliding",
+    "win_tumbling",
+    "win_user_gaps",
+    "xform_parse_json",
+    "win_session",
+    "win_wrap_result",
+    "xform_format_string",
+    "src_file_monitor",
+    "src_file_datefilter",
     "agg_multi_distinct",
+    # rows-only-by-design sketch registers: keep in the window so the
+    # driver re-records the (expected) no_oracle rows-only check
     "rel_quantiles_approx",
-    "decontaminate",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "dedup_cluster",
-    "rel_pivot",
-    "win_moving_avg",
-    "rel_window_share",
-    "rel_promo_share",
-    "rel_top_suppliers",
-    "win_range_frame",
     "agg_approx_distinct",
-    "join_salted",
-    "rel_stats_corr",
-    "rel_histogram_bins",
-    # r4 new queries
-    "dedup_chunk",
-    "text_corpus_freq",
-    "domain_mix",
-    "join_range",
-    "xform_compact",
-    "multimodal_features",
-    # late-r4 cents-pattern rewrites — need fresh driver rows
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_rollup",
-    "rel_quantiles_dist",
-    # r4 spread=False plan changes — keep driver rows this round
-    "text_word_histogram",
-    "sim_topk",
-    "dedup_exact",
-    "dedup_count",
-    "dedup_embed",
-    "cluster_profile",
-    "text_fingerprint",
-    "pack_sequences",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}

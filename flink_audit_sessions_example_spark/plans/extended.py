@@ -2660,13 +2660,18 @@ def _domain_mix_oracle(weights: dict[str, float]) -> str:
     vals = ", ".join(f"('{d}', {w!r})" for d, w in sorted(weights.items()))
     return f"""
 WITH wts(lang, w) AS (VALUES {vals}),
-c AS (
+obs AS (
   SELECT d.lang, COUNT(*) AS n FROM documents d
   JOIN wts ON d.lang = wts.lang GROUP BY 1
 ),
+c AS (
+  -- weighted-but-absent domains count 0 => t = 0 => empty result
+  -- (mirrors operators/corpus.py::domain_mix missing-domain semantics)
+  SELECT wts.lang, wts.w, COALESCE(obs.n, 0) AS n
+  FROM wts LEFT JOIN obs ON obs.lang = wts.lang
+),
 t AS (
-  SELECT MIN(CAST(c.n AS DOUBLE) / wts.w) AS t
-  FROM c JOIN wts ON c.lang = wts.lang
+  SELECT MIN(CAST(c.n AS DOUBLE) / c.w) AS t FROM c
 ),
 q AS (
   SELECT wts.lang, CAST(FLOOR(wts.w * t.t) AS BIGINT) AS quota
@@ -2719,7 +2724,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         PRICE_BANDS, "band_id int, lo double, hi double"
     )
     price = F.col("l_extendedprice")
-    yi = F.round(price * 100).cast("bigint")
+    yi = _cents("l_extendedprice")
     joined = li.join(
         F.broadcast(bands), (price >= F.col("lo")) & (price < F.col("hi"))
     )

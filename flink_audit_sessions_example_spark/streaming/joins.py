@@ -50,6 +50,21 @@ def stream_interval_join(
     the watermark on the nullable side and emit NULL matches only after
     the watermark passes — semantics this helper exposes unchanged.
     """
+    overlap = set(left.columns) & set(right.columns)
+    if key not in left.columns or key not in right.columns:
+        raise ValueError(
+            f"join key {key!r} must exist on both sides "
+            f"(left={left.columns}, right={right.columns})"
+        )
+    if overlap != {key}:
+        # enforce the documented contract up front — overlapping non-key
+        # columns would yield duplicate output column names that fail
+        # only later (and ambiguously) when a consumer references them
+        raise ValueError(
+            "stream_interval_join requires the two sides' column names "
+            f"to be disjoint apart from {key!r}; also shared: "
+            f"{sorted(overlap - {key})} — rename or drop before joining"
+        )
     lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))

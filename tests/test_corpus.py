@@ -203,6 +203,22 @@ def test_domain_mix_rate_mode_approximates_quotas(spark):
     assert "row_number" not in plan, plan
 
 
+def test_domain_mix_missing_weighted_domain_keeps_nothing(spark):
+    """A domain listed in weights but absent from the data counts as
+    count=0, so t=0 and the mixture is EMPTY (the literal reading of the
+    formula; r4 ADVICE) — in both modes, rather than silently computing
+    quotas as if the missing domain weren't requested."""
+    docs = load_table(spark, SF_DIR, "documents")
+    weights = {"en": 0.5, "klingon": 0.5}
+    for mode in ("exact", "rate"):
+        assert (
+            C.domain_mix(
+                docs, domain_col="lang", weights=weights, mode=mode
+            ).count()
+            == 0
+        ), mode
+
+
 def test_domain_mix_rejects_bad_mode(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="mode"):

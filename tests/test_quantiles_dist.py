@@ -110,10 +110,6 @@ def test_plan_range_partitions_and_chunk_bounded_window(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "rangepartitioning" in plan
-    # (exchange REUSE is an AQE runtime decision invisible to a
-    # pre-execution explain; the global-rank determinism contract rests
-    # on deterministic lineage — see the module docstring — and is
-    # behaviorally covered by the bit-equality tests above)
     # every Window's partition spec includes pid (chunk-bounded); count
     # matches so an explain-format change cannot make this vacuous
     matches = 0
@@ -134,3 +130,43 @@ def test_include_empty_groups_false_matches_on_nonnull_values(spark):
     fast = exact_grouped_percentiles(li, include_empty_groups=False, **kw)
     full = exact_grouped_percentiles(li, **kw)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_ranged_exchange_is_physically_reused(spark):
+    """The determinism contract (module docstring): the chunk-count and
+    rank branches MUST share one physical range exchange — separate
+    evaluations would sample range boundaries with different RDD-id
+    seeds and silently misalign global ranks. Pin the guarantee by
+    asserting a ReusedExchange in the FINAL (post-AQE) plan."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = exact_grouped_percentiles(
+        li,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        percentiles=[0.5],
+    )
+    out.collect()  # finalize the adaptive plan
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
+
+
+def test_reuse_disabled_auto_pins_and_stays_correct(spark):
+    """With spark.sql.exchange.reuse off, the default eager_checkpoint
+    resolution must pin the ranged relation (localCheckpoint) so the two
+    consumers cannot diverge — and results stay bit-equal to builtin."""
+    li = load_table(spark, SF_DIR, "lineitem").limit(5000)
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        got = {
+            r["l_returnflag"]: r["p50"]
+            for r in exact_grouped_percentiles(
+                li,
+                group_col="l_returnflag",
+                value_col="l_extendedprice",
+                percentiles=[0.5],
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+    want = {g: p[0] for g, p in _builtin(li, [0.5]).items()}
+    assert got == want

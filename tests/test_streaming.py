@@ -530,6 +530,31 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     assert unbounded.isStreaming
 
 
+def test_stream_interval_join_rejects_overlapping_columns(spark):
+    """The disjoint-columns contract is enforced up front (r4 ADVICE):
+    overlapping non-key columns would only fail later, ambiguously, when
+    a consumer references the duplicate name."""
+    import pytest
+
+    from flink_audit_sessions_example_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    left = spark.createDataFrame([], "u string, t timestamp, v int")
+    right = spark.createDataFrame([], "u string, t2 timestamp, v int")
+    with pytest.raises(ValueError, match="disjoint.*'v'|'v'.*disjoint"):
+        stream_interval_join(
+            left, right, key="u", left_time="t", right_time="t2",
+            bound_seconds=60, watermark_delay="1 hour",
+        )
+    with pytest.raises(ValueError, match="join key"):
+        stream_interval_join(
+            left, right.withColumnRenamed("u", "w"), key="u",
+            left_time="t", right_time="t2",
+            bound_seconds=60, watermark_delay="1 hour",
+        )
+
+
 def test_stream_stream_interval_join_matches_batch(spark, audit_tree, tmp_path):
     """Watermarked stream-stream interval join (denied ⋈ allowed within
     ±20 min per user) produces exactly the pairs the equivalent batch
