@@ -255,28 +255,31 @@ def domain_mix(
         raise ValueError(f"mode must be 'exact' or 'rate', got {mode!r}")
     from pyspark.sql.window import Window
 
-    wanted = df.sparkSession.createDataFrame(
-        sorted((d, float(w)) for d, w in weights.items()),
-        "_dom string, _w double",
+    w_map = F.create_map(
+        *[F.lit(x) for d, w in sorted(weights.items()) for x in (d, float(w))]
     )
-    observed = (
+    counts = (
         df.where(F.col(domain_col).isin(*weights))
-        .groupBy(F.col(domain_col).alias("_dom"))
-        .agg(F.count(F.lit(1)).alias("_n_obs"))
-    )
-    # LEFT join keeps weighted-but-absent domains with n = 0 (⇒ t = 0)
-    counts = wanted.join(observed, "_dom", "left").withColumn(
-        "_n", F.coalesce(F.col("_n_obs"), F.lit(0).cast("bigint"))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", w_map[F.col(domain_col)])
     )
     # min over ALL domains as a global window: ≤ |domains| rows reach the
     # single window partition, and `counts` stays one lineage (a
     # crossJoin with a separate min-aggregate would evaluate the corpus
-    # count subtree twice)
-    t_win = F.min(F.col("_n").cast("double") / F.col("_w")).over(
+    # count subtree twice). A weighted-but-ABSENT domain contributes no
+    # row here, so it is detected by the row count instead: fewer rows
+    # than weights ⇒ some count_d = 0 ⇒ t = 0 ⇒ every quota 0 (same
+    # window, no extra join or literal relation).
+    t_all_present = F.min(F.col("_n").cast("double") / F.col("_w")).over(
         Window.partitionBy()
     )
+    n_present = F.count(F.lit(1)).over(Window.partitionBy())
+    t_win = F.when(n_present == len(weights), t_all_present).otherwise(
+        F.lit(0.0)
+    )
     quotas = counts.select(
-        "_dom",
+        F.col(domain_col).alias("_dom"),
         F.floor(F.col("_w") * t_win).cast("bigint").alias("_quota"),
         F.col("_n"),
     )

@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import hashed_shingle_rows, shingle_rows, _words
+from .text import (
+    hashed_shingle_rows,
+    minhash_doc_sigs,
+    shingle_rows,
+    with_fingerprint,
+    _words,
+)
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -390,36 +396,67 @@ def minhash_near_dup_pairs(
     max_shingle_df: int | None = None,
     max_bucket_size: int | None = None,
     persist: bool = False,
+    pre_dedup: bool = True,
 ) -> DataFrame:
-    """``dedup_minhash`` — end-to-end near-dup detection: MinHash → LSH
-    candidates → exact Jaccard verification *of candidates only*.
+    """``dedup_minhash`` — end-to-end near-dup detection: exact-dup
+    collapse → MinHash → LSH candidates → exact Jaccard verification
+    *of candidates only* → dup-group re-expansion.
 
     With b=16, r=4 the candidate-recall S-curve crosses ~0.5 probability
     at s ≈ (1/b)^(1/r) ≈ 0.5, matching the default threshold; the exact
     verification then removes false positives, so precision is 1.0 and
-    only recall is probabilistic (tunable via bands).
+    only recall is probabilistic (tunable via bands) — EXCEPT for exact
+    duplicates, whose recall is 1.0 deterministically via the pre-pass
+    below.
 
-    Plan (candidates-only verify, DOC-level candidates): the Arrow
-    shingler produces a flat ``(id, hashed-shingle-key)`` relation
-    feeding two branches — (a) ONE per-doc hash aggregation producing
-    the signature minima (map-side partial combine, one row per doc
-    before the shuffle), whose LSH band buckets yield the candidate DOC
-    set (every doc sharing a surviving [2, max_bucket_size] bucket with
-    another doc) directly from the bucket postings — no quadratic pair
-    explode and no second evaluation of the banding subtree, which the
-    r2 pair-level formulation paid twice; and (b) the verify branch,
-    which keeps only candidate docs' shingle rows (broadcast SEMI-join
-    on the candidate-id set), derives their shingle counts from that
-    already-filtered relation (never a second full-corpus aggregation),
-    and counts common shingles via pairs-from-postings on the small
-    remainder. Doc-level candidacy verifies slightly MORE pairs than
-    pair-level (two candidate docs that never co-bucketed still get
-    checked if they share a shingle) — every extra emitted pair is a
-    true ≥-threshold near-dup, so precision stays 1.0 and recall can
-    only rise. The quadratic work stays restricted to band-colliding
-    docs — the whole point of LSH at 100 TB — and ``max_shingle_df``
-    caps the verify posting lists against boilerplate shingles shared
-    by many candidates.
+    Plan (r5 shape):
+
+    1. **Signatures in the scan pass.** Each document is ONE input row,
+       so its shingle set — and its complete MinHash signature — is
+       local to the map task. The md5 family computes (id, fingerprint,
+       sig, n_sh) wholly inside the Arrow tokenizer pass
+       (``text.minhash_doc_sigs``): no shingle-row shuffle, no
+       65-buffer hash aggregation (the r4 plan's dominant cost —
+       measured 1.7 s → 0.6 s for the signature subtree at sf0.1). The
+       xxhash64 family keeps the JVM exploded-rows + min-agg path
+       (xxhash64 is not reproducible Python-side).
+    2. **Exact-dup collapse (``pre_dedup``, default on).** Signatures
+       are collapsed per normalized-text fingerprint
+       (``text.with_fingerprint``) — ``min(struct(id, sig, n_sh))``
+       keyed on the fingerprint, one slim shuffle — so each distinct
+       text enters LSH banding, bucketing, and verification ONCE. On
+       real corpora (20-40 % exact dups) this removes the dup share of
+       every shuffle and of the quadratic bucket work; identical docs
+       also stop inflating LSH buckets toward ``max_bucket_size``
+       (which previously could silently drop a popular doc's buckets
+       and lose its near-dup pairs).
+    3. **Banding → buckets → candidates** as before: one fixed-width
+       BIGINT band key per (rep, band); ONE ``groupBy(bkey)`` builds
+       posting lists; ``[2, max_bucket_size]`` buckets yield the
+       candidate REP set with n_sh riding the explode.
+    4. **Candidates-only verify**: the candidate-id semi join filters
+       the ORIGINAL documents (candidate ids are rep ids ⊆ doc ids), so
+       the second Arrow tokenizer pass touches only candidate docs;
+       shingle postings (``max_shingle_df``-capped) emit pairs in
+       place; exact Jaccard filters at ``threshold``.
+    5. **Re-expansion.** Verified rep pairs fan out across their dup
+       groups (all members share the rep's shingle set, so the Jaccard
+       value carries over exactly), and each multi-member group with at
+       least one shingle emits its intra-group pairs at Jaccard 1.0 —
+       identical shingle sets are near-dups by definition, regardless
+       of banding luck or bucket caps. The group map is a SLIM second
+       lineage (id + fingerprint only, no text payload); its three
+       consumers (intra pairs, two expansion joins) share one physical
+       fingerprint-agg exchange via ReusedExchange.
+
+    Doc-level candidacy verifies slightly MORE pairs than pair-level
+    (two candidate docs that never co-bucketed still get checked if
+    they share a shingle) — every extra emitted pair is a true
+    ≥-threshold near-dup, so precision stays 1.0 and recall can only
+    rise. The quadratic work stays restricted to band-colliding
+    distinct texts — the whole point of LSH at 100 TB — and
+    ``max_shingle_df`` caps the verify posting lists against
+    boilerplate shingles shared by many candidates.
 
     ``hash_family='md5'`` makes every step DuckDB-reproducible (the
     driver's oracle); ``'xxhash64'`` is the cheaper production default.
@@ -428,38 +465,21 @@ def minhash_near_dup_pairs(
     still DuckDB-verbatim; requires the md5 family's bounded nonnegative
     minima to stay overflow-free under ANSI arithmetic) for md5.
     ``max_bucket_size`` caps degenerate LSH buckets; ``max_shingle_df``
-    additionally caps verify-side posting lists (rarely needed once
-    buckets are capped — candidate sets are already bounded).
+    additionally caps verify-side posting lists.
 
-    Corpus-dependence of the verify cost (measured r4, driver sf0.1):
-    this synthetic word-salad corpus has high background shingle
-    overlap, so 91% of docs band-collide with SOMETHING (4537/5000
-    candidate docs, 17k distinct candidate pairs) and the doc-level
-    verify's pairs-from-postings emits ~1.15M pair rows. A
-    PAIR-restricted verify (join shingles through the explicit LSH pair
-    list) would bound that volume by pairs×shingles (~0.9M here — a
-    wash locally) at the cost of losing the "extra true pairs" property
-    above and a full oracle rewrite — not taken. On real corpora
-    background Jaccard is far lower, candidate docs ≪ corpus, and the
-    doc-level design keeps its intended sliver-verify shape; if a
-    production corpus shows this corpus's saturation, the knobs that
-    matter are ``max_bucket_size`` (already active) and more rows per
-    band (higher-precision bands at the S-curve's threshold cost).
+    ``pre_dedup=False`` restores the r4 semantics (exact dups compete
+    inside LSH like any other doc; a dup-saturated bucket can exceed
+    ``max_bucket_size`` and drop its pairs). Corpus-dependence of the
+    verify cost on this synthetic word-salad corpus (91 % of docs
+    band-collide with SOMETHING) is discussed in BASELINE.md; on real
+    corpora background Jaccard is far lower and candidates ≪ corpus.
 
-    ``persist=True`` caches the two diamond nodes — the corpus keyed
-    shingle rows and the per-doc signature table — at
-    ``MEMORY_AND_DISK``. (The verify branch tokenizes the
-    candidate-restricted documents separately by design — that pass is
-    proportional to the candidate set, not the corpus, and caching the
-    full-corpus rows would not shrink it.) CALLER CONTRACT: the caches
-    outlive this call —
-    after materializing the result, release them with
-    ``spark.catalog.clearCache()`` (or track ``df.persist()`` handles
-    yourself) in long-lived sessions; nothing here unpersists for you.
-    Default False — with the affine band keys the recompute is cheaper
-    than the cache churn at every scale measured (see BASELINE.md r3
-    note), so persist only pays when the SAME signatures feed several
-    downstream consumers.
+    ``persist=True`` caches the signature table (and, for the xxhash64
+    family, the keyed shingle rows) at ``MEMORY_AND_DISK``. CALLER
+    CONTRACT: the caches outlive this call — release with
+    ``spark.catalog.clearCache()`` (or track handles yourself) in
+    long-lived sessions. Default False — the recompute is cheaper than
+    the cache churn at every scale measured (BASELINE.md r3 note).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -473,39 +493,25 @@ def minhash_near_dup_pairs(
         # row (the r2 expression-tax hot spot) and the shuffle carries
         # 24 B of fixed-width ints instead of shingle strings
         def keyed_rows(src: DataFrame) -> DataFrame:
-            return hashed_shingle_rows(src, id_col=id_col, text_col=text_col, k=k)
+            return hashed_shingle_rows(
+                src, id_col=id_col, text_col=text_col, k=k, with_n=True
+            )
 
         key_cols = ["k1", "k2"]
-        h = lambda i: F.col("k1") + F.lit(i) * F.col("k2")  # noqa: E731
-        keyed = keyed_rows(df)
     elif hash_family == "xxhash64":
 
         def keyed_rows(src: DataFrame) -> DataFrame:
-            shingled = shingle_rows(src, id_col=id_col, text_col=text_col, k=k)
-            return shingled.select("id", F.xxhash64("sh").alias("k1"))
+            shingled = shingle_rows(
+                src, id_col=id_col, text_col=text_col, k=k, with_n=True
+            )
+            return shingled.select("id", F.xxhash64("sh").alias("k1"), "n")
 
         key_cols = ["k1"]
         h = lambda i: F.xxhash64(F.col("k1"), F.lit(i))  # noqa: E731
-        keyed = keyed_rows(df)
     else:
         raise ValueError(
             f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
         )
-    keyed = _p(keyed)
-    # the signature aggregation also emits each doc's shingle count —
-    # free in the same shuffle (+8 B/doc of agg state), and it spares the
-    # verify tail an entire branch (see below)
-    per_doc = _p(
-        keyed.groupBy("id").agg(
-            *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)],
-            F.count(F.lit(1)).alias("n_sh"),
-        )
-    )
-    sigs = per_doc.select(
-        "id",
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-        "n_sh",
-    )
     if bucket_hash is None:
         bucket_hash = "xxhash64" if hash_family == "xxhash64" else "affine"
     if bucket_hash == "affine" and hash_family != "md5":
@@ -518,64 +524,226 @@ def minhash_near_dup_pairs(
             f"nonnegative minima); got hash_family={hash_family!r}"
         )
 
-    # n_sh rides the banding explode (bands × 8 B/doc of extra shuffle)
-    # so the candidate set comes out annotated with each doc's shingle
-    # count — the verify tail then never has to re-derive sizes, which
-    # previously cost a SECOND candidate Arrow tokenize + semi join +
-    # groupBy branch (r4: one Arrow pass, one broadcast and one shuffle
-    # fewer; result-identical since both passes tokenize the same docs).
+    slim = df.select(F.col(id_col), F.col(text_col))
+    if pre_dedup:
+        staged = with_fingerprint(slim, text_col)
+        # slim dup-group map (no text payload): rep = min id, sorted
+        # member list, and whether the group's docs shingle at all
+        # (groups below k words never entered the old pipeline either).
+        # Shingle-ability is derived from the fingerprint's NORMALIZED
+        # text (whitespace runs already collapsed to single spaces):
+        # word count = spaces + 1 — two string-length ops instead of a
+        # second regex split per document (measured 0.62 s → 0.2 s per
+        # evaluation of this subtree at sf0.1).
+        norm = F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        )
+        n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+            F.length(norm) - F.length(F.replace(norm, F.lit(" "))) + 1
+        )
+        dup_groups = (
+            staged.select(
+                F.col(id_col).alias("id"),
+                "fingerprint",
+                (n_words >= k).alias("sh_ok"),
+            )
+            .groupBy("fingerprint")
+            .agg(
+                F.min("id").alias("rid"),
+                F.sort_array(F.collect_list("id")).alias("members"),
+                F.max("sh_ok").alias("sh_ok"),
+            )
+            .where(F.size("members") >= 2)
+            # LAZY localCheckpoint: three consumers (intra pairs + two
+            # expansion broadcasts) would each re-run the fingerprint
+            # aggregation (no ReusedExchange fires across them —
+            # verified empirically); the checkpoint materializes this
+            # tiny relation (dup groups only) once, on first use, with
+            # no eager action at plan-construction time
+            .localCheckpoint(eager=False)
+        )
+    # signature relation: (id, sig), one row per distinct text
+    # (pre_dedup) or per doc, docs with ≥ k words only
+    if hash_family == "md5":
+        if pre_dedup:
+            # sigs for ALL docs in the (fully parallel, scan-side) Arrow
+            # pass, then ONE min(struct(id, sig)) collapse per
+            # fingerprint. Collapsing BEFORE the Arrow pass was measured
+            # SLOWER here: the fingerprint aggregation's output is a
+            # shuffle AQE coalesces to few partitions, serializing the
+            # compute-heavy Python stage that follows (1.3 s vs 0.78 s
+            # at sf0.1) — and dup docs' signatures are identical bytes
+            # the min() collapse discards for free. At dup-heavy corpus
+            # scale the wasted sig CPU for dups is scan-parallel while
+            # the alternative's extra text-carrying exchange is not.
+            stats = minhash_doc_sigs(
+                staged,
+                id_col=id_col,
+                text_col=text_col,
+                k=k,
+                num_hashes=num_hashes,
+                carry_col="fingerprint",
+            )
+            sigs = _p(
+                stats.groupBy("carry")
+                .agg(F.min(F.struct("id", "sig")).alias("r"))
+                .select("r.id", "r.sig")
+            )
+        else:
+            sigs = _p(
+                minhash_doc_sigs(
+                    slim,
+                    id_col=id_col,
+                    text_col=text_col,
+                    k=k,
+                    num_hashes=num_hashes,
+                )
+            )
+    else:
+        if pre_dedup:
+            # rep docs WITH text for the JVM tokenizer: one
+            # min(struct(id, text)) agg per fingerprint
+            work = (
+                staged.groupBy("fingerprint")
+                .agg(
+                    F.min(
+                        F.struct(
+                            F.col(id_col).alias("_i"),
+                            F.col(text_col).alias("_t"),
+                        )
+                    ).alias("r")
+                )
+                .select(
+                    F.col("r._i").alias(id_col), F.col("r._t").alias(text_col)
+                )
+            )
+        else:
+            work = slim
+        keyed = _p(keyed_rows(work))
+        per_doc = keyed.groupBy("id").agg(
+            *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
+        )
+        sigs = _p(
+            per_doc.select(
+                "id",
+                F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                    "sig"
+                ),
+            )
+        )
+
+    # banding: one fixed-width BIGINT key per (doc, band); buckets in
+    # [2, max_bucket_size] yield the candidate-id set. Nothing else
+    # rides the explode — per-doc sizes come from the verify tokenizer
+    # itself (below), so this whole signature subtree is referenced
+    # exactly ONCE, under the candidate broadcast: Python map stages
+    # (MapInPandas) are not exchange-reusable, and every additional
+    # reference would RE-EXECUTE the signature pass (the r4 plan paid
+    # this 3× — candidate broadcast plus two size joins).
     banded = sigs.select(
         "id",
-        "n_sh",
         F.explode(
             F.array(
                 *[_band_key(bucket_hash, rows_per_band, b) for b in range(bands)]
             )
         ).alias("bkey"),
     )
-    bucket_sizes = banded.groupBy("bkey").agg(
-        F.collect_list(F.struct("id", "n_sh")).alias("ids")
+    buckets = banded.groupBy("bkey").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     ).where(F.size("ids") >= 2)
     if max_bucket_size is not None:
-        bucket_sizes = bucket_sizes.where(F.size("ids") <= max_bucket_size)
-    cand_sizes = (
-        bucket_sizes.select(F.explode("ids").alias("s"))
-        .select(F.col("s.id").alias("id"), F.col("s.n_sh").alias("n"))
-        .distinct()
-    )
-    cand_ids = cand_sizes.select("id")
-    # verify tail restricted BEFORE the tokenizer: the candidate-id semi
-    # join filters the DOCUMENTS, so the second Arrow tokenizer pass
-    # touches only candidate docs — at corpus scale candidates ≪ corpus,
-    # and a post-tokenize filter (the r2 shape) would re-shingle 100 TB
-    # to keep a sliver.
-    cand_docs = df.join(
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    # no .distinct(): the LEFT SEMI join below only tests existence, so
+    # duplicate candidate ids (one per surviving band) are harmless and
+    # dropping the dedup saves a full exchange
+    cand_ids = buckets.select(F.explode("ids").alias("id"))
+    # verify tail restricted BEFORE the tokenizer: candidate ids are doc
+    # ids (reps ⊆ docs), so the semi join filters the ORIGINAL documents
+    # and the second Arrow tokenizer pass touches only candidate docs —
+    # at corpus scale candidates ≪ corpus. The pass emits each doc's
+    # distinct-shingle count n on every row (with_n=True): the sizes a
+    # Jaccard needs then ride the posting lists as struct(id, n) and the
+    # two post-aggregation size joins of the r4 plan disappear.
+    cand_docs = slim.join(
         F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
         id_col,
         "left_semi",
     )
     verify_rows = keyed_rows(cand_docs)
-    sizes = cand_sizes
     vposts = verify_rows.groupBy(*key_cols).agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
+        F.sort_array(F.collect_list(F.struct("id", "n"))).alias("ids")
     ).where(F.size("ids") >= 2)
     if max_shingle_df is not None:
         vposts = vposts.where(F.size("ids") <= max_shingle_df)
+    # posting elements are struct(id, n) — ids are unique so the sort and
+    # the i<j pair property behave exactly as with bare ids, and n_a/n_b
+    # pop out of the pair-count groupBy for free (n is functionally
+    # dependent on id: the widened grouping key has identical cardinality)
     common = (
         vposts.select(F.explode(_pair_explode()).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy(
+            F.col("p.id_a.id").alias("id_a"),
+            F.col("p.id_a.n").alias("n_a"),
+            F.col("p.id_b.id").alias("id_b"),
+            F.col("p.id_b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .withColumn(
+    rep_pairs = (
+        common.withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if not pre_dedup:
+        return rep_pairs
+
+    # re-expansion: a verified (rep_a, rep_b, j) pair holds for every
+    # (member_a, member_b) cross pair — members share their rep's exact
+    # shingle set. Non-dup reps expand to themselves via the coalesce.
+    # Both joins broadcast the IDENTICAL (rid, members) subtree (aliases
+    # only), so exchange reuse materializes the dup-group broadcast once.
+    mgrp = dup_groups.select("rid", "members")
+    expanded = (
+        rep_pairs.join(
+            F.broadcast(mgrp.alias("_ga")),
+            F.col("id_a") == F.col("_ga.rid"),
+            "left",
+        )
+        .join(
+            F.broadcast(mgrp.alias("_gb")),
+            F.col("id_b") == F.col("_gb.rid"),
+            "left",
+        )
+        .withColumn("_ma", F.coalesce(F.col("_ga.members"), F.array("id_a")))
+        .withColumn("_mb", F.coalesce(F.col("_gb.members"), F.array("id_b")))
+        .select("jaccard", F.explode("_ma").alias("_a"), "_mb")
+        .select("jaccard", "_a", F.explode("_mb").alias("_b"))
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return expanded
+    # identical texts are Jaccard-1.0 near-dups by definition: emit every
+    # intra-group pair deterministically (recall 1.0 for exact dups, no
+    # banding luck, no bucket-cap loss); groups below k words never had
+    # a shingle set and are skipped, like everywhere else
+    intra = (
+        dup_groups.where("sh_ok")
+        .select(F.explode(_pair_explode("members")).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return expanded.unionByName(intra)
+
 
 
 def near_dup_clusters(

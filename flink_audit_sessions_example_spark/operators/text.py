@@ -372,7 +372,12 @@ def _py_word_lists(ids, texts, k: int):
 
 
 def shingle_rows(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int,
+    with_n: bool = False,
 ) -> DataFrame:
     """Exploded distinct word-``k``-shingles: ``(id, sh)`` rows.
 
@@ -384,6 +389,12 @@ def shingle_rows(
     ``shingle_array`` exactly (including non-ASCII whitespace — see
     ``_JAVA_WS``): lowercase, split on Java-``\\s`` runs, distinct
     shingles, docs shorter than ``k`` words yield nothing.
+
+    ``with_n=True`` adds the document's distinct-shingle count ``n`` to
+    every row — free in the pass (the count is in hand when the doc's
+    rows are emitted), and it saves consumers that need per-doc sizes a
+    separate aggregation + join whose subtree would re-evaluate this
+    (non-reusable) Python stage.
     """
     import pandas as pd
 
@@ -391,17 +402,24 @@ def shingle_rows(
         for pdf in batches:
             ids: list = []
             shingles: list = []
+            ns: list = []
             for i, w in _py_word_lists(pdf["_id"], pdf["_text"], k):
                 distinct = dict.fromkeys(
                     " ".join(w[j : j + k]) for j in range(len(w) - k + 1)
                 )
                 ids.extend([i] * len(distinct))
                 shingles.extend(distinct)
-            yield pd.DataFrame({"id": ids, "sh": shingles})
+                if with_n:
+                    ns.extend([len(distinct)] * len(distinct))
+            data = {"id": ids, "sh": shingles}
+            if with_n:
+                data["n"] = ns
+            yield pd.DataFrame(data)
 
+    schema = "id long, sh string" + (", n long" if with_n else "")
     return df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).mapInPandas(gen, "id long, sh string")
+    ).mapInPandas(gen, schema)
 
 
 def hashed_shingle_rows(
@@ -410,6 +428,7 @@ def hashed_shingle_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int,
+    with_n: bool = False,
 ) -> DataFrame:
     """Distinct word-``k``-shingles pre-hashed to the md5 two-hash family
     keys: ``(id, k1, k2)`` rows with ``k1``/``k2`` = the first/second
@@ -423,6 +442,9 @@ def hashed_shingle_rows(
     to 24 B of fixed-width ints. Bit-identical to the SQL construction
     (md5 of the UTF-8 shingle; hex digits 1-10 / 11-20 big-endian), so
     DuckDB oracles reproduce it verbatim.
+
+    ``with_n=True`` adds the document's distinct-shingle count ``n`` to
+    every row (see :func:`shingle_rows`).
     """
     import hashlib
 
@@ -434,6 +456,7 @@ def hashed_shingle_rows(
             ids: list = []
             k1s: list = []
             k2s: list = []
+            ns: list = []
             for i, w in _py_word_lists(pdf["_id"], pdf["_text"], k):
                 distinct = dict.fromkeys(
                     " ".join(w[j : j + k]) for j in range(len(w) - k + 1)
@@ -443,11 +466,110 @@ def hashed_shingle_rows(
                     k1s.append(int.from_bytes(d[:5], "big"))
                     k2s.append(int.from_bytes(d[5:10], "big"))
                 ids.extend([i] * len(distinct))
-            yield pd.DataFrame({"id": ids, "k1": k1s, "k2": k2s})
+                if with_n:
+                    ns.extend([len(distinct)] * len(distinct))
+            data = {"id": ids, "k1": k1s, "k2": k2s}
+            if with_n:
+                data["n"] = ns
+            yield pd.DataFrame(data)
 
+    schema = "id long, k1 long, k2 long" + (", n long" if with_n else "")
     return df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).mapInPandas(gen, "id long, k1 long, k2 long")
+    ).mapInPandas(gen, schema)
+
+
+def minhash_doc_sigs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int,
+    num_hashes: int,
+    carry_col: str | None = None,
+) -> DataFrame:
+    """Per-document MinHash signature of the md5 two-hash affine family
+    (hᵢ = k1 + i·k2 over distinct word-``k``-shingles), computed WHOLLY
+    inside the Arrow tokenizer pass: each document is one input row, so
+    its shingle set — and therefore its complete signature — is local to
+    the map task. Output: ``(id, sig: array<bigint>[num_hashes], n_sh)``
+    rows for documents with ≥ ``k`` words (others yield nothing, like
+    :func:`hashed_shingle_rows`); ``carry_col`` (a STRING column, e.g. a
+    fingerprint) is passed through untouched.
+
+    This replaces the exploded-rows formulation (tokenize → 260k
+    ``(id, k1, k2)`` rows → ``groupBy(id)`` with ``num_hashes`` min
+    aggregates), which paid a corpus-wide shuffle plus a 65-buffer hash
+    aggregation for minima that never needed to leave the scan task —
+    measured 1.7 s → ~0.6 s at sf0.1 for the signature subtree. Minima
+    are exact int64 ``np.minimum.reduceat`` folds (k1 + i·k2 < 2⁴⁶, no
+    overflow), bit-identical to ``MIN(k1 + i*k2)`` in Spark or DuckDB —
+    the oracle construction is unchanged.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    cols = [F.col(id_col).alias("_id"), F.col(text_col).alias("_text")]
+    out_schema = f"id long, sig array<bigint>, n_sh long"
+    if carry_col is not None:
+        cols.append(F.col(carry_col).alias("_carry"))
+        out_schema += ", carry string"
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            k1s: list = []
+            k2s: list = []
+            starts: list = []
+            ns: list = []
+            carries: list = []
+            has_carry = "_carry" in pdf.columns
+            carry_vals = pdf["_carry"].tolist() if has_carry else None
+            for pos, (i, t) in enumerate(zip(pdf["_id"], pdf["_text"])):
+                # tokenization identical to _py_word_lists / _words
+                if not t:
+                    continue
+                t = t.lower().strip(_JAVA_WS)
+                if not t:
+                    continue
+                w = _JAVA_WS_RE.split(t)
+                if len(w) < k:
+                    continue
+                distinct = dict.fromkeys(
+                    " ".join(w[j : j + k]) for j in range(len(w) - k + 1)
+                )
+                starts.append(len(k1s))
+                ids.append(i)
+                ns.append(len(distinct))
+                if has_carry:
+                    carries.append(carry_vals[pos])
+                for s in distinct:
+                    d = md5(s.encode()).digest()
+                    k1s.append(int.from_bytes(d[:5], "big"))
+                    k2s.append(int.from_bytes(d[5:10], "big"))
+            if not ids:
+                data = {"id": [], "sig": [], "n_sh": []}
+                if has_carry:
+                    data["carry"] = []
+                yield pd.DataFrame(data)
+                continue
+            a1 = np.asarray(k1s, dtype=np.int64)
+            a2 = np.asarray(k2s, dtype=np.int64)
+            st = np.asarray(starts, dtype=np.int64)
+            sig = np.empty((len(ids), num_hashes), dtype=np.int64)
+            # one vectorized affine fold + segmented min per hash: memory
+            # stays O(shingles-in-batch), never O(shingles × num_hashes)
+            for h in range(num_hashes):
+                sig[:, h] = np.minimum.reduceat(a1 + h * a2, st)
+            data = {"id": ids, "sig": list(sig), "n_sh": ns}
+            if has_carry:
+                data["carry"] = carries
+            yield pd.DataFrame(data)
+
+    return df.select(*cols).mapInPandas(gen, out_schema)
 
 
 def corpus_freq_score(

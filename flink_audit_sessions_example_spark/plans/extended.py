@@ -176,11 +176,15 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``dedup_minhash`` — MinHash→LSH-band candidates→exact-Jaccard
-    verify *of candidates only*, registered with the md5 two-hash affine
-    family so the ENTIRE probabilistic pipeline (signatures, banding,
-    bucket cap, candidates-restricted verify) is reproduced by the DuckDB
-    oracle and hash-checked. Production default stays
+    """``dedup_minhash`` — exact-dup collapse → MinHash → LSH-band
+    candidates → exact-Jaccard verify *of candidates only* → dup-group
+    re-expansion (r5), registered with the md5 two-hash affine family so
+    the ENTIRE pipeline (fingerprint pre-pass, Arrow-fused signatures,
+    banding, bucket cap, candidates-restricted verify, expansion) is
+    reproduced by the DuckDB oracle and hash-checked. Signatures are
+    computed INSIDE the Arrow tokenizer pass (each doc is one row ⇒ its
+    signature is task-local; no shingle-row shuffle, no 65-buffer hash
+    agg — the r4 plan's dominant cost). Production default stays
     ``hash_family='xxhash64'`` (cheaper; pytest-covered by the
     recall/precision tests in tests/test_dedup_similarity.py); the LSH
     bucket cap is active. Band keys are the affine integer fold (r3) —
@@ -211,14 +215,15 @@ def _minhash_oracle(
     bands: int = 16,
     threshold: float = 0.5,
 ) -> str:
-    """DuckDB twin of the registered ``dedup_minhash`` (md5 family):
-    hᵢ = k1 + i·k2 from one md5 per shingle, 16 BIGINT band keys (the
-    affine polynomial fold ``acc = (acc·P + hᵢ) mod 2⁴⁰`` seeded with the
-    band index — same 8-byte bucket key the Spark side shuffles, pure
-    integer arithmetic in both engines), bucket cap, then exact-Jaccard
-    verify restricted to the DOC-level candidate set (docs sharing any
-    surviving bucket) with the shingle-df cap — term-for-term the Spark
-    plan."""
+    """DuckDB twin of the registered ``dedup_minhash`` (md5 family, r5
+    pre-dedup semantics): exact-dup groups by normalized-text md5
+    fingerprint (rep = min id); the LSH pipeline — hᵢ = k1 + i·k2 from
+    one md5 per shingle, 16 BIGINT band keys (the affine polynomial fold
+    ``acc = (acc·P + hᵢ) mod 2⁴⁰`` seeded with the band index), bucket
+    cap, candidates-restricted exact-Jaccard verify with the shingle-df
+    cap — runs over REP docs only; verified rep pairs fan out across
+    their dup groups and multi-member shingle-able groups emit
+    intra-group pairs at Jaccard 1.0 — term-for-term the Spark plan."""
     from ..operators.dedup import _AFFINE_M, _AFFINE_P
 
     r = num_hashes // bands
@@ -236,8 +241,19 @@ def _minhash_oracle(
         f"SELECT id, {affine_key(b)} AS key FROM sig" for b in range(bands)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id AS id, unnest({_sql_shingles(k)}) AS s FROM documents
+WITH fp AS (
+  SELECT doc_id AS id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f,
+         len({_SQL_WORDS}) >= {k} AS sh_ok
+  FROM documents
+), grp AS (
+  SELECT f, MIN(id) AS rep, list_sort(list(id)) AS members,
+         COUNT(*) AS m, MAX(sh_ok) AS sh_ok
+  FROM fp GROUP BY f
+), repdocs AS (
+  SELECT fp.id AS doc_id, fp.text FROM fp JOIN grp ON grp.rep = fp.id
+), sh AS (
+  SELECT doc_id AS id, unnest({_sql_shingles(k)}) AS s FROM repdocs
 ), hashed AS (
   SELECT id, {_sql_hex40("d", 1)} AS k1, {_sql_hex40("d", 11)} AS k2
   FROM (SELECT id, md5(s) AS d FROM sh) t
@@ -266,12 +282,27 @@ WITH sh AS (
   JOIN keep kp ON kp.k1 = x.k1 AND kp.k2 = x.k2
   JOIN vhash y ON y.k1 = x.k1 AND y.k2 = x.k2 AND x.id < y.id
   GROUP BY 1, 2
+), rep_pairs AS (
+  SELECT c.id_a, c.id_b, ROUND(cnt / (sa.n + sb.n - cnt), 6) AS jaccard
+  FROM common c
+  JOIN vsizes sa ON sa.id = c.id_a
+  JOIN vsizes sb ON sb.id = c.id_b
+  WHERE cnt / (sa.n + sb.n - cnt) >= {threshold}
+), expanded AS (
+  SELECT least(a.x, b.x) AS id_a, greatest(a.x, b.x) AS id_b, p.jaccard
+  FROM rep_pairs p
+  JOIN grp ga ON ga.rep = p.id_a
+  JOIN grp gb ON gb.rep = p.id_b
+  CROSS JOIN UNNEST(ga.members) AS a(x)
+  CROSS JOIN UNNEST(gb.members) AS b(x)
+), intra AS (
+  SELECT a.x AS id_a, b.x AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM grp g
+  CROSS JOIN UNNEST(g.members) AS a(x)
+  CROSS JOIN UNNEST(g.members) AS b(x)
+  WHERE a.x < b.x AND g.m >= 2 AND g.sh_ok
 )
-SELECT c.id_a, c.id_b, ROUND(cnt / (sa.n + sb.n - cnt), 6) AS jaccard
-FROM common c
-JOIN vsizes sa ON sa.id = c.id_a
-JOIN vsizes sb ON sb.id = c.id_b
-WHERE cnt / (sa.n + sb.n - cnt) >= {threshold}
+SELECT * FROM expanded UNION ALL SELECT * FROM intra
 """
 
 
