@@ -752,6 +752,7 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """``dedup_cluster`` — connected components over a near-dup pair
     graph: every doc in a component gets the component's MINIMUM doc id
@@ -770,11 +771,14 @@ def near_dup_clusters(
     partitioning across rounds. Rounds needed = component diameter;
     near-dup components are dense (clique-ish — members share most
     shingles), so 2-3 rounds in practice. The known pathological case —
-    a long chain, diameter ~n — would need pointer-jumping
-    (label(label(x)), O(log n) rounds, 2× joins/round); not implemented
-    because a CHAIN of pairwise-0.5-similar docs is not a structure
-    near-dup graphs exhibit, and ``max_iters`` turns the pathology into
-    a loud error instead of a silent wrong answer.
+    a long chain, diameter ~n — needs ``pointer_jumping=True``: each
+    round then also compresses labels through themselves
+    (``label ← label(label(x))``, one extra self-join per round), which
+    halves the unresolved path length every round — O(log diameter)
+    rounds at 2× joins/round. Off by default because near-dup graphs
+    are dense and the extra join is pure overhead there; ``max_iters``
+    turns an unexpected chain into a loud error (naming this flag as
+    the remedy) instead of a silent wrong answer.
 
     Cost model per round: ONE join (labels into the symmetrized edges,
     keyed on doc id) + ONE min-aggregation; the convergence signal is a
@@ -817,22 +821,40 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
+        prop = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("new_label"),
+            F.col("label").alias("old_label"),
+        )
+        if pointer_jumping:
+            # label ← label(label): every label is itself a node id, so
+            # chase it one hop through the propagated labels. The
+            # checkpoint pins `prop` so its two roles (relation + lookup
+            # side) evaluate once; unresolved path lengths halve per
+            # round ⇒ O(log diameter) total rounds.
+            prop = prop.localCheckpoint()
+            lut = prop.select(
+                F.col("id").alias("_jid"), F.col("new_label").alias("_jlabel")
+            )
+            prop = prop.join(
+                lut, prop.new_label == F.col("_jid"), "left"
+            ).select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("new_label"),
+                    F.coalesce(F.col("_jlabel"), F.col("new_label")),
                 ).alias("new_label"),
-                F.col("label").alias("old_label"),
+                "old_label",
             )
-            .select(
-                "id",
-                F.col("new_label").alias("label"),
-                (F.col("new_label") < F.col("old_label")).alias("changed"),
-            )
-            .localCheckpoint()
-        )
+        new_labels = prop.select(
+            "id",
+            F.col("new_label").alias("label"),
+            (F.col("new_label") < F.col("old_label")).alias("changed"),
+        ).localCheckpoint()
         changed = new_labels.where("changed").count()
         labels = new_labels.drop("changed")
         if changed == 0:
@@ -841,7 +863,9 @@ def near_dup_clusters(
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iters} rounds — "
             "component diameter exceeds max_iters (degenerate chain "
-            "graph); raise max_iters or pre-split the input"
+            "graph); raise max_iters, or pass pointer_jumping=True "
+            "(label-doubling: O(log diameter) rounds at one extra "
+            "self-join per round)"
         )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")

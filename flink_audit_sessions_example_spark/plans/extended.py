@@ -2401,6 +2401,29 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.approx_distinct_by(ev, ["event_type"], "user_id", rsd=0.05)
 
 
+def q_agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``agg_exact_distinct`` — the exact twin of ``agg_approx_distinct``
+    on the SAME grouping and distinct column
+    (``operators/sketches.py::exact_distinct_by``), registered so the
+    HLL path has a hash-checked cross-engine anchor in the driver
+    artifact itself, not only in pytest (r4 verdict action 7): the
+    sketch register stays rows-only by necessity, but the quantity it
+    estimates is now driver-verified against DuckDB, and the rsd error
+    bound between the two is pinned in ``tests/test_sketches.py``.
+    Plan: Spark expands COUNT(DISTINCT) to a two-phase aggregate —
+    partial dedup of (group, value) pairs map-side, one shuffle of the
+    distinct pairs, final count; shuffle volume is O(distinct pairs),
+    the cost the HLL twin removes at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return K.exact_distinct_by(ev, ["event_type"], "user_id")
+
+
+_AGG_EXACT_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+FROM events GROUP BY event_type
+"""
+
+
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``join_salted`` — the manual skew-mitigation join
     (``operators/skew.py::salted_join``): the big side's rows are spread
@@ -2884,6 +2907,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_top_suppliers": q_rel_top_suppliers,
     "win_range_frame": q_win_range_frame,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_exact_distinct": q_agg_exact_distinct,
     "join_salted": q_join_salted,
     "rel_stats_corr": q_rel_stats_corr,
     "rel_histogram_bins": q_rel_histogram_bins,
@@ -2962,5 +2986,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
     "rel_quantiles_dist": _REL_QUANTILES_ORACLE,
     # agg_approx_distinct: intentionally NO oracle (HLL registers are
-    # engine-specific) — rows-only driver check + pytest error bound
+    # engine-specific) — rows-only driver check + pytest error bound;
+    # its exact twin below IS hash-checked (the cross-engine anchor)
+    "agg_exact_distinct": _AGG_EXACT_DISTINCT_ORACLE,
 }

@@ -94,6 +94,50 @@ def test_shingle_df_cap_bounds_pair_explosion(spark):
     assert {(r.id_a, r.id_b) for r in capped.collect()} == {(100, 101)}
 
 
+def test_minhash_pre_dedup_exact_dup_recall_survives_bucket_cap(spark):
+    """The r5 exact-dup pre-pass: a popular duplicated text may NOT lose
+    its pairs to the LSH bucket cap. 30 identical docs collapse to one
+    rep before banding, so no bucket saturates; every intra-group pair
+    comes back at jaccard exactly 1.0, and a planted near-dup of the
+    group pairs with EVERY member (cross-group expansion). With
+    pre_dedup=False the same corpus loses all of it to the cap —
+    the failure mode the pre-pass exists to remove."""
+    dup_ids = list(range(30))
+    rows = [
+        Row(doc_id=i, text="the same boiler plate text everywhere here")
+        for i in dup_ids
+    ]
+    # near-dup of the boilerplate (differs in one trailing word)
+    rows.append(
+        Row(doc_id=100, text="the same boiler plate text everywhere now")
+    )
+    # unrelated filler so banding has something else to look at
+    rows += [
+        Row(doc_id=200 + i, text=f"totally different content u{i}a u{i}b u{i}c u{i}d")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    kw = dict(k=3, num_hashes=64, bands=16, threshold=0.5,
+              hash_family="md5", max_bucket_size=10)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_near_dup_pairs(df, **kw).collect()
+    }
+    intra = {(a, b) for a in dup_ids for b in dup_ids if a < b}
+    assert intra <= set(got)
+    assert all(got[p] == 1.0 for p in intra)
+    # the near-dup pairs with every group member, same jaccard each time
+    cross = {(i, 100) for i in dup_ids}
+    assert cross <= set(got)
+    assert len({got[p] for p in cross}) == 1
+    # sanity: without the pre-pass the cap destroys all of it
+    without = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dup_pairs(df, pre_dedup=False, **kw).collect()
+    }
+    assert not (intra & without) and not (cross & without)
+
+
 def test_lsh_bucket_cap_bounds_candidates(spark):
     """A degenerate LSH bucket (many identical docs -> one fingerprint)
     is dropped by the bucket cap instead of emitting O(n²) candidates."""
@@ -350,6 +394,60 @@ def test_near_dup_clusters_raises_past_max_iters(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.near_dup_clusters(pairs, max_iters=2)
+
+
+def test_near_dup_clusters_pointer_jumping_resolves_long_chain(spark):
+    """The chain-graph pathology's remedy (r4 verdict action 4): a
+    100-node path has diameter 100, so plain propagation needs ~100
+    rounds — pointer jumping (label-doubling) resolves it in O(log n):
+    with max_iters=12 the plain mode must fail loudly while the jumping
+    mode labels the whole chain with its minimum."""
+    n = 100
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n)]
+    )
+    with pytest.raises(RuntimeError, match="pointer_jumping"):
+        D.near_dup_clusters(pairs, max_iters=12)
+    out = {
+        r.doc_id: r.cluster_id
+        for r in D.near_dup_clusters(
+            pairs, max_iters=12, pointer_jumping=True
+        ).collect()
+    }
+    assert set(out) == set(range(n + 1))
+    assert set(out.values()) == {0}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_near_dup_clusters_pointer_jumping_matches_plain(spark, edges):
+    """Pointer jumping is an acceleration, not a semantics change: both
+    modes must produce the identical component labeling."""
+    pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    plain = {
+        (r.doc_id, r.cluster_id)
+        for r in D.near_dup_clusters(pairs, max_iters=40).collect()
+    }
+    jumped = {
+        (r.doc_id, r.cluster_id)
+        for r in D.near_dup_clusters(
+            pairs, max_iters=40, pointer_jumping=True
+        ).collect()
+    }
+    assert plain == jumped
 
 
 def test_pnm_codec_roundtrip():

@@ -689,3 +689,83 @@ def test_stream_compact_latest_by_key_across_batches(spark, tmp_path):
     }
     assert final == batch
     assert batch[1][2] == "logout" and batch[2][2] == "view"
+
+
+def test_processing_time_multi_trigger_watermark_drops_late_event(
+    spark, tmp_path
+):
+    """Multi-trigger ``processingTime`` soak (r4 verdict action 6): the
+    cross-batch watermark advance that ``availableNow`` compresses into
+    one run. Trigger 1 processes batch-1 files and sets the watermark
+    from their max event time (9/29 12:00 − 2 days = 9/27 12:00);
+    trigger 2 processes files APPENDED WHILE THE QUERY RUNS, where a
+    denied event from ``bob`` lies BEFORE that watermark — Spark must
+    drop it (``App.java:55-59`` bounded-out-of-orderness semantics), so
+    bob never emits a session, while alice's flushed session and
+    carol's post-watermark session both do."""
+    import time as _time
+
+    from flink_audit_sessions_example_spark.streaming.pipeline import (
+        stream_denied_sessions,
+        write_foreach_batch,
+    )
+
+    d1 = tmp_path / "20220926"
+    d1.mkdir()
+    (d1 / "a.log").write_text(
+        "\n".join(
+            [
+                _line("alice", 0, 5, "2022-09-26 10:00:00.000"),
+                _line("alice", 0, 2, "2022-09-26 10:05:00.000"),
+                # clock: watermark after trigger 1 = 9/27 12:00
+                _line("clock", 1, 1, "2022-09-29 12:00:00.000"),
+            ]
+        )
+        + "\n"
+    )
+    got: list = []
+
+    def collect(batch_df, batch_id):
+        got.extend(
+            (r["reqUser"], r["denies"]) for r in batch_df.collect()
+        )
+
+    q = write_foreach_batch(
+        stream_denied_sessions(spark, _cfg(tmp_path)),
+        collect,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        poll_seconds=1,
+    )
+    try:
+        # trigger 1 + its follow-up no-data batch emit alice once the
+        # batch-1 watermark is applied
+        deadline = _time.time() + 90
+        while ("alice", 7) not in got and _time.time() < deadline:
+            _time.sleep(0.2)
+        # batch 2, appended mid-run: bob is LATE (before the 9/27 12:00
+        # watermark -> dropped); carol is on time; the far-future clock
+        # advances the watermark past carol's session end
+        d2 = tmp_path / "20220930"
+        d2.mkdir()
+        (d2 / "b.log").write_text(
+            "\n".join(
+                [
+                    _line("bob", 0, 9, "2022-09-25 09:00:00.000"),
+                    _line("carol", 0, 4, "2022-09-29 13:00:00.000"),
+                    _line("clock", 1, 1, "2022-10-05 12:00:00.000"),
+                ]
+            )
+            + "\n"
+        )
+        deadline = _time.time() + 90
+        while ("carol", 4) not in got and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    assert ("alice", 7) in got
+    assert ("carol", 4) in got
+    assert all(u != "bob" for u, _ in got), got
+    # the two emissions crossed distinct triggers (not one availableNow
+    # mega-batch): alice can only flush once the trigger-1 watermark is
+    # applied, carol only after trigger 2's clock advances it again
+    assert len(got) == 2
