@@ -619,3 +619,75 @@ def test_extract_features_zero_pixel_payload_yields_null_stats(spark):
     assert rows[1].n_pixels == 0
     assert rows[1].px_mean is None and rows[1].px_std is None
     assert rows[2].n_pixels == 4 and rows[2].px_mean is not None
+
+
+def test_minhash_oracle_parity_on_planted_dup_corpus(spark, tmp_path):
+    """The driver's sf0.01 corpus has ZERO duplicate texts, so its hash
+    check never exercises the pre-pass oracle's collapse / intra /
+    cross-expansion CTEs. This builds a corpus with real dup groups
+    (including a whitespace-variant group that only the NORMALIZED
+    fingerprint collapses, and a short-text dup group below k words that
+    must NOT emit intra pairs) and hash-checks the registered Spark plan
+    against the registered DuckDB oracle on it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_audit_sessions_example_spark.plans import ORACLES, QUERIES
+    from oracle_utils import assert_parity
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet",
+    ]
+    docs = []
+    for i in range(60):
+        docs.append(base[i % 3] + f" tail{i}a tail{i}b tail{i}c")
+    # dup group A: 4 identical docs
+    for j in range(4):
+        docs.append("exact duplicate content words here again and again")
+    # dup group B: whitespace/case variants (same normalized fingerprint)
+    docs.append("Mixed   Case\tWhitespace Variant document body")
+    docs.append("mixed case whitespace variant DOCUMENT BODY".title())
+    # near-dup of group A (one word differs) — must pair with ALL of A
+    docs.append("exact duplicate content words here again and also")
+    # dup group C: below k=3 words — collapses but emits NO intra pairs
+    docs.append("tiny doc")
+    docs.append("tiny doc")
+    sf = tmp_path / "planted"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["t"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        os.symlink(f"{SF_DIR}/{t}.parquet", str(sf / f"{t}.parquet"))
+
+    out = QUERIES["dedup_minhash"](spark, str(sf))
+    assert_parity(out, ORACLES["dedup_minhash"], str(sf))
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    a_ids = list(range(60, 64))
+    # intra pairs of group A at exactly 1.0
+    for i, x in enumerate(a_ids):
+        for y in a_ids[i + 1 :]:
+            assert got.get((x, y)) == 1.0
+    # the whitespace-variant group pairs at 1.0 (normalized fingerprint)
+    assert got.get((64, 65)) == 1.0
+    # near-dup 66 pairs with every member of group A, same jaccard
+    near = {got.get((x, 66)) for x in a_ids}
+    assert len(near) == 1 and None not in near
+    # short-text dup group emits nothing (no shingles at k=3)
+    assert not any(67 in p or 68 in p for p in got)
