@@ -664,8 +664,16 @@ def minhash_near_dup_pairs(
     # distinct-shingle count n on every row (with_n=True): the sizes a
     # Jaccard needs then ride the posting lists as struct(id, n) and the
     # two post-aggregation size joins of the r4 plan disappear.
+    # NO broadcast hint: "candidates ≪ corpus" is a fraction, not an
+    # absolute — on a high-overlap corpus the candidate-id set can be
+    # 10⁹ rows, far past any broadcast threshold, and a forced broadcast
+    # would OOM the driver. AQE sees the runtime size and picks
+    # broadcast when the set is genuinely small (it is, at every test
+    # SF — and letting the two join inputs build as independent stages
+    # measured equal-or-faster locally than the serialized
+    # broadcast-build-then-probe shape).
     cand_docs = slim.join(
-        F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
+        cand_ids.withColumnRenamed("id", id_col),
         id_col,
         "left_semi",
     )
@@ -703,17 +711,18 @@ def minhash_near_dup_pairs(
     # re-expansion: a verified (rep_a, rep_b, j) pair holds for every
     # (member_a, member_b) cross pair — members share their rep's exact
     # shingle set. Non-dup reps expand to themselves via the coalesce.
-    # Both joins broadcast the IDENTICAL (rid, members) subtree (aliases
-    # only), so exchange reuse materializes the dup-group broadcast once.
+    # No broadcast hint (dup-group count scales with the corpus; AQE
+    # broadcasts when small); the lazy checkpoint above makes extra
+    # references to the dup-group map cheap either way.
     mgrp = dup_groups.select("rid", "members")
     expanded = (
         rep_pairs.join(
-            F.broadcast(mgrp.alias("_ga")),
+            mgrp.alias("_ga"),
             F.col("id_a") == F.col("_ga.rid"),
             "left",
         )
         .join(
-            F.broadcast(mgrp.alias("_gb")),
+            mgrp.alias("_gb"),
             F.col("id_b") == F.col("_gb.rid"),
             "left",
         )

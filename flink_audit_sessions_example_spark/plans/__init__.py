@@ -27,6 +27,11 @@ _FRONT_KEYS = [
     "domain_mix",             # r5: missing-domain semantics fix (ADVICE)
     "join_range",             # r5: shared _cents helper (ADVICE)
     "rel_quantiles_dist",     # r5: exchange-reuse determinism fix (ADVICE)
+    # r5: SF-scaled join sides lost their hard broadcast hints (AQE's
+    # call at runtime) — same values, new plans, fresh rows wanted
+    "rel_revenue_by_nation",
+    "rel_promo_share",
+    "rel_top_suppliers",
     # the 27 keys whose last driver CORRECTNESS row is r3 — no key goes
     # two consecutive rounds unverified (r4 verdict action 1)
     "agg_denied_sum",

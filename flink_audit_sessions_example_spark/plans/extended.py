@@ -996,8 +996,11 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_top_customers`` — join + sort/limit: revenue per customer
-    with nation/region context; dimensions broadcast (customer/nation/
-    region are tiny next to orders at every scale), deterministic top-20.
+    with nation/region context; bounded dims broadcast (nation/
+    region are tiny next to orders at every scale) while customer joins
+    hint-free — it SCALES with SF, so whether it fits a broadcast is
+    AQE's runtime call, never a hard-coded hint that would OOM the
+    driver at 100 TB. Deterministic top-20.
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -1008,7 +1011,7 @@ def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         revenue.join(
-            F.broadcast(customer), revenue.o_custkey == customer.c_custkey
+            customer, revenue.o_custkey == customer.c_custkey
         )
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select(
@@ -1201,7 +1204,9 @@ SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
 def q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_revenue_by_nation`` — the big shuffle join: lineitem ⨝ orders
     on orderkey (two large tables → sort-merge/shuffled hash, AQE decides),
-    then broadcast joins to the small customer/nation dims. The canonical
+    then joins to the customer dim (hint-free — customer scales with SF,
+    so broadcast is AQE's runtime call, not a hard-coded one; nation is
+    bounded and hinted). The canonical
     100 TB join topology: exactly one big-big shuffle, dims never
     shuffled. Revenue is the exact 4-decimal integer yᵢ·(100−dᵢ) summed
     as BIGINT per (nation, partition-id) bucket in whole-stage codegen
@@ -1216,7 +1221,7 @@ def q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     di = _cents("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select(
             "n_name",
@@ -1591,7 +1596,8 @@ def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 by revenue.
 
     100 TB plan: the one big-big shuffle is lineitem ⨝ orders on
-    orderkey; the segment-filtered customer side is ``broadcast()`` (a
+    orderkey; the segment-filtered customer side joins hint-free — AQE
+    broadcasts it when the filtered set is genuinely small (a
     dimension slice, never shuffled); both date predicates are scan
     predicates pushed into the parquet reader. Revenue summed in
     DECIMAL (exact, order-independent); top-10 is per-partition top-k +
@@ -1611,7 +1617,7 @@ def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -1640,7 +1646,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-set variant, this is the keyed relational one).
 
     The anti join build side is the FILTERED orders key set — date
-    predicate pushed to the orders scan, then broadcast (a recent-window
+    predicate pushed to the orders scan, joined hint-free (a recent-window
     key set is small at any corpus age); the customer side streams
     through map-side without a shuffle."""
     cust = load_table(spark, sf_dir, "customer")
@@ -1648,7 +1654,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2001-01-01")
     )
     return cust.join(
-        F.broadcast(recent),
+        recent,
         cust.c_custkey == recent.o_custkey,
         "left_anti",
     ).select("c_custkey", "c_name", "c_acctbal")
@@ -2260,7 +2266,8 @@ FROM rev
 def q_rel_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_promo_share`` — TPC-H Q14 shape: promo-type parts' share of
     revenue, a conditional aggregate over a big⨝dim join reduced to ONE
-    row. ``part`` broadcast (dim); revenue = the exact 4-decimal
+    row. ``part`` joins hint-free (it scales with SF — AQE broadcasts it
+    while it fits); revenue = the exact 4-decimal
     integer yᵢ·(100−dᵢ) summed as BIGINT per partition-id bucket (the
     ``rel_stats_corr`` pattern — codegen fast path, per-task bound
     per-row ≤ 1.1e9 → Σ ≤ 4.4e15 ≪ 2⁶³), conditional and total in the
@@ -2273,7 +2280,7 @@ def q_rel_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     yi = _cents("l_extendedprice")
     di = _cents("l_discount")
     joined = li.join(
-        F.broadcast(part), li.l_partkey == part.p_partkey
+        part, li.l_partkey == part.p_partkey
     )
     inner = (
         joined.select(
@@ -2314,7 +2321,8 @@ FROM c
 
 def q_rel_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rel_top_suppliers`` — revenue per supplier with nation name
-    (supplier and nation both broadcast dims), deterministic top-5 —
+    (nation a bounded broadcast dim, supplier hint-free — it scales with
+    SF, so broadcasting is AQE's runtime call), deterministic top-5 —
     completes table coverage (every driver table now appears in at
     least one registered query). Top-k plans as TakeOrderedAndProject
     (per-partition top-k + single merge), never a global sort."""
@@ -2322,7 +2330,7 @@ def q_rel_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .groupBy("s_name", "n_name")
         .agg(
