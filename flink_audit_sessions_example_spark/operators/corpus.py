@@ -302,3 +302,126 @@ def domain_mix(
             F.broadcast(quotas), df[domain_col] == quotas["_dom"]
         ).where(_sample_draw(F.col(id_col)) < thr)
     return kept.select(F.col(id_col), F.col(domain_col))
+
+
+def assign_splits(
+    df: DataFrame,
+    *,
+    key_col: str,
+    splits: "list[tuple[str, float]]",
+    split_col: str = "split",
+) -> DataFrame:
+    """``xform_split`` — deterministic train/validation/test assignment:
+    every row gets a split label from its KEY's hash draw and the
+    cumulative split boundaries. The dataset-versioning primitive of a
+    training pipeline: content-addressed (no RNG, no partition or order
+    dependence), so re-running on a grown corpus keeps every previously
+    assigned row in its split — rows never migrate between train and
+    eval as data arrives, which is what keeps eval sets uncontaminated
+    across dataset versions.
+
+    ``splits`` is an ordered list of ``(label, fraction)``; fractions
+    must sum to ~1. Assignment: ``draw(key) ∈ [2³²·cum_{i-1}, 2³²·cum_i)
+    → label_i`` with the SAME md5 draw as :func:`stratified_sample`
+    (:func:`_sample_draw`) — a pure scan-side projection compiled to a
+    CASE chain: no shuffle, no join, whole-stage codegen, trivially
+    reproducible in any engine with md5.
+
+    Scale note: this is the shape that survives 100 TB by doing nothing
+    — zero exchanges, zero state; downstream consumers filter on the
+    label column and the filter pushes into the scan.
+    """
+    fracs = [f for _, f in splits]
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must be nonnegative and sum to 1, got {splits}"
+        )
+    draw = _sample_draw(F.col(key_col))
+    expr = None
+    cum = 0.0
+    for label, frac in splits[:-1]:
+        cum += frac
+        bound = int(cum * _DRAW_SPACE)
+        branch = (draw < F.lit(bound), F.lit(label))
+        expr = (
+            F.when(*branch) if expr is None else expr.when(*branch)
+        )
+    last_label = splits[-1][0]
+    expr = (
+        F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
+    )
+    return df.withColumn(split_col, expr)
+
+
+def fuzzy_token_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    threshold: float = 0.5,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """``join_fuzzy`` — entity-resolution similarity join between TWO
+    relations: all (left, right) pairs whose distinct-token sets have
+    Jaccard ≥ ``threshold``. The record-linkage operator (match product
+    names across catalogs, user strings across systems) Spark has no
+    native join type for.
+
+    Plan — the asymmetric inverted-index shape, never a cross join:
+    each side explodes to ``(id, token, n_tokens)`` rows (``n`` computed
+    scan-side and carried on the row, so no sizes sub-join re-evaluates
+    a side — the ``dedup_minhash`` r5 lesson), one token equi-join
+    emits co-token pairs, one hash aggregation counts common tokens per
+    pair, and the Jaccard filter is a pure projection. Shuffle volume =
+    token postings, output volume = matching pairs.
+
+    Skew guard: ``max_token_df`` drops tokens whose document frequency
+    exceeds the cap on EITHER side before the join — a stopword shared
+    by 10⁶ left and 10⁶ right docs would emit 10¹² join rows; such
+    tokens only connect pairs their rarer tokens connect anyway (the
+    same argument as ``max_shingle_df`` in n-gram dedup). Set it at
+    corpus scale.
+
+    Tokenization matches :func:`~..operators.text._words` (lowercase,
+    Java-``\\s`` runs), distinct tokens; rows with zero tokens never
+    match (Jaccard undefined ⇒ excluded, like the dedup operators).
+    """
+    from .text import _words
+
+    def token_rows(df: DataFrame, id_col: str, text_col: str, side: str):
+        toks = F.array_distinct(_words(F.col(text_col)))
+        staged = df.select(F.col(id_col).alias(f"{side}id"), toks.alias("_toks"))
+        rows = staged.select(
+            f"{side}id",
+            F.size("_toks").alias(f"n{side}"),
+            F.explode("_toks").alias("t"),
+        )
+        if max_token_df is not None:
+            counts = rows.groupBy("t").agg(F.count(F.lit(1)).alias("_df"))
+            rows = rows.join(
+                counts.where(F.col("_df") <= max_token_df).select("t"), "t"
+            )
+        return rows
+
+    lt = token_rows(left, left_id, left_text, "l")
+    rt = token_rows(right, right_id, right_text, "r")
+    common = (
+        lt.join(rt, "t")
+        .groupBy("lid", "nl", "rid", "nr")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common") / (F.col("nl") + F.col("nr") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("lid").alias(left_id + "_l"),
+            F.col("rid").alias(right_id + "_r"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

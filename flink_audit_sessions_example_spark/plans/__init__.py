@@ -21,6 +21,8 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 _FRONT_KEYS = [
     # r5 new / changed plans — need fresh driver rows this round
     "agg_exact_distinct",     # new r5: exact cross-engine anchor for the HLL path
+    "xform_split",            # new r5: deterministic train/val/test assignment
+    "join_fuzzy",             # new r5: entity-resolution token-Jaccard join
     "dedup_minhash",          # r5: exact-dup pre-pass before LSH
     "dedup_cluster",          # r5: pointer-jumping fallback + sf1 probe
     "sim_topk_ivf",           # r5: cheaper expr-twin centroid assignment

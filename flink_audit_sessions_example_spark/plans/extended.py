@@ -1470,6 +1470,44 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+#: Ordered train/validation/test fractions for the registered
+#: ``xform_split`` — the dataset-versioning assignment every training
+#: pipeline needs (content-addressed: rows never migrate between splits
+#: as the corpus grows).
+SPLIT_FRACTIONS = [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+
+
+def q_xform_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``xform_split`` — deterministic train/val/test assignment from the
+    document key's md5 draw (``operators/corpus.py::assign_splits``): a
+    pure scan-side CASE projection — zero exchanges, zero state, stable
+    under corpus growth (a row's split never changes when new rows
+    arrive, keeping eval sets uncontaminated across dataset versions).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return C.assign_splits(
+        docs, key_col="doc_id", splits=SPLIT_FRACTIONS
+    ).select("doc_id", "split")
+
+
+def _xform_split_oracle(splits) -> str:
+    from ..operators.corpus import _DRAW_SPACE
+
+    draw = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    cases = []
+    cum = 0.0
+    for label, frac in splits[:-1]:
+        cum += frac
+        cases.append(f"WHEN {draw} < {int(cum * _DRAW_SPACE)} THEN '{label}'")
+    body = "\n       ".join(cases)
+    return f"""
+SELECT doc_id,
+       CASE {body}
+       ELSE '{splits[-1][0]}' END AS split
+FROM documents
+"""
+
+
 PACK_BUDGET = 512
 PACK_SHARDS = 32
 
@@ -2823,6 +2861,52 @@ GROUP BY b.band_id
 """
 
 
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``join_fuzzy`` — entity resolution across two catalogs: parts of
+    one brand matched to parts of another by token-set Jaccard of their
+    names (``operators/corpus.py::fuzzy_token_join`` — inverted-index
+    token join, scan-side sizes, never a cross join). On this synthetic
+    catalog the 2-word names make every ≥ 0.5 match an exact-name tie
+    (jaccard 1.0); the operator computes general Jaccard, and the
+    partial-overlap regime is pinned by planted fixtures in
+    tests/test_corpus.py."""
+    part = load_table(spark, sf_dir, "part")
+    return C.fuzzy_token_join(
+        part.where(F.col("p_brand") == "Brand#11"),
+        part.where(F.col("p_brand") == "Brand#22"),
+        left_id="p_partkey",
+        right_id="p_partkey",
+        left_text="p_name",
+        right_text="p_name",
+        threshold=0.5,
+    )
+
+
+def _join_fuzzy_oracle(threshold: float = 0.5) -> str:
+    words = _SQL_WORDS.replace("lower(text)", "lower(p_name)")
+    side = (
+        "SELECT p_partkey AS id, list_distinct({w}) AS toks "
+        "FROM part WHERE p_brand = '{b}'"
+    )
+    return f"""
+WITH l AS ({side.format(w=words, b="Brand#11")}),
+r AS ({side.format(w=words, b="Brand#22")}),
+lt AS (SELECT id, len(toks) AS n, unnest(toks) AS t FROM l),
+rt AS (SELECT id, len(toks) AS n, unnest(toks) AS t FROM r),
+c AS (
+  SELECT lt.id AS lid, ANY_VALUE(lt.n) AS nl,
+         rt.id AS rid, ANY_VALUE(rt.n) AS nr,
+         COUNT(*) AS common
+  FROM lt JOIN rt ON lt.t = rt.t
+  GROUP BY lt.id, rt.id
+)
+SELECT lid AS p_partkey_l, rid AS p_partkey_r,
+       ROUND(common * 1.0 / (nl + nr - common), 6) AS jaccard
+FROM c
+WHERE common * 1.0 / (nl + nr - common) >= {threshold}
+"""
+
+
 def q_xform_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``xform_compact`` — log compaction / CDC upsert collapse: each
     user's latest event (changelog → current-state materialization).
@@ -2892,6 +2976,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "sample_stratified": q_sample_stratified,
+    "xform_split": q_xform_split,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "cluster_profile": q_cluster_profile,
@@ -2923,6 +3008,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_corpus_freq": q_text_corpus_freq,
     "domain_mix": q_domain_mix,
     "join_range": q_join_range,
+    "join_fuzzy": q_join_fuzzy,
     "xform_compact": q_xform_compact,
     "multimodal_features": q_multimodal_features,
     "rel_quantiles_dist": q_rel_quantiles_dist,
@@ -2962,6 +3048,8 @@ EXTENDED_ORACLES: dict[str, str] = {
     "text_repetition": _TEXT_REPETITION_ORACLE,
     "text_pii_scrub": _pii_oracle(),
     "sample_stratified": _sample_oracle(),
+    "xform_split": _xform_split_oracle(SPLIT_FRACTIONS),
+    "join_fuzzy": _join_fuzzy_oracle(),
     "pack_sequences": _PACK_ORACLE,
     "decontaminate": _DECONTAMINATE_ORACLE,
     "cluster_profile": _cluster_profile_oracle(),

@@ -342,3 +342,81 @@ def test_latest_by_key_matches_window_formulation(spark):
         .select("user_id", "ts", "event_id", "event_type", "value")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_assign_splits_stable_under_corpus_growth(spark):
+    """The dataset-versioning property: a row's split assignment is a
+    pure function of its key, so growing the corpus never migrates
+    previously assigned rows between train and eval."""
+    docs = load_table(spark, SF_DIR, "documents")
+    splits = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    full = {
+        r["doc_id"]: r["split"]
+        for r in C.assign_splits(docs, key_col="doc_id", splits=splits)
+        .select("doc_id", "split")
+        .collect()
+    }
+    half = {
+        r["doc_id"]: r["split"]
+        for r in C.assign_splits(
+            docs.where(F.col("doc_id") % 2 == 0), key_col="doc_id",
+            splits=splits,
+        )
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert half == {k: v for k, v in full.items() if k % 2 == 0}
+    # fractions roughly honored on the full corpus
+    from collections import Counter
+
+    c = Counter(full.values())
+    n = sum(c.values())
+    assert 0.85 <= c["train"] / n <= 0.95
+    # bad fractions rejected loudly
+    with pytest.raises(ValueError, match="sum to 1"):
+        C.assign_splits(docs, key_col="doc_id", splits=[("a", 0.5)])
+
+
+def test_fuzzy_token_join_partial_overlap_and_df_cap(spark):
+    """The general-Jaccard regime the registered catalog can't show
+    (2-word names only tie at 1.0): planted partial overlaps match at
+    their exact Jaccard, sub-threshold pairs don't, and the token-df cap
+    keeps a stopword from connecting everything."""
+    left = spark.createDataFrame(
+        [
+            Row(id=1, name="acme blue steel bolt"),
+            Row(id=2, name="common common only"),
+            Row(id=3, name="zeta"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(id=10, name="acme blue steel nut"),     # 3/5 with id=1
+            Row(id=11, name="unrelated thing entirely"),
+            Row(id=12, name="common item"),              # via stopword only
+        ]
+    )
+    out = {
+        (r["id_l"], r["id_r"]): r["jaccard"]
+        for r in C.fuzzy_token_join(
+            left, right, left_id="id", right_id="id",
+            left_text="name", right_text="name", threshold=0.5,
+        ).collect()
+    }
+    assert out == {(1, 10): 0.6}  # |{acme,blue,steel}| / |5 distinct|
+    # threshold low enough to admit the stopword pair...
+    low = C.fuzzy_token_join(
+        left, right, left_id="id", right_id="id",
+        left_text="name", right_text="name", threshold=0.2,
+    )
+    assert (2, 12) in {(r["id_l"], r["id_r"]) for r in low.collect()}
+    # ...unless the df cap drops tokens frequent on either side
+    capped = C.fuzzy_token_join(
+        left.unionByName(
+            spark.createDataFrame([Row(id=i, name="common filler") for i in range(100, 104)])
+        ),
+        right, left_id="id", right_id="id",
+        left_text="name", right_text="name", threshold=0.2,
+        max_token_df=3,
+    )
+    assert (2, 12) not in {(r["id_l"], r["id_r"]) for r in capped.collect()}
