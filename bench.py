@@ -71,9 +71,6 @@ def main() -> int:
     # min over repeated runs, reporting steady-state plan throughput: the
     # first run pays one-time whole-stage-codegen compilation + Python-
     # worker spin-up, which amortize to ~zero over any real workload.
-    # Queries still above 1 s after two runs get a third — multi-stage
-    # plans (several codegen units + Python worker pools) measurably
-    # finish amortizing only on their third execution at toy scale.
     timings: dict[str, float] = {}
     for key in sorted(QUERIES):
         best = float("inf")

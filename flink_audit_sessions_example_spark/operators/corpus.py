@@ -237,10 +237,13 @@ def domain_mix(
       filter, no exchange, at the cost of ±O(√quota) per-domain counts.
 
     The per-domain quotas are computed declaratively — one tiny count
-    aggregate LEFT-joined onto the literal weights relation (no
-    self-join, no second corpus scan, no driver collect), with
-    ``t = min(n/w)`` as an unpartitioned window over its ≤ |domains|
-    rows — then broadcast into the corpus-side filter.
+    aggregate (no self-join, no second corpus scan, no driver collect),
+    with ``t = min(n/w)`` as an unpartitioned window over its
+    ≤ |domains| rows — then broadcast into the corpus-side filter. A
+    missing weighted domain is detected by the same window's ROW COUNT
+    (fewer observed domains than weights ⇒ t forced to 0), not by a
+    join against a weights relation — the DuckDB oracle expresses the
+    identical semantics with a LEFT JOIN + COALESCE instead.
 
     A domain listed in ``weights`` but ABSENT from the data counts as
     ``count_d = 0``, so ``t = 0`` and the result is EMPTY — the literal
@@ -371,19 +374,24 @@ def fuzzy_token_join(
     native join type for.
 
     Plan — the asymmetric inverted-index shape, never a cross join:
-    each side explodes to ``(id, token, n_tokens)`` rows (``n`` computed
-    scan-side and carried on the row, so no sizes sub-join re-evaluates
-    a side — the ``dedup_minhash`` r5 lesson), one token equi-join
-    emits co-token pairs, one hash aggregation counts common tokens per
-    pair, and the Jaccard filter is a pure projection. Shuffle volume =
-    token postings, output volume = matching pairs.
+    each side tokenizes ONCE into per-token posting lists of
+    ``struct(id, n_tokens)`` (``n`` computed scan-side and carried in
+    the struct, so no sizes sub-join re-evaluates a side — the
+    ``dedup_minhash`` r5 lesson; and the df cap is a filter on the
+    already-built list, not a second count aggregate that would re-run
+    the tokenize subtree), the two posting relations equi-join on the
+    token, both lists explode into co-token pairs, one hash aggregation
+    counts common tokens per pair, and the Jaccard filter is a pure
+    projection. Shuffle volume = token postings, output volume =
+    matching pairs.
 
     Skew guard: ``max_token_df`` drops tokens whose document frequency
-    exceeds the cap on EITHER side before the join — a stopword shared
-    by 10⁶ left and 10⁶ right docs would emit 10¹² join rows; such
+    exceeds the cap on EITHER side before the pair explode — a stopword
+    shared by 10⁶ left and 10⁶ right docs would emit 10¹² pairs; such
     tokens only connect pairs their rarer tokens connect anyway (the
     same argument as ``max_shingle_df`` in n-gram dedup). Set it at
-    corpus scale.
+    corpus scale: uncapped, a hot token buffers its whole posting list
+    in one aggregation row.
 
     Tokenization matches :func:`~..operators.text._words` (lowercase,
     Java-``\\s`` runs), distinct tokens; rows with zero tokens never
@@ -391,26 +399,33 @@ def fuzzy_token_join(
     """
     from .text import _words
 
-    def token_rows(df: DataFrame, id_col: str, text_col: str, side: str):
+    def token_posts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         toks = F.array_distinct(_words(F.col(text_col)))
-        staged = df.select(F.col(id_col).alias(f"{side}id"), toks.alias("_toks"))
+        staged = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
         rows = staged.select(
-            f"{side}id",
-            F.size("_toks").alias(f"n{side}"),
-            F.explode("_toks").alias("t"),
+            "id", F.size("_toks").alias("n"), F.explode("_toks").alias("t")
+        )
+        posts = rows.groupBy("t").agg(
+            F.collect_list(F.struct("id", "n")).alias("ids")
         )
         if max_token_df is not None:
-            counts = rows.groupBy("t").agg(F.count(F.lit(1)).alias("_df"))
-            rows = rows.join(
-                counts.where(F.col("_df") <= max_token_df).select("t"), "t"
-            )
-        return rows
+            posts = posts.where(F.size("ids") <= max_token_df)
+        return posts
 
-    lt = token_rows(left, left_id, left_text, "l")
-    rt = token_rows(right, right_id, right_text, "r")
+    lp = token_posts(left, left_id, left_text)
+    rp = token_posts(right, right_id, right_text).withColumnRenamed(
+        "ids", "rids"
+    )
     common = (
-        lt.join(rt, "t")
-        .groupBy("lid", "nl", "rid", "nr")
+        lp.join(rp, "t")
+        .select(F.explode("ids").alias("l"), "rids")
+        .select("l", F.explode("rids").alias("r"))
+        .groupBy(
+            F.col("l.id").alias("lid"),
+            F.col("l.n").alias("nl"),
+            F.col("r.id").alias("rid"),
+            F.col("r.n").alias("nr"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (

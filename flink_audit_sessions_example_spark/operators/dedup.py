@@ -397,6 +397,7 @@ def minhash_near_dup_pairs(
     max_bucket_size: int | None = None,
     persist: bool = False,
     pre_dedup: bool = True,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """``dedup_minhash`` — end-to-end near-dup detection: exact-dup
     collapse → MinHash → LSH candidates → exact Jaccard verification
@@ -445,9 +446,18 @@ def minhash_near_dup_pairs(
        least one shingle emits its intra-group pairs at Jaccard 1.0 —
        identical shingle sets are near-dups by definition, regardless
        of banding luck or bucket caps. The group map is a SLIM second
-       lineage (id + fingerprint only, no text payload); its three
-       consumers (intra pairs, two expansion joins) share one physical
-       fingerprint-agg exchange via ReusedExchange.
+       lineage (id + fingerprint only, no text payload), pinned with a
+       LAZY ``localCheckpoint`` so its three consumers (intra pairs,
+       two expansion joins) evaluate the fingerprint aggregation once —
+       ReusedExchange does NOT fire across those subtrees (verified
+       empirically), so without the pin each consumer would re-run it.
+       ``max_group_size`` caps degenerate dup groups (one boilerplate
+       text repeated 10⁶ times — empty pages, "404 not found") whose
+       intra-pair explode would be quadratic in the group, exactly like
+       ``max_bucket_size`` for LSH buckets: an over-cap group is
+       dropped from the dup map entirely (its rep still competes in
+       LSH; the members' pairs are forfeited — the same documented
+       bounded-work-for-recall trade as an over-cap bucket).
 
     Doc-level candidacy verifies slightly MORE pairs than pair-level
     (two candidate docs that never co-bucketed still get checked if
@@ -554,14 +564,21 @@ def minhash_near_dup_pairs(
                 F.max("sh_ok").alias("sh_ok"),
             )
             .where(F.size("members") >= 2)
-            # LAZY localCheckpoint: three consumers (intra pairs + two
-            # expansion broadcasts) would each re-run the fingerprint
-            # aggregation (no ReusedExchange fires across them —
-            # verified empirically); the checkpoint materializes this
-            # tiny relation (dup groups only) once, on first use, with
-            # no eager action at plan-construction time
-            .localCheckpoint(eager=False)
         )
+        if max_group_size is not None:
+            # drop degenerate groups BEFORE anything explodes their
+            # members (the intra-pair emission is quadratic in the
+            # group — same hazard class as _postings_pairs' cap)
+            dup_groups = dup_groups.where(
+                F.size("members") <= max_group_size
+            )
+        # LAZY localCheckpoint: three consumers (intra pairs + two
+        # expansion broadcasts) would each re-run the fingerprint
+        # aggregation (no ReusedExchange fires across them — verified
+        # empirically); the checkpoint materializes this tiny relation
+        # (dup groups only) once, on first use, with no eager action at
+        # plan-construction time
+        dup_groups = dup_groups.localCheckpoint(eager=False)
     # signature relation: (id, sig), one row per distinct text
     # (pre_dedup) or per doc, docs with ≥ k words only
     if hash_family == "md5":

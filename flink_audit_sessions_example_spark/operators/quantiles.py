@@ -63,7 +63,7 @@ vs ranks. Correctness therefore rests on Spark DEDUPLICATING the two
 identical exchange subtrees into one physical exchange —
 ``spark.sql.exchange.reuse`` (default true; AQE applies the same reuse
 via its stage cache), pinned by a ``ReusedExchange`` plan assertion in
-``tests/test_quantiles.py``. When that conf is disabled the operator
+``tests/test_quantiles_dist.py``. When that conf is disabled the operator
 falls back to ``localCheckpoint``-pinning the ranged relation
 automatically; pass ``eager_checkpoint=True`` to force the pin for
 upstreams whose layout is nondeterministic in ways reuse cannot see

@@ -655,6 +655,9 @@ def _assign_clusters_arrow(
 
     C = np.asarray(cvecs, dtype=np.float64)  # (nc, dim)
     norms = np.asarray(cnorms, dtype=np.float64)  # (nc,)
+    # preserve the id column's type (string/int/long ids all valid — the
+    # expression twin was generic, so this one stays generic too)
+    id_type = corpus.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         for pdf in batches:
@@ -677,7 +680,7 @@ def _assign_clusters_arrow(
 
     return corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).mapInPandas(gen, "neighbor_id long, cluster int")
+    ).mapInPandas(gen, f"neighbor_id {id_type}, cluster int")
 
 
 def cluster_profile(

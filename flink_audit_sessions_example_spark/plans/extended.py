@@ -201,6 +201,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_family="md5",
         max_bucket_size=MAX_BUCKET_SIZE,
         max_shingle_df=MAX_SHINGLE_DF,
+        max_group_size=MAX_BUCKET_SIZE,
     )
 
 
@@ -214,6 +215,7 @@ def _minhash_oracle(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_group_size: int = MAX_BUCKET_SIZE,
 ) -> str:
     """DuckDB twin of the registered ``dedup_minhash`` (md5 family, r5
     pre-dedup semantics): exact-dup groups by normalized-text md5
@@ -288,11 +290,18 @@ WITH fp AS (
   JOIN vsizes sa ON sa.id = c.id_a
   JOIN vsizes sb ON sb.id = c.id_b
   WHERE cnt / (sa.n + sb.n - cnt) >= {threshold}
+), gx AS (
+  -- dup map mirror: groups over the size cap fall back to the rep alone
+  -- (max_group_size semantics — same trade as the LSH bucket cap)
+  SELECT rep,
+         CASE WHEN m BETWEEN 2 AND {max_group_size} THEN members
+              ELSE [rep] END AS members
+  FROM grp
 ), expanded AS (
   SELECT least(a.x, b.x) AS id_a, greatest(a.x, b.x) AS id_b, p.jaccard
   FROM rep_pairs p
-  JOIN grp ga ON ga.rep = p.id_a
-  JOIN grp gb ON gb.rep = p.id_b
+  JOIN gx ga ON ga.rep = p.id_a
+  JOIN gx gb ON gb.rep = p.id_b
   CROSS JOIN UNNEST(ga.members) AS a(x)
   CROSS JOIN UNNEST(gb.members) AS b(x)
 ), intra AS (
@@ -300,7 +309,7 @@ WITH fp AS (
   FROM grp g
   CROSS JOIN UNNEST(g.members) AS a(x)
   CROSS JOIN UNNEST(g.members) AS b(x)
-  WHERE a.x < b.x AND g.m >= 2 AND g.sh_ok
+  WHERE a.x < b.x AND g.m >= 2 AND g.m <= {max_group_size} AND g.sh_ok
 )
 SELECT * FROM expanded UNION ALL SELECT * FROM intra
 """

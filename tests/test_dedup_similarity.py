@@ -691,3 +691,30 @@ def test_minhash_oracle_parity_on_planted_dup_corpus(spark, tmp_path):
     assert len(near) == 1 and None not in near
     # short-text dup group emits nothing (no shingles at k=3)
     assert not any(67 in p or 68 in p for p in got)
+
+
+def test_minhash_max_group_size_bounds_degenerate_dup_groups(spark):
+    """A boilerplate text repeated past max_group_size may not emit a
+    quadratic intra-pair explosion: the over-cap group is dropped from
+    the dup map (bounded work, documented recall forfeit — the
+    max_bucket_size trade), while normal-size groups keep full 1.0
+    intra recall."""
+    rows = [
+        Row(doc_id=i, text="the degenerate boiler plate empty page text")
+        for i in range(20)
+    ]
+    rows += [
+        Row(doc_id=100 + j, text="a normal small duplicate group body text")
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    kw = dict(k=3, num_hashes=64, bands=16, threshold=0.5,
+              hash_family="md5", max_group_size=5)
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dup_pairs(df, **kw).collect()
+    }
+    big_intra = {(a, b) for a in range(20) for b in range(20) if a < b}
+    assert not (big_intra & got)  # capped out
+    small_intra = {(100, 101), (100, 102), (101, 102)}
+    assert small_intra <= got  # under-cap group keeps exact recall
