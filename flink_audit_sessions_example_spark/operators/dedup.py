@@ -166,12 +166,24 @@ def ngram_jaccard_pairs(
 
     Plan: explode distinct shingles (hashed to 8-byte ``xxhash64`` keys —
     identical counts at ~2⁻⁶⁴ collision odds, a fraction of the shuffle
-    bytes) → ONE ``groupBy(shingle)`` building each shingle's sorted
-    posting list → emit its id pairs in place (no self-join; the classic
-    pairs-from-postings shape) → count common shingles per pair. The
-    per-doc sizes branch consumes the SAME shingle exchange (Catalyst
-    ``ReusedExchange``), so the Python tokenizer runs once, not three
-    times as in the self-join formulation.
+    bytes), each row carrying its document's distinct-shingle count
+    ``n`` (free in the tokenizer pass) → ONE ``groupBy(shingle)``
+    building each shingle's sorted ``struct(id, n)`` posting list →
+    emit its id pairs in place (no self-join; the classic
+    pairs-from-postings shape) → count common shingles per pair, with
+    ``n_a``/``n_b`` popping out of the grouping key for free → Jaccard
+    as a pure projection. Carrying ``n`` on the rows (the
+    ``dedup_minhash`` r5 lesson) is what makes the whole query ONE scan
+    and ONE Python tokenizer execution: the previous sizes branch +
+    two size joins re-referenced the tokenizer subtree, and Python map
+    stages are not exchange-reused — the r4 plan executed the
+    tokenizer three times (plan-gated now). Measured honestly: at sf0.1
+    on local[32] the single-pass shape is ~5-10 % SLOWER (struct
+    posting lists sort/compare/explode cost more than bare ids, while
+    the r4 plan's two redundant tokenizer runs overlapped on idle
+    cores); the trade flips hard at scale, where three full scans +
+    three Python stages over the corpus are the dominant cost and idle
+    cores don't exist.
 
     Skew guard: ``max_shingle_df`` drops posting lists longer than the cap
     *before* the quadratic pair explode — a shingle shared by millions of
@@ -181,29 +193,27 @@ def ngram_jaccard_pairs(
 
     Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
-    shingled = shingle_rows(df, id_col=id_col, text_col=text_col, k=k).select(
-        "id", F.xxhash64("sh").alias("shingle")
-    )
+    shingled = shingle_rows(
+        df, id_col=id_col, text_col=text_col, k=k, with_n=True
+    ).select("id", F.xxhash64("sh").alias("shingle"), "n")
     postings = shingled.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    )
-    sizes = (
-        postings.select(F.explode("ids").alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        F.sort_array(F.collect_list(F.struct("id", "n"))).alias("ids")
     )
     paired = postings.where(F.size("ids") >= 2)
     if max_shingle_df is not None:
         paired = paired.where(F.size("ids") <= max_shingle_df)
     common = (
         paired.select(F.explode(_pair_explode()).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy(
+            F.col("p.id_a.id").alias("id_a"),
+            F.col("p.id_a.n").alias("n_a"),
+            F.col("p.id_b.id").alias("id_b"),
+            F.col("p.id_b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("common")
             / (F.col("n_a") + F.col("n_b") - F.col("common")),

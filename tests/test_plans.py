@@ -170,3 +170,17 @@ def test_xform_compact_partial_agg_before_single_exchange(spark):
     assert int(ex.group(1)) == 2 and "max#" in ex.group(2)
     # and never the row_number window formulation (full-row shuffle)
     assert "Window" not in plan
+
+
+def test_ngram_dedup_single_scan_single_python_stage(spark):
+    """dedup_ngram r5 plan gate: ONE parquet scan and ONE Python map
+    stage in the executed plan — the sizes ride the posting lists, so
+    no subtree re-references the (non-exchange-reusable) tokenizer.
+    The r4 plan executed it three times."""
+    from flink_audit_sessions_example_spark.plans import QUERIES
+
+    out = QUERIES["dedup_ngram"](spark, SF_DIR)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan.count("MapInPandas")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
