@@ -173,17 +173,20 @@ def ngram_jaccard_pairs(
     pairs-from-postings shape) → count common shingles per pair, with
     ``n_a``/``n_b`` popping out of the grouping key for free → Jaccard
     as a pure projection. Carrying ``n`` on the rows (the
-    ``dedup_minhash`` r5 lesson) is what makes the whole query ONE scan
-    and ONE Python tokenizer execution: the previous sizes branch +
-    two size joins re-referenced the tokenizer subtree, and Python map
-    stages are not exchange-reused — the r4 plan executed the
-    tokenizer three times (plan-gated now). Measured honestly: at sf0.1
-    on local[32] the single-pass shape is ~5-10 % SLOWER (struct
-    posting lists sort/compare/explode cost more than bare ids, while
-    the r4 plan's two redundant tokenizer runs overlapped on idle
-    cores); the trade flips hard at scale, where three full scans +
-    three Python stages over the corpus are the dominant cost and idle
-    cores don't exist.
+    ``dedup_minhash`` r5 lesson) makes single tokenizer execution
+    STRUCTURAL instead of optimizer-dependent: the previous sizes
+    branch + two size joins put three logical references on the
+    tokenizer subtree, and whether AQE's exchange reuse collapses them
+    is a runtime optimization, not a guarantee (observed: one of the
+    three references reused, i.e. the tokenizer + scan physically ran
+    TWICE in the finalized adaptive plan). Now the final plan is one
+    scan + one Python stage by construction (plan-gated in
+    tests/test_plans.py). Measured honestly: at sf0.1 on local[32] the
+    shapes are within ~5-10 % of each other (struct posting lists
+    sort/compare/explode cost a bit more than bare ids, while the
+    redundant tokenizer run overlapped on idle cores); at scale a
+    whole redundant corpus scan + tokenize is the dominant cost and
+    idle cores don't exist.
 
     Skew guard: ``max_shingle_df`` drops posting lists longer than the cap
     *before* the quadratic pair explode — a shingle shared by millions of
