@@ -666,10 +666,11 @@ def minhash_near_dup_pairs(
     # [2, max_bucket_size] yield the candidate-id set. Nothing else
     # rides the explode — per-doc sizes come from the verify tokenizer
     # itself (below), so this whole signature subtree is referenced
-    # exactly ONCE, under the candidate broadcast: Python map stages
-    # (MapInPandas) are not exchange-reusable, and every additional
-    # reference would RE-EXECUTE the signature pass (the r4 plan paid
-    # this 3× — candidate broadcast plus two size joins).
+    # exactly ONCE: single execution is structural, not dependent on
+    # AQE exchange reuse collapsing duplicate references (a runtime
+    # optimization, not a guarantee — the r4 shape carried three
+    # logical references via the candidate join plus two size joins,
+    # and finalized plans showed reuse recovering them only sometimes).
     banded = sigs.select(
         "id",
         F.explode(
