@@ -23,6 +23,7 @@ _FRONT_KEYS = [
     "agg_exact_distinct",     # new r5: exact cross-engine anchor for the HLL path
     "xform_split",            # new r5: deterministic train/val/test assignment
     "join_fuzzy",             # new r5: entity-resolution token-Jaccard join
+    "text_quality_tiers",     # new r5: quality-quartile curriculum bucketing
     "dedup_minhash",          # r5: exact-dup pre-pass before LSH
     "dedup_cluster",          # r5: pointer-jumping fallback + sf1 probe
     "sim_topk_ivf",           # r5: cheaper expr-twin centroid assignment

@@ -680,6 +680,72 @@ FROM documents
 """
 
 
+def q_text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_quality_tiers`` — curriculum bucketing: each document
+    assigned to a quality QUARTILE of the corpus (tier 1 = lowest …
+    4 = highest), the precompute-boundaries-then-bucket-scan-side shape
+    behind curriculum learning and quality-tiered sampling.
+
+    Plan: the three exact type-7 quartile boundaries are ONE global
+    aggregate row (``percentile`` over the scored corpus), broadcast
+    into the scan-side tier projection (Catalyst plans the 1-row cross
+    join as a broadcast nested loop — the ``rel_above_avg`` scalar-
+    subquery shape; the corpus is never shuffled). The tier is pure
+    integer arithmetic over three comparisons — both engines compute
+    the identical type-7 boundaries (the ``rel_quantiles`` family
+    guarantee), so ties AT a boundary resolve identically.
+
+    SCALE WARNING (same funnel as ``rel_quantiles``, stated plainly):
+    the builtin exact ``percentile`` keeps a value→count map in one
+    aggregation buffer — fine here because ``quality`` is rounded to
+    6 decimals over [0, 1] (≤ ~10⁶ distinct values by construction,
+    bounded regardless of corpus size), which is exactly when the
+    builtin is the right tool; for an UNROUNDED continuous score swap
+    the boundary aggregate for ``exact_grouped_percentiles`` (bounded
+    memory) or ``approx_quantiles_by`` (one pass)."""
+    docs = X.with_quality_score(load_table(spark, sf_dir, "documents"))
+    scored = docs.select("doc_id", "quality")
+    bounds = scored.agg(
+        F.expr(
+            "percentile(quality, array(0.25D, 0.5D, 0.75D))"
+        ).alias("_b")
+    ).select(
+        F.element_at("_b", 1).alias("_q1"),
+        F.element_at("_b", 2).alias("_q2"),
+        F.element_at("_b", 3).alias("_q3"),
+    )
+    return (
+        scored.join(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "quality",
+            (
+                F.lit(1)
+                + (F.col("quality") >= F.col("_q1")).cast("int")
+                + (F.col("quality") >= F.col("_q2")).cast("int")
+                + (F.col("quality") >= F.col("_q3")).cast("int")
+            ).alias("tier"),
+        )
+    )
+
+
+_TEXT_QUALITY_TIERS_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents
+), b AS (
+  SELECT quantile_cont(quality, 0.25) AS q1,
+         quantile_cont(quality, 0.50) AS q2,
+         quantile_cont(quality, 0.75) AS q3
+  FROM scored
+)
+SELECT s.doc_id, s.quality,
+       1 + CAST(s.quality >= b.q1 AS INT)
+         + CAST(s.quality >= b.q2 AS INT)
+         + CAST(s.quality >= b.q3 AS INT) AS tier
+FROM scored s CROSS JOIN b
+"""
+
+
 def q_text_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``text_word_histogram`` — corpus-wide top-100 word frequencies:
     explode → two-level aggregation (map-side partial count collapses
@@ -2973,6 +3039,7 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
+    "text_quality_tiers": q_text_quality_tiers,
     "text_fingerprint": q_text_fingerprint,
     "text_word_histogram": q_text_word_histogram,
     "multimodal_meta": q_multimodal_meta,
@@ -3045,6 +3112,7 @@ EXTENDED_ORACLES: dict[str, str] = {
     "text_stats": _TEXT_STATS_ORACLE,
     "text_langid": _langid_oracle(),
     "text_quality": _TEXT_QUALITY_ORACLE,
+    "text_quality_tiers": _TEXT_QUALITY_TIERS_ORACLE,
     "text_fingerprint": _TEXT_FINGERPRINT_ORACLE,
     "text_word_histogram": _TEXT_HISTOGRAM_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
