@@ -1249,30 +1249,50 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``set_except`` — customers with no orders (distinct EXCEPT)."""
+    """``set_except`` — customers with no RECENT order (distinct
+    EXCEPT): the set twin of ``join_anti``'s keyed NOT-EXISTS. The
+    recent-order cutoff (2001-01-01, ~the last 8 months of the order
+    history) makes the result a NON-EMPTY proper subset at every test
+    SF — the original all-orders form returned 0 rows at sf0.01 (every
+    customer has some order), a vacuous hash check that would pass with
+    the EXCEPT semantics entirely broken (the r3 decontaminate
+    lesson)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
     return customer.select("c_custkey").subtract(
-        orders.select(F.col("o_custkey").alias("c_custkey"))
+        recent.select(F.col("o_custkey").alias("c_custkey"))
     )
 
 
 _SET_EXCEPT_ORACLE = """
-SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
 """
 
 
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``set_intersect`` — customer keys that do have orders (INTERSECT)."""
+    """``set_intersect`` — customer keys with a RECENT order
+    (INTERSECT). The cutoff makes the result a proper subset of both
+    inputs at every test SF: the original all-orders form returned
+    EVERY customer (each has some order), so a broken implementation
+    answering ``SELECT DISTINCT c_custkey`` would have hash-matched —
+    the inverse of ``set_except``'s vacuity, fixed the same way."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
     return customer.select("c_custkey").intersect(
-        orders.select(F.col("o_custkey").alias("c_custkey"))
+        recent.select(F.col("o_custkey").alias("c_custkey"))
     )
 
 
 _SET_INTERSECT_ORACLE = """
-SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+SELECT c_custkey FROM customer
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
 """
 
 
