@@ -159,6 +159,8 @@ def probe() -> None:
         "dedup_chunk",
         "text_corpus_freq",
         "domain_mix",
+        "text_quality_tiers",
+        "xform_split",
     ]
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--keys=")]
     if only:
