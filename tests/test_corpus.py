@@ -420,3 +420,50 @@ def test_fuzzy_token_join_partial_overlap_and_df_cap(spark):
         max_token_df=3,
     )
     assert (2, 12) not in {(r["id_l"], r["id_r"]) for r in capped.collect()}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_token = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_name = st.lists(_token, min_size=0, max_size=5).map(" ".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(_name, min_size=1, max_size=6),
+    right=st.lists(_name, min_size=1, max_size=6),
+    threshold=st.sampled_from([0.2, 0.5, 0.99]),
+)
+def test_fuzzy_token_join_matches_bruteforce(spark, left, right, threshold):
+    """Random tiny catalogs: the inverted-index join must agree exactly
+    with a brute-force all-pairs token-Jaccard reference (including
+    empty-token rows, which never match)."""
+    ldf = spark.createDataFrame(
+        [Row(id=i, name=n) for i, n in enumerate(left)]
+    )
+    rdf = spark.createDataFrame(
+        [Row(id=100 + i, name=n) for i, n in enumerate(right)]
+    )
+    got = {
+        (r["id_l"], r["id_r"]): r["jaccard"]
+        for r in C.fuzzy_token_join(
+            ldf, rdf, left_id="id", right_id="id",
+            left_text="name", right_text="name", threshold=threshold,
+        ).collect()
+    }
+    want = {}
+    for i, ln in enumerate(left):
+        ls = set(ln.split())
+        for j, rn in enumerate(right):
+            rs = set(rn.split())
+            if not ls or not rs or not (ls & rs):
+                continue
+            jac = len(ls & rs) / len(ls | rs)
+            if jac >= threshold:
+                want[(i, 100 + j)] = round(jac, 6)
+    assert got == want
