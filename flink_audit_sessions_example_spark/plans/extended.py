@@ -690,7 +690,12 @@ def q_text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate row (``percentile`` over the scored corpus), broadcast
     into the scan-side tier projection (Catalyst plans the 1-row cross
     join as a broadcast nested loop — the ``rel_above_avg`` scalar-
-    subquery shape; the corpus is never shuffled). The tier is pure
+    subquery shape; the corpus is never shuffled). Stated plainly: the
+    corpus IS scanned and scored twice — once under the boundary
+    aggregate, once for the assignment (the inherent cost of any
+    data-dependent-threshold filter expressed declaratively; persist
+    the scored relation, or reuse boundaries across runs, when the
+    double score matters). The tier is pure
     integer arithmetic over three comparisons — both engines compute
     the identical type-7 boundaries (the ``rel_quantiles`` family
     guarantee), so ties AT a boundary resolve identically.
