@@ -18,6 +18,21 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: since r1 and still covered by tests/test_oracle_parity.py locally) rotate
 #: to the back. Keep any NEWLY ADDED query key in this list until it has a
 #: driver-green row.
+#:
+#: ROTATION PROTOCOL (no key goes two consecutive rounds unverified): at
+#: the start of round N, front-load (a) every key new or plan-changed in
+#: round N, then (b) every key whose last driver row is round N-2 (i.e.
+#: the keys rotated OUT of the N-1 window). With ~81 keys and a 50-row
+#: window this is a clean 2-round cycle. For r6 that means fronting the
+#: ~31 keys sitting out of the r5 window (rel_quantiles, rel_cube,
+#: xform_json_extract, win_retention, win_ntile, join_semi, rel_above_avg,
+#: decontaminate, sim_topk_lsh, rel_pivot, win_moving_avg,
+#: rel_window_share, win_range_frame, join_salted, rel_stats_corr,
+#: rel_histogram_bins, dedup_chunk, text_corpus_freq, xform_compact,
+#: the multimodal_* family, rel_pricing_summary, text_word_histogram,
+#: sim_topk, dedup_embed, cluster_profile, text_fingerprint,
+#: pack_sequences, dedup_exact, dedup_count, rel_rollup,
+#: rel_quantiles_approx/agg_approx_distinct rows-only re-records).
 _FRONT_KEYS = [
     # r5 new / changed plans — need fresh driver rows this round
     "agg_exact_distinct",     # new r5: exact cross-engine anchor for the HLL path
