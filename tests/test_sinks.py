@@ -89,3 +89,61 @@ def test_streaming_sink_resumes_exactly_once(spark, tmp_path):
     assert result.count() == 8  # 5 + 3, nothing reprocessed
     assert result.select("seq_num").distinct().count() == 8
     assert result.where(F.col("reqUser") == "u").count() == 5
+
+
+def test_write_sized_parquet_bounds_files_per_partition(spark, tmp_path):
+    """The small-files fix: every partition directory gets at most
+    files_per_partition parquet files (one with the default), rows
+    survive byte-exact, and the assignment is deterministic."""
+    import os
+
+    from flink_audit_sessions_example_spark.sources.sinks import (
+        write_sized_parquet,
+    )
+    from flink_audit_sessions_example_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+
+    def part_files(root):
+        out = {}
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("lang="):
+                continue
+            out[d] = sorted(
+                f for f in os.listdir(os.path.join(root, d))
+                if f.endswith(".parquet")
+            )
+        return out
+
+    p1 = str(tmp_path / "one")
+    write_sized_parquet(
+        docs, p1, bucket_key="doc_id", partition_cols=["lang"]
+    )
+    files1 = part_files(p1)
+    assert files1
+    assert all(len(v) == 1 for v in files1.values()), files1
+    p2 = str(tmp_path / "three")
+    write_sized_parquet(
+        docs, p2, bucket_key="doc_id", partition_cols=["lang"],
+        files_per_partition=3, sort_cols=["doc_id"], num_tasks=64,
+    )
+    files2 = part_files(p2)
+    assert files2.keys() == files1.keys()
+    assert all(1 <= len(v) <= 3 for v in files2.values())
+    assert any(len(v) > 1 for v in files2.values())
+    # read-back equality (both layouts)
+    want = sorted(map(tuple, docs.collect()))
+    for p in (p1, p2):
+        got = sorted(
+            map(tuple, spark.read.parquet(p).select("doc_id", "lang", "text").collect())
+        )
+        assert got == want
+    import pytest
+
+    with pytest.raises(ValueError, match="files_per_partition"):
+        write_sized_parquet(docs, str(tmp_path / "x"), bucket_key="doc_id",
+                            files_per_partition=0)
