@@ -107,6 +107,42 @@ def generate() -> None:
         os.path.join(OUT, "documents.parquet"),
     )
 
+    # part catalog at 10×, statistically faithful for join_fuzzy: names
+    # are 2-word draws from the REAL sf0.1 name vocabulary (adjective /
+    # noun positions kept separate so the name distribution matches),
+    # brands uniform over the real brand set — per-brand-pair exact-name
+    # match density then scales like the real catalog's
+    part_src = pq.read_table(
+        os.path.join(SF01, "part.parquet"), columns=["p_name", "p_brand"]
+    ).to_pylist()
+    adjs = sorted({r["p_name"].split()[0] for r in part_src})
+    nouns = sorted({r["p_name"].split()[-1] for r in part_src})
+    brands = sorted({r["p_brand"] for r in part_src})
+    n_part = 10 * len(part_src)
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_part), pa.int64()),
+                "p_name": pa.array(
+                    [
+                        f"{adjs[int(rng.integers(len(adjs)))]} "
+                        f"{nouns[int(rng.integers(len(nouns)))]}"
+                        for _ in range(n_part)
+                    ],
+                    pa.string(),
+                ),
+                "p_brand": pa.array(
+                    [
+                        brands[int(rng.integers(len(brands)))]
+                        for _ in range(n_part)
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(OUT, "part.parquet"),
+    )
+
     emb_src = pq.read_table(os.path.join(SF01, "embeddings.parquet"))
     em = np.array(emb_src.column("embedding").to_pylist(), dtype=np.float32)
     idx = rng.integers(0, len(em), N_VECS)
@@ -161,6 +197,7 @@ def probe() -> None:
         "domain_mix",
         "text_quality_tiers",
         "xform_split",
+        "join_fuzzy",
     ]
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--keys=")]
     if only:
