@@ -366,6 +366,7 @@ def fuzzy_token_join(
     right_text: str,
     threshold: float = 0.5,
     max_token_df: int | None = None,
+    pin_tokens: bool = True,
 ) -> DataFrame:
     """``join_fuzzy`` — entity-resolution similarity join between TWO
     relations: all (left, right) pairs whose distinct-token sets have
@@ -377,26 +378,42 @@ def fuzzy_token_join(
     each side tokenizes ONCE into per-token posting lists of
     ``struct(id, n_tokens)`` (``n`` computed scan-side and carried in
     the struct, so no sizes sub-join re-evaluates a side — the
-    ``dedup_minhash`` r5 lesson; and the df cap is a filter on the
-    already-built list, not a second count aggregate that would re-run
-    the tokenize subtree), the two posting relations equi-join on the
-    token, both lists explode into co-token pairs, one hash aggregation
-    counts common tokens per pair, and the Jaccard filter is a pure
-    projection. Shuffle volume = token postings, output volume =
-    matching pairs.
+    ``dedup_minhash`` r5 lesson), the two posting relations equi-join
+    on the token, both lists explode into co-token pairs, one hash
+    aggregation counts common tokens per pair, and the Jaccard filter
+    is a pure projection. Shuffle volume = token postings, output
+    volume = matching pairs.
 
     Skew guard: ``max_token_df`` drops tokens whose document frequency
     exceeds the cap on EITHER side before the pair explode — a stopword
     shared by 10⁶ left and 10⁶ right docs would emit 10¹² pairs; such
     tokens only connect pairs their rarer tokens connect anyway (the
     same argument as ``max_shingle_df`` in n-gram dedup). Set it at
-    corpus scale: uncapped, a hot token buffers its whole posting list
-    in one aggregation row.
+    corpus scale. r6: the cap bounds the ``collect_list`` BUFFER, not
+    just the finished list (``dedup.bounded_posting_lists``: per-token
+    counts first — constant-size buffers, map-side partial — then the
+    tiny over-cap token set anti-joins the rows BEFORE the lists
+    build); the r5 shape filtered after building, so one hot stopword
+    still materialized its whole posting list in a single aggregation
+    row. ``pin_tokens=True`` (default) pins each side's exploded token
+    rows (lazy ``localCheckpoint``) so the count pass and the list
+    build share one tokenize+scan; pass ``False`` to trade that
+    executor storage (O(tokens) rows) for re-running the column-pruned
+    scan + JVM split in the count pass.
+
+    UNIQUE-ID CONTRACT: ids must be unique within each side (one row
+    per entity, the normal shape for entity resolution). A duplicated
+    id with different texts would merge its token postings and the
+    pair-count aggregation — keyed on (id, n) — could emit multiple or
+    miscounted jaccard rows for that id with no error, exactly like
+    the dedup pair operators; pre-aggregate (e.g.
+    ``dedup.latest_by_key``) before joining non-keyed relations.
 
     Tokenization matches :func:`~..operators.text._words` (lowercase,
     Java-``\\s`` runs), distinct tokens; rows with zero tokens never
     match (Jaccard undefined ⇒ excluded, like the dedup operators).
     """
+    from .dedup import bounded_posting_lists
     from .text import _words
 
     def token_posts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -405,12 +422,14 @@ def fuzzy_token_join(
         rows = staged.select(
             "id", F.size("_toks").alias("n"), F.explode("_toks").alias("t")
         )
-        posts = rows.groupBy("t").agg(
-            F.collect_list(F.struct("id", "n")).alias("ids")
+        return bounded_posting_lists(
+            rows,
+            ["t"],
+            F.struct("id", "n"),
+            max_size=max_token_df,
+            min_size=1,
+            pin_keyed=pin_tokens,
         )
-        if max_token_df is not None:
-            posts = posts.where(F.size("ids") <= max_token_df)
-        return posts
 
     lp = token_posts(left, left_id, left_text)
     rp = token_posts(right, right_id, right_text).withColumnRenamed(

@@ -128,20 +128,88 @@ def _pair_explode(ids_col: str = "ids") -> Column:
     )
 
 
+def bounded_posting_lists(
+    keyed: DataFrame,
+    key_cols: list[str],
+    payload: Column | str,
+    *,
+    max_size: int | None,
+    min_size: int = 2,
+    pin_keyed: bool = True,
+) -> DataFrame:
+    """Per-key sorted posting lists ``(key_cols..., ids)`` where
+    ``max_size`` bounds the aggregation BUFFER itself, not just the
+    finished list.
+
+    The naive form — ``collect_list`` then ``where(size(ids) <= cap)``
+    (the r5 shape) — drops an over-cap key only AFTER one aggregation
+    buffer has materialized its entire posting list. Spark's hash
+    aggregation spills ACROSS groups, never within one, so a single hot
+    key (a stopword token, a boilerplate shingle, a dup-saturated LSH
+    bucket) with 10⁸ postings is gigabytes in ONE buffer row — an
+    executor OOM on exactly the skewed input the cap exists for.
+
+    Bounded form (``max_size`` set): per-key COUNTS run first — count
+    buffers are constant-size and partial-aggregate map-side, so the
+    count shuffle carries at most one 8-byte-key row per key per map
+    task regardless of skew — and the over-cap key set (small by
+    definition: only keys with df > cap, i.e. the stopword/boilerplate
+    tail) anti-joins into the keyed rows BEFORE ``collect_list``. Every
+    group reaching the list build then has ≤ ``max_size`` rows by
+    construction. No broadcast hint on the anti-join: AQE broadcasts
+    the blacklist from its runtime size, and an adversarial all-hot
+    input degrades to a shuffle join instead of a driver OOM. Results
+    are IDENTICAL to the naive form (the count equals the list length
+    the old filter inspected).
+
+    Both the count pass and the list build consume ``keyed``.
+    ``pin_keyed=True`` (default) pins it with a lazy
+    ``localCheckpoint`` so the subtree below (often a scan + tokenizer
+    Arrow pass) executes ONCE structurally — AQE exchange reuse across
+    Python-stage subtrees is a runtime maybe, not a guarantee — at the
+    cost of materializing the keyed rows to executor memory/disk
+    (MEMORY_AND_DISK; spills, never OOMs). ``pin_keyed=False`` trades
+    that storage for recomputing the subtree in the count pass: prefer
+    it when the subtree is a cheap column-pruned scan and the keyed
+    rows are large relative to it.
+
+    With ``max_size=None`` this is the plain single-aggregation build
+    (no count pass, no pin) — the unbounded buffer is then the CALLER's
+    stated contract, not an accident.
+    """
+    payload = F.col(payload) if isinstance(payload, str) else payload
+    if max_size is not None:
+        if pin_keyed:
+            keyed = keyed.localCheckpoint(eager=False)
+        counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_df"))
+        hot = counts.where(F.col("_df") > max_size).select(*key_cols)
+        keyed = keyed.join(hot, key_cols, "left_anti")
+    postings = keyed.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(payload)).alias("ids")
+    )
+    if min_size > 1:
+        postings = postings.where(F.size("ids") >= min_size)
+    return postings
+
+
 def _postings_pairs(
-    keyed: DataFrame, key_col: str, *, max_size: int | None
+    keyed: DataFrame,
+    key_col: str,
+    *,
+    max_size: int | None,
+    pin_keyed: bool = True,
 ) -> DataFrame:
     """Group ``(key, id)`` rows into per-key sorted posting lists and emit
-    each list's id pairs. ``max_size`` drops degenerate oversized groups
-    *before* the quadratic pair explode (a key shared by 10⁶ ids would
-    emit ~10¹² pairs from one row): at scale such boilerplate keys only
+    each list's id pairs in place (no self-join). ``max_size`` drops
+    degenerate oversized groups *before* both the quadratic pair explode
+    (a key shared by 10⁶ ids would emit ~10¹² pairs from one row) and —
+    via :func:`bounded_posting_lists` — before the ``collect_list``
+    buffer that would otherwise materialize the hot key's full posting
+    list in one aggregation row. At scale such boilerplate keys only
     connect near-identical rows that their rarer keys connect anyway."""
-    postings = keyed.groupBy(key_col).agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
+    sized = bounded_posting_lists(
+        keyed, [key_col], "id", max_size=max_size, pin_keyed=pin_keyed
     )
-    sized = postings.where(F.size("ids") >= 2)
-    if max_size is not None:
-        sized = sized.where(F.size("ids") <= max_size)
     return sized.select(F.explode(_pair_explode()).alias("p")).select(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
@@ -188,23 +256,28 @@ def ngram_jaccard_pairs(
     whole redundant corpus scan + tokenize is the dominant cost and
     idle cores don't exist.
 
-    Skew guard: ``max_shingle_df`` drops posting lists longer than the cap
-    *before* the quadratic pair explode — a shingle shared by millions of
-    docs would otherwise emit ~10¹² pairs from one row; such boilerplate
-    shingles only connect near-identical docs that their rarer shingles
-    connect anyway. Set it at corpus scale.
+    Skew guard: ``max_shingle_df`` drops over-cap shingles BEFORE both
+    the ``collect_list`` buffer and the quadratic pair explode
+    (:func:`bounded_posting_lists` — r6: the r5 shape filtered the
+    finished list, so one boilerplate shingle shared by 10⁶ docs still
+    materialized its whole posting list in a single aggregation row
+    before being dropped); such boilerplate shingles only connect
+    near-identical docs that their rarer shingles connect anyway. Set
+    it at corpus scale. With the cap active the tokenizer output is
+    pinned (lazy ``localCheckpoint``) so the count pre-filter and the
+    postings build share ONE tokenizer execution structurally; the
+    corpus scan + Arrow pass then live inside the checkpointed lineage
+    (the finalized plan shows ``Scan ExistingRDD``, still computed
+    exactly once — plan-gated in tests/test_plans.py).
 
     Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
     shingled = shingle_rows(
         df, id_col=id_col, text_col=text_col, k=k, with_n=True
     ).select("id", F.xxhash64("sh").alias("shingle"), "n")
-    postings = shingled.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.struct("id", "n"))).alias("ids")
+    paired = bounded_posting_lists(
+        shingled, ["shingle"], F.struct("id", "n"), max_size=max_shingle_df
     )
-    paired = postings.where(F.size("ids") >= 2)
-    if max_shingle_df is not None:
-        paired = paired.where(F.size("ids") <= max_shingle_df)
     common = (
         paired.select(F.explode(_pair_explode()).alias("p"))
         .groupBy(
@@ -564,13 +637,34 @@ def minhash_near_dup_pairs(
         n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
             F.length(norm) - F.length(F.replace(norm, F.lit(" "))) + 1
         )
-        dup_groups = (
-            staged.select(
-                F.col(id_col).alias("id"),
-                "fingerprint",
-                (n_words >= k).alias("sh_ok"),
+        slim_fp = staged.select(
+            F.col(id_col).alias("id"),
+            "fingerprint",
+            (n_words >= k).alias("sh_ok"),
+        )
+        if max_group_size is not None:
+            # drop degenerate groups BEFORE their member lists ever
+            # build (r6, the bounded_posting_lists pattern): per-
+            # fingerprint COUNTS (constant-size buffers, map-side
+            # partial) find the over-cap groups — one boilerplate text
+            # repeated 10⁶ times would otherwise sit as an 8 MB members
+            # list in a single aggregation buffer before the old
+            # size-filter dropped it — and the tiny hot set anti-joins
+            # the slim rows ahead of collect_list; the intra-pair
+            # explode (quadratic in the group) is bounded a fortiori.
+            # The slim (id, fingerprint, sh_ok) projection is pinned so
+            # the count pass and the group build share one evaluation
+            # of the fingerprint pass instead of re-scanning the corpus.
+            slim_fp = slim_fp.localCheckpoint(eager=False)
+            hot_fp = (
+                slim_fp.groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).alias("_m"))
+                .where(F.col("_m") > max_group_size)
+                .select("fingerprint")
             )
-            .groupBy("fingerprint")
+            slim_fp = slim_fp.join(hot_fp, "fingerprint", "left_anti")
+        dup_groups = (
+            slim_fp.groupBy("fingerprint")
             .agg(
                 F.min("id").alias("rid"),
                 F.sort_array(F.collect_list("id")).alias("members"),
@@ -578,13 +672,6 @@ def minhash_near_dup_pairs(
             )
             .where(F.size("members") >= 2)
         )
-        if max_group_size is not None:
-            # drop degenerate groups BEFORE anything explodes their
-            # members (the intra-pair emission is quadratic in the
-            # group — same hazard class as _postings_pairs' cap)
-            dup_groups = dup_groups.where(
-                F.size("members") <= max_group_size
-            )
         # LAZY localCheckpoint: three consumers (intra pairs + two
         # expansion broadcasts) would each re-run the fingerprint
         # aggregation (no ReusedExchange fires across them — verified
@@ -679,11 +766,15 @@ def minhash_near_dup_pairs(
             )
         ).alias("bkey"),
     )
-    buckets = banded.groupBy("bkey").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    ).where(F.size("ids") >= 2)
-    if max_bucket_size is not None:
-        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    # r6: the bucket cap bounds the collect_list BUFFER, not just the
+    # finished bucket (bounded_posting_lists: count pre-filter + anti-
+    # join before the list build; a dup-saturated bucket of 10⁶ reps
+    # would otherwise materialize fully in one aggregation row). With
+    # the cap active the slim (id, bkey) banding output is pinned so
+    # the signature subtree still executes exactly once structurally.
+    buckets = bounded_posting_lists(
+        banded, ["bkey"], "id", max_size=max_bucket_size
+    )
     # no .distinct(): the LEFT SEMI join below only tests existence, so
     # duplicate candidate ids (one per surviving band) are harmless and
     # dropping the dedup saves a full exchange
@@ -709,11 +800,17 @@ def minhash_near_dup_pairs(
         "left_semi",
     )
     verify_rows = keyed_rows(cand_docs)
-    vposts = verify_rows.groupBy(*key_cols).agg(
-        F.sort_array(F.collect_list(F.struct("id", "n"))).alias("ids")
-    ).where(F.size("ids") >= 2)
-    if max_shingle_df is not None:
-        vposts = vposts.where(F.size("ids") <= max_shingle_df)
+    # r6: the shingle-df cap likewise bounds the verify posting-list
+    # buffer (a boilerplate shingle shared by most candidates would
+    # otherwise buffer its whole list before the old size filter); the
+    # candidate-only tokenizer output is pinned so the count pre-filter
+    # does not re-run the Arrow pass.
+    vposts = bounded_posting_lists(
+        verify_rows,
+        list(key_cols),
+        F.struct("id", "n"),
+        max_size=max_shingle_df,
+    )
     # posting elements are struct(id, n) — ids are unique so the sort and
     # the i<j pair property behave exactly as with bare ids, and n_a/n_b
     # pop out of the pair-count groupBy for free (n is functionally

@@ -22,72 +22,73 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ROTATION PROTOCOL (no key goes two consecutive rounds unverified): at
 #: the start of round N, front-load (a) every key new or plan-changed in
 #: round N, then (b) every key whose last driver row is round N-2 (i.e.
-#: the keys rotated OUT of the N-1 window). With ~81 keys and a 50-row
-#: window this is a clean 2-round cycle. For r6 that means fronting the
-#: ~31 keys sitting out of the r5 window (rel_quantiles, rel_cube,
-#: xform_json_extract, win_retention, win_ntile, join_semi, rel_above_avg,
-#: decontaminate, sim_topk_lsh, rel_pivot, win_moving_avg,
-#: rel_window_share, win_range_frame, join_salted, rel_stats_corr,
-#: rel_histogram_bins, dedup_chunk, text_corpus_freq, xform_compact,
-#: the multimodal_* family, rel_pricing_summary, text_word_histogram,
-#: sim_topk, dedup_embed, cluster_profile, text_fingerprint,
-#: pack_sequences, dedup_exact, dedup_count, rel_rollup,
-#: rel_quantiles_approx/agg_approx_distinct rows-only re-records).
+#: the keys rotated OUT of the N-1 window). With ~81+ keys and a 50-row
+#: window this is a clean 2-round cycle. For r7 that means fronting every
+#: key that sits OUT of this r6 window (the r5-verified tail below:
+#: agg_exact_distinct, xform_split, text_quality_tiers, dedup_cluster,
+#: sim_topk_ivf, domain_mix, join_range, rel_quantiles_dist,
+#: rel_revenue_by_nation, rel_promo_share, rel_top_suppliers,
+#: agg_denied_sum, dedup_simhash, flt_nonzero, flt_valid_user, join_anti,
+#: join_asof, key_by_user, rel_filtered_scan, rel_shipping_priority,
+#: rel_top_customers, sample_stratified, set_except, set_intersect,
+#: text_langid, text_pii_scrub, text_quality, text_repetition, text_stats,
+#: time_watermark, win_rank_sessions, win_sliding, win_tumbling,
+#: win_user_gaps, xform_parse_json, win_session, win_wrap_result,
+#: xform_format_string, src_file_monitor, src_file_datefilter,
+#: agg_multi_distinct, rel_quantiles_approx, agg_approx_distinct)
+#: plus every key new or plan-changed in r7.
 _FRONT_KEYS = [
-    # r5 new / changed plans — need fresh driver rows this round
-    "agg_exact_distinct",     # new r5: exact cross-engine anchor for the HLL path
-    "xform_split",            # new r5: deterministic train/val/test assignment
-    "join_fuzzy",             # new r5: entity-resolution token-Jaccard join
-    "text_quality_tiers",     # new r5: quality-quartile curriculum bucketing
-    "dedup_minhash",          # r5: exact-dup pre-pass before LSH
-    "dedup_cluster",          # r5: pointer-jumping fallback + sf1 probe
-    "sim_topk_ivf",           # r5: cheaper expr-twin centroid assignment
-    "domain_mix",             # r5: missing-domain semantics fix (ADVICE)
-    "join_range",             # r5: shared _cents helper (ADVICE)
-    "rel_quantiles_dist",     # r5: exchange-reuse determinism fix (ADVICE)
-    # r5: SF-scaled join sides lost their hard broadcast hints (AQE's
-    # call at runtime) — same values, new plans, fresh rows wanted
-    "rel_revenue_by_nation",
-    "rel_promo_share",
-    "rel_top_suppliers",
-    # the 27 keys whose last driver CORRECTNESS row is r3 — no key goes
-    # two consecutive rounds unverified (r4 verdict action 1)
-    "agg_denied_sum",
-    "dedup_ngram",  # (dedup_minhash is in the r5-changed block above)
-    "dedup_simhash",
-    "flt_nonzero",
-    "flt_valid_user",
-    "join_anti",
-    "join_asof",
-    "key_by_user",
-    "pipeline_clean_corpus",
-    "rel_filtered_scan",
-    "rel_shipping_priority",
-    "rel_top_customers",
-    "sample_stratified",
-    "set_except",
-    "set_intersect",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality",
-    "text_repetition",
-    "text_stats",
-    "time_watermark",
-    "win_rank_sessions",
-    "win_sliding",
-    "win_tumbling",
-    "win_user_gaps",
-    "xform_parse_json",
-    "win_session",
-    "win_wrap_result",
-    "xform_format_string",
-    "src_file_monitor",
-    "src_file_datefilter",
-    "agg_multi_distinct",
-    # rows-only-by-design sketch registers: keep in the window so the
-    # driver re-records the (expected) no_oracle rows-only check
-    "rel_quantiles_approx",
-    "agg_approx_distinct",
+    # r6 new / plan-changed keys — need fresh driver rows this round
+    "join_fuzzy",             # r6: df cap now bounds the aggregation buffer; registered plan capped
+    "dedup_ngram",            # r6: _postings_pairs pre-filters hot keys before collect_list
+    "dedup_minhash",          # r6: bounded caps on buckets/verify postings/dup groups
+    "dedup_cluster",          # r6: inherits dedup_ngram's bounded-buffer plan
+    "pipeline_clean_corpus",  # r6: sf1-probed composite (SCALING.md row added)
+    # r6 NEW KEYS are appended here as they land (budget ≤ ~15 so the
+    # 31 r4-stale keys below all stay inside the 50-row driver window)
+    "rel_customer_orders_dist",
+    "rel_large_orders",
+    "rel_min_cost_supplier",
+    "rel_global_sales_prospects",
+    "xform_chunk_overlap",
+    "embed_quantize",
+    "agg_mode",
+    "text_token_count",
+    "win_first_touch",
+    "rel_order_priority_series",
+    # the 31 keys whose last driver CORRECTNESS row is r4 — no key goes
+    # two consecutive rounds unverified (r5 verdict action 1)
+    "dedup_embed",
+    "sim_topk",
+    "sim_topk_lsh",
+    "text_fingerprint",
+    "text_word_histogram",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_features",
+    "rel_pricing_summary",
+    "pack_sequences",
+    "decontaminate",
+    "cluster_profile",
+    "rel_quantiles",
+    "rel_cube",
+    "xform_json_extract",
+    "win_retention",
+    "win_ntile",
+    "join_semi",
+    "rel_above_avg",
+    "rel_pivot",
+    "win_moving_avg",
+    "rel_window_share",
+    "win_range_frame",
+    "join_salted",
+    "rel_stats_corr",
+    "rel_histogram_bins",
+    "dedup_chunk",
+    "text_corpus_freq",
+    "xform_compact",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}

@@ -2961,15 +2961,31 @@ GROUP BY b.band_id
 """
 
 
+#: Registered df cap for ``join_fuzzy`` — same constant class as
+#: MAX_SHINGLE_DF: a token shared by >1000 entities on one side is
+#: boilerplate whose pairs their rarer tokens connect anyway, and (r6)
+#: the cap bounds the posting-list AGGREGATION BUFFER itself, so the
+#: registered plan is safe-by-default on skewed input. At sf ≤ 0.1 the
+#: synthetic 16-token name vocabulary keeps every df ≤ ~122, so the
+#: blacklist is empty and results equal the uncapped semantics — the
+#: cap-BITING regime is pinned by the planted hot-token fixtures in
+#: tests/test_corpus.py (an absolute cap that bit at sf0.01 would drop
+#: every token at sf0.1, where median df is ~106: df scales with the
+#: corpus, so a bite-at-toy-scale cap is the wrong registered default).
+MAX_TOKEN_DF = 1000
+
+
 def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``join_fuzzy`` — entity resolution across two catalogs: parts of
     one brand matched to parts of another by token-set Jaccard of their
     names (``operators/corpus.py::fuzzy_token_join`` — inverted-index
-    token join, scan-side sizes, never a cross join). On this synthetic
-    catalog the 2-word names make every ≥ 0.5 match an exact-name tie
-    (jaccard 1.0); the operator computes general Jaccard, and the
-    partial-overlap regime is pinned by planted fixtures in
-    tests/test_corpus.py."""
+    token join, scan-side sizes, never a cross join), with the
+    ``max_token_df`` skew guard ACTIVE (r6: the registered plan ships
+    capped; the oracle applies the identical per-side cap). On this
+    synthetic catalog the 2-word names make every ≥ 0.5 match an
+    exact-name tie (jaccard 1.0); the operator computes general
+    Jaccard, and the partial-overlap and cap-biting regimes are pinned
+    by planted fixtures in tests/test_corpus.py."""
     part = load_table(spark, sf_dir, "part")
     return C.fuzzy_token_join(
         part.where(F.col("p_brand") == "Brand#11"),
@@ -2979,10 +2995,13 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_text="p_name",
         right_text="p_name",
         threshold=0.5,
+        max_token_df=MAX_TOKEN_DF,
     )
 
 
-def _join_fuzzy_oracle(threshold: float = 0.5) -> str:
+def _join_fuzzy_oracle(
+    threshold: float = 0.5, max_token_df: int = MAX_TOKEN_DF
+) -> str:
     words = _SQL_WORDS.replace("lower(text)", "lower(p_name)")
     side = (
         "SELECT p_partkey AS id, list_distinct({w}) AS toks "
@@ -2991,8 +3010,14 @@ def _join_fuzzy_oracle(threshold: float = 0.5) -> str:
     return f"""
 WITH l AS ({side.format(w=words, b="Brand#11")}),
 r AS ({side.format(w=words, b="Brand#22")}),
-lt AS (SELECT id, len(toks) AS n, unnest(toks) AS t FROM l),
-rt AS (SELECT id, len(toks) AS n, unnest(toks) AS t FROM r),
+lt0 AS (SELECT id, len(toks) AS n, unnest(toks) AS t FROM l),
+rt0 AS (SELECT id, len(toks) AS n, unnest(toks) AS t FROM r),
+-- per-side df cap, token dropped from a side when its postings exceed
+-- the cap there (operators/corpus.py::fuzzy_token_join max_token_df)
+lt AS (SELECT * FROM lt0 WHERE t IN (
+         SELECT t FROM lt0 GROUP BY t HAVING COUNT(*) <= {max_token_df})),
+rt AS (SELECT * FROM rt0 WHERE t IN (
+         SELECT t FROM rt0 GROUP BY t HAVING COUNT(*) <= {max_token_df})),
 c AS (
   SELECT lt.id AS lid, ANY_VALUE(lt.n) AS nl,
          rt.id AS rid, ANY_VALUE(rt.n) AS nr,
