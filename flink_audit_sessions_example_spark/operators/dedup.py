@@ -25,6 +25,9 @@ Scale design notes (these choices are the point of the module):
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -182,8 +185,20 @@ def bounded_posting_lists(
         if pin_keyed:
             keyed = keyed.localCheckpoint(eager=False)
         counts = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_df"))
-        hot = counts.where(F.col("_df") > max_size).select(*key_cols)
-        keyed = keyed.join(hot, key_cols, "left_anti")
+        # Null-safe anti-join (r7, ADVICE): a plain name-list anti-join
+        # never matches NULL keys, so an over-cap NULL-keyed group would
+        # bypass the cap — rebuilding the unbounded buffer the cap exists
+        # to prevent AND surviving into results, breaking the identical-
+        # results contract with the naive post-filter form. ``<=>`` makes
+        # NULL groups cap exactly like any other key.
+        hot = counts.where(F.col("_df") > max_size).select(
+            *[F.col(c).alias(f"_hot_{c}") for c in key_cols]
+        )
+        cond = reduce(
+            and_,
+            [F.col(c).eqNullSafe(F.col(f"_hot_{c}")) for c in key_cols],
+        )
+        keyed = keyed.join(hot, cond, "left_anti")
     postings = keyed.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(payload)).alias("ids")
     )
@@ -660,9 +675,16 @@ def minhash_near_dup_pairs(
                 slim_fp.groupBy("fingerprint")
                 .agg(F.count(F.lit(1)).alias("_m"))
                 .where(F.col("_m") > max_group_size)
-                .select("fingerprint")
+                .select(F.col("fingerprint").alias("_hot_fp"))
             )
-            slim_fp = slim_fp.join(hot_fp, "fingerprint", "left_anti")
+            # null-safe: md5(NULL text) = NULL fingerprint; a plain
+            # anti-join would let an over-cap NULL-text group bypass
+            # the cap (same contract as bounded_posting_lists, r7)
+            slim_fp = slim_fp.join(
+                hot_fp,
+                F.col("fingerprint").eqNullSafe(F.col("_hot_fp")),
+                "left_anti",
+            )
         dup_groups = (
             slim_fp.groupBy("fingerprint")
             .agg(

@@ -94,6 +94,27 @@ def test_shingle_df_cap_bounds_pair_explosion(spark):
     assert {(r.id_a, r.id_b) for r in capped.collect()} == {(100, 101)}
 
 
+def test_bounded_posting_lists_caps_null_keys(spark):
+    """r7 (ADVICE): the over-cap blacklist anti-join must be null-safe.
+    A plain name-list anti-join never matches NULL, so an over-cap
+    NULL-keyed group would bypass the cap — rebuilding the unbounded
+    collect_list buffer AND appearing in results, unlike the naive
+    post-filter form the docstring promises identity with."""
+    rows = [Row(k=None, id=i) for i in range(10)]  # hot NULL key (df=10)
+    rows += [Row(k=1, id=100), Row(k=1, id=101)]  # under-cap normal key
+    df = spark.createDataFrame(rows, "k int, id int")
+    out = D.bounded_posting_lists(
+        df, ["k"], "id", max_size=5, pin_keyed=False
+    ).collect()
+    assert {r.k for r in out} == {1}  # NULL group capped out
+    assert sorted(out[0].ids) == [100, 101]
+    # identity with the naive form: an UNDER-cap NULL group survives
+    out2 = D.bounded_posting_lists(
+        df, ["k"], "id", max_size=50, pin_keyed=False
+    ).collect()
+    assert {r.k for r in out2} == {None, 1}
+
+
 def test_minhash_pre_dedup_exact_dup_recall_survives_bucket_cap(spark):
     """The r5 exact-dup pre-pass: a popular duplicated text may NOT lose
     its pairs to the LSH bucket cap. 30 identical docs collapse to one
