@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import TOKEN_PATTERN, shingle_rows
+from .text import TOKEN_PATTERN, _words, shingle_rows
 
 #: Denominator of the md5 sampling draw: first 8 hex digits → uniform
 #: 32-bit integer. Rates are expressed as draw < rate · 2³².
@@ -354,6 +354,81 @@ def assign_splits(
         F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
     )
     return df.withColumn(split_col, expr)
+
+
+def chunk_overlap(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 40,
+    stride: int = 30,
+) -> DataFrame:
+    """``xform_chunk_overlap`` — split documents into overlapping
+    word-window chunks (the context-window preprocessing step of an LLM
+    training pipeline: ``chunk_size`` words per chunk, consecutive
+    chunks overlapping by ``chunk_size − stride`` words so no boundary
+    context is lost).
+
+    Chunk starts are the multiples of ``stride`` in
+    ``0 .. (m−1)·stride`` where ``m = 1 + ceil(max(n_words −
+    chunk_size, 0) / stride)`` — the minimal set covering every word
+    with full overlap semantics; the last chunk may be short. Documents
+    with zero words emit no chunks (``explode`` of an empty sequence),
+    same as the oracle's ``generate_series`` over an empty range.
+
+    Scale shape: pure scan-side projection + ``explode`` — tokenize
+    once per document (:func:`~..operators.text._words` twin), derive
+    every chunk from the staged array by slicing, ZERO shuffles and no
+    Python. Output grows by the overlap factor (~``chunk_size/stride``×
+    rows), which is the operator's contract, not a plan defect.
+
+    Output: ``(doc_id, chunk_idx, chunk_start, chunk_n_words,
+    chunk_text)`` with ``chunk_start`` 0-based.
+    """
+    if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
+        raise ValueError(
+            "need 0 < stride <= chunk_size for overlapping coverage, got "
+            f"chunk_size={chunk_size}, stride={stride}"
+        )
+    # stage the token array FIRST, derive the count from the attribute —
+    # one tokenize per row (the _with_words contract: CollapseProject
+    # keeps a non-cheap multiply-referenced projection separate)
+    staged = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            _words(F.col(text_col)).alias("__w"),
+        )
+        .select("doc_id", "__w", F.size("__w").alias("__n"))
+        .where(F.col("__n") > 0)
+    )
+    # integer ceil over the STAGED count: m = 1 + (max(n-chunk,0) + stride-1) div stride
+    n = F.col("__n")
+    m = F.lit(1) + F.floor(
+        (F.greatest(n - chunk_size, F.lit(0)) + (stride - 1)) / stride
+    ).cast("int")
+    return (
+        staged.select(
+            "doc_id",
+            "__w",
+            "__n",
+            F.posexplode(
+                F.sequence(F.lit(0), (m - 1) * stride, F.lit(stride))
+            ).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.least(
+                F.lit(chunk_size), F.col("__n") - F.col("chunk_start")
+            ).alias("chunk_n_words"),
+            F.array_join(
+                F.slice(F.col("__w"), F.col("chunk_start") + 1, chunk_size),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
 
 
 def fuzzy_token_join(

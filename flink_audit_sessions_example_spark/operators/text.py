@@ -130,6 +130,42 @@ def with_text_stats(
     return out if words_staged else out.drop(_WORDS)
 
 
+def with_token_counts(
+    df: DataFrame, text_col: str = "text", *, words_staged: bool = False
+) -> DataFrame:
+    """``text_token_count`` — per-document tokenizer-cost profile: the
+    BPE-ish :data:`TOKEN_PATTERN` token count broken down by class, plus
+    the tokens-per-word *fertility* ratio (the budget number an LLM
+    pipeline sizes context windows and training cost with; fertility ≫ 1
+    flags punctuation/number-heavy documents whose token cost outruns
+    their word count).
+
+    Adds: ``n_tokens_total``, ``n_alpha_tokens``, ``n_num_tokens``,
+    ``n_punct_tokens`` (= total − alpha − num, the pattern's three
+    disjoint alternatives), ``fertility`` (NULL for wordless docs).
+    One scan-side projection, JVM regex only — no shuffle, no Python.
+    """
+    lowered = F.lower(F.col(text_col))
+    n_total = F.size(F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN), 0))
+    n_alpha = F.size(F.regexp_extract_all(lowered, F.lit(r"[a-z]+"), 0))
+    n_num = F.size(F.regexp_extract_all(lowered, F.lit(r"[0-9]+"), 0))
+    n_words = F.size(F.col(_WORDS))
+    out = (
+        _stage_words(df, text_col, words_staged)
+        .withColumn("n_tokens_total", n_total.cast("bigint"))
+        .withColumn("n_alpha_tokens", n_alpha.cast("bigint"))
+        .withColumn("n_num_tokens", n_num.cast("bigint"))
+        .withColumn(
+            "n_punct_tokens", (n_total - n_alpha - n_num).cast("bigint")
+        )
+        .withColumn(
+            "fertility",
+            F.when(n_words > 0, n_total.cast("double") / n_words),
+        )
+    )
+    return out if words_staged else out.drop(_WORDS)
+
+
 def with_language_id(
     df: DataFrame, text_col: str = "text", *, words_staged: bool = False
 ) -> DataFrame:

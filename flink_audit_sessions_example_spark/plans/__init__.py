@@ -22,30 +22,15 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ROTATION PROTOCOL (no key goes two consecutive rounds unverified): at
 #: the start of round N, front-load (a) every key new or plan-changed in
 #: round N, then (b) every key whose last driver row is round N-2 (i.e.
-#: the keys rotated OUT of the N-1 window). With ~81+ keys and a 50-row
-#: window this is a clean 2-round cycle. For r7 that means fronting every
-#: key that sits OUT of this r6 window (the r5-verified tail below:
-#: agg_exact_distinct, xform_split, text_quality_tiers, dedup_cluster,
-#: sim_topk_ivf, domain_mix, join_range, rel_quantiles_dist,
-#: rel_revenue_by_nation, rel_promo_share, rel_top_suppliers,
-#: agg_denied_sum, dedup_simhash, flt_nonzero, flt_valid_user, join_anti,
-#: join_asof, key_by_user, rel_filtered_scan, rel_shipping_priority,
-#: rel_top_customers, sample_stratified, set_except, set_intersect,
-#: text_langid, text_pii_scrub, text_quality, text_repetition, text_stats,
-#: time_watermark, win_rank_sessions, win_sliding, win_tumbling,
-#: win_user_gaps, xform_parse_json, win_session, win_wrap_result,
-#: xform_format_string, src_file_monitor, src_file_datefilter,
-#: agg_multi_distinct, rel_quantiles_approx, agg_approx_distinct)
-#: plus every key new or plan-changed in r7.
+#: the keys rotated OUT of the N-1 window). With 91 keys and a 50-row
+#: window this is a clean 2-round cycle. For r8 that means fronting the
+#: keys OUT of this r7 window (the 46-key r6-verified tail of the
+#: registry — everything not listed in _FRONT_KEYS below) plus every key
+#: new or plan-changed in r8. Every name here MUST resolve in
+#: _ALL_QUERIES — asserted below; add keys only after their q_/oracle
+#: entries land (r6 lesson: phantom names silently lose their slot).
 _FRONT_KEYS = [
-    # r6 new / plan-changed keys — need fresh driver rows this round
-    "join_fuzzy",             # r6: df cap now bounds the aggregation buffer; registered plan capped
-    "dedup_ngram",            # r6: _postings_pairs pre-filters hot keys before collect_list
-    "dedup_minhash",          # r6: bounded caps on buckets/verify postings/dup groups
-    "dedup_cluster",          # r6: inherits dedup_ngram's bounded-buffer plan
-    "pipeline_clean_corpus",  # r6: sf1-probed composite (SCALING.md row added)
-    # r6 NEW KEYS are appended here as they land (budget ≤ ~15 so the
-    # 31 r4-stale keys below all stay inside the 50-row driver window)
+    # r7 NEW keys — need first driver rows this round
     "rel_customer_orders_dist",
     "rel_large_orders",
     "rel_min_cost_supplier",
@@ -56,46 +41,57 @@ _FRONT_KEYS = [
     "text_token_count",
     "win_first_touch",
     "rel_order_priority_series",
-    # the 31 keys whose last driver CORRECTNESS row is r4 — no key goes
-    # two consecutive rounds unverified (r5 verdict action 1)
-    "dedup_embed",
-    "sim_topk",
-    "sim_topk_lsh",
-    "text_fingerprint",
-    "text_word_histogram",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_features",
-    "rel_pricing_summary",
-    "pack_sequences",
-    "decontaminate",
-    "cluster_profile",
-    "rel_quantiles",
-    "rel_cube",
-    "xform_json_extract",
-    "win_retention",
-    "win_ntile",
-    "join_semi",
-    "rel_above_avg",
-    "rel_pivot",
-    "win_moving_avg",
-    "rel_window_share",
-    "win_range_frame",
-    "join_salted",
-    "rel_stats_corr",
-    "rel_histogram_bins",
-    "dedup_chunk",
-    "text_corpus_freq",
-    "xform_compact",
+    # r7 plan-changed keys (null-safe over-cap anti-joins in
+    # bounded_posting_lists / minhash hot_fp) — need fresh rows
+    "dedup_ngram",
+    "dedup_minhash",
+    "dedup_cluster",
+    "join_fuzzy",
+    # the 31 keys whose last driver CORRECTNESS row is r5 — no key goes
+    # two consecutive rounds unverified
+    "set_except",
+    "set_intersect",
+    "rel_revenue_by_nation",
+    "rel_filtered_scan",
+    "join_asof",
+    "dedup_exact",
+    "dedup_count",
+    "dedup_simhash",
+    "sim_topk_ivf",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "text_quality_tiers",
+    "rel_top_customers",
+    "win_rank_sessions",
+    "text_repetition",
+    "text_pii_scrub",
+    "sample_stratified",
+    "xform_split",
+    "rel_shipping_priority",
+    "join_anti",
+    "win_user_gaps",
+    "rel_quantiles_approx",
+    "agg_multi_distinct",
+    "rel_promo_share",
+    "rel_top_suppliers",
+    "agg_approx_distinct",
+    "agg_exact_distinct",
+    "domain_mix",
+    "join_range",
+    "rel_quantiles_dist",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}
 _ALL_ORACLES = {**_CORE_ORACLES, **EXTENDED_ORACLES}
 
+# every front-of-window name must be a real registry key — a typo or a
+# not-yet-landed key would otherwise silently lose its driver slot
+_unresolved = [k for k in _FRONT_KEYS if k not in _ALL_QUERIES]
+assert not _unresolved, f"_FRONT_KEYS not in registry: {_unresolved}"
+
 QUERIES = {
-    **{k: _ALL_QUERIES[k] for k in _FRONT_KEYS if k in _ALL_QUERIES},
+    **{k: _ALL_QUERIES[k] for k in _FRONT_KEYS},
     **{k: v for k, v in _ALL_QUERIES.items() if k not in _FRONT_KEYS},
 }
 ORACLES = {

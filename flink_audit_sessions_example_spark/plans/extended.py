@@ -710,6 +710,38 @@ def q_text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory) or ``approx_quantiles_by`` (one pass)."""
     docs = X.with_quality_score(load_table(spark, sf_dir, "documents"))
     scored = docs.select("doc_id", "quality")
+    return quality_tiers(scored)
+
+
+def quality_tiers(
+    scored: DataFrame,
+    *,
+    boundaries: tuple[float, float, float] | None = None,
+) -> DataFrame:
+    """Tier assignment over a scored ``(doc_id, quality)`` relation.
+
+    ``boundaries=None`` (the registered shape): compute the exact
+    type-7 quartiles as a broadcast 1-row aggregate — the relation is
+    evaluated twice (once under the aggregate, once for assignment).
+    With explicit ``boundaries`` — precomputed on a sample, reused from
+    a prior run, or fixed by a curriculum spec — the tier is a pure
+    SINGLE-SCAN projection: no aggregate, no join, one evaluation of
+    the (expensive) scoring subtree. This is the r5-verdict opt-in
+    path: at corpus scale, when the double score matters, compute the
+    quartiles once (``SELECT percentile(quality, ...)``), persist the
+    three doubles, and bucket every later run scan-side."""
+    if boundaries is not None:
+        q1, q2, q3 = (F.lit(float(b)) for b in boundaries)
+        return scored.select(
+            "doc_id",
+            "quality",
+            (
+                F.lit(1)
+                + (F.col("quality") >= q1).cast("int")
+                + (F.col("quality") >= q2).cast("int")
+                + (F.col("quality") >= q3).cast("int")
+            ).alias("tier"),
+        )
     bounds = scored.agg(
         F.expr(
             "percentile(quality, array(0.25D, 0.5D, 0.75D))"
@@ -3064,6 +3096,463 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# r7 additions: relational analytics + pipeline transforms
+# --------------------------------------------------------------------------
+
+
+def q_rel_customer_orders_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_customer_orders_dist`` — TPC-H Q13-shaped distribution of
+    orders-per-customer. Scale shape: aggregate orders BEFORE the join
+    (one map-side-partial shuffle carrying (custkey, count) rows — never
+    the raw order rows), left-join customer against the tiny per-key
+    counts, then a second agg over the ≤ max-orders-per-customer
+    distinct values. The join keys are both shuffle-partitioned on
+    custkey; AQE picks broadcast when the count side is small."""
+    cust = load_table(spark, sf_dir, "customer", spread=False)
+    orders = load_table(spark, sf_dir, "orders", spread=False)
+    ocnt = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    per_cust = cust.join(
+        ocnt, cust.c_custkey == ocnt.o_custkey, "left"
+    ).select(
+        F.coalesce(F.col("_n"), F.lit(0).cast("bigint")).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_REL_CUSTOMER_ORDERS_DIST_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, COALESCE(o.n, 0) AS c_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1
+  ) o ON o.o_custkey = c.c_custkey
+) GROUP BY c_count
+"""
+
+#: ``rel_large_orders`` quantity threshold (TPC-H Q18's spirit): cents-
+#: scaled so the HAVING compares exact integers in both engines.
+LARGE_ORDER_MIN_QTY = 200
+
+
+def q_rel_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_large_orders`` — TPC-H Q18-shaped: orders whose total line
+    quantity exceeds :data:`LARGE_ORDER_MIN_QTY`, with their customer.
+    Scale shape: the lineitem aggregation runs FIRST (map-side partial
+    sums of exact cent-scaled BIGINTs), the HAVING throws away ~all
+    groups, and only the surviving handful of orderkeys join orders and
+    customer — both joins carry the filtered relation, never raw
+    lineitem. Quantity is 2-decimal by generation, so the cent sum is
+    exact and the /100.0 output is the identical double both engines
+    produce."""
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
+    orders = load_table(spark, sf_dir, "orders", spread=False)
+    cust = load_table(spark, sf_dir, "customer", spread=False)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("cq"))
+        .where(F.col("cq") > LARGE_ORDER_MIN_QTY * 100)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("cq") / F.lit(100.0)).alias("sum_qty"),
+        )
+    )
+
+
+_REL_LARGE_ORDERS_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS cq
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > {LARGE_ORDER_MIN_QTY * 100}
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, cq/100.0 AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_min_cost_supplier`` — TPC-H Q2-shaped min-by: for every
+    part, the supplier offering the lowest observed unit price
+    (``l_extendedprice / l_quantity``), suppkey as deterministic
+    tie-break. Scale shape: two stacked aggregations — (part, supplier)
+    min-cost with map-side partials, then a ``min(struct(cost,
+    suppkey))`` argmin per part (one small shuffle each; the struct-min
+    replaces a window rank over the whole relation) — and only then the
+    dimension joins, each carrying one row per part."""
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
+    part = load_table(spark, sf_dir, "part", spread=False)
+    supp = load_table(spark, sf_dir, "supplier", spread=False)
+    uc = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    pick = (
+        uc.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("cost"), F.col("l_suppkey").alias("sk")
+                )
+            ).alias("b")
+        )
+        .select(
+            "l_partkey",
+            F.col("b.cost").alias("_cost"),
+            F.col("b.sk").alias("_sk"),
+        )
+    )
+    return (
+        pick.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("_sk"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round("_cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+_REL_MIN_COST_SUPPLIER_ORACLE = """
+WITH uc AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+), mn AS (
+  SELECT l_partkey, MIN(cost) AS mcost FROM uc GROUP BY 1
+), pick AS (
+  SELECT u.l_partkey, u.cost, MIN(u.l_suppkey) AS sk
+  FROM uc u JOIN mn ON u.l_partkey = mn.l_partkey AND u.cost = mn.mcost
+  GROUP BY u.l_partkey, u.cost
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+       ROUND(pick.cost, 6) AS unit_cost
+FROM pick
+JOIN part p ON p.p_partkey = pick.l_partkey
+JOIN supplier s ON s.s_suppkey = pick.sk
+"""
+
+#: ``rel_global_sales_prospects`` recency cutoff: a customer with no
+#: order on/after this date is "lapsed" (TPC-H Q22 reshaped — the
+#: never-ordered form is vacuous on this data: every high-balance
+#: customer has at least one order).
+PROSPECT_CUTOFF = "2000-01-01"
+
+
+def q_rel_global_sales_prospects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``rel_global_sales_prospects`` — TPC-H Q22-shaped: per nation,
+    count + exact balance sum of above-average-balance customers with
+    no order since :data:`PROSPECT_CUTOFF`. Scale shape: the global
+    average is ONE broadcast 1-row aggregate (crossJoin is a broadcast
+    of one row, not a real cross product); the recency anti-join keys
+    on custkey against the date-filtered orders projection (predicate
+    pushed to the scan); nation is a bounded 25-row dim → broadcast
+    hint is safe. The average itself is an exact DECIMAL sum divided by
+    the count, so the threshold compare is the identical double in both
+    engines."""
+    cust = load_table(spark, sf_dir, "customer", spread=False)
+    orders = load_table(spark, sf_dir, "orders", spread=False)
+    nation = load_table(spark, sf_dir, "nation", spread=False)
+    avg1 = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(PROSPECT_CUTOFF)
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg1))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+_REL_GLOBAL_SALES_PROSPECTS_ORACLE = f"""
+WITH a AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer c
+CROSS JOIN a
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > a.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{PROSPECT_CUTOFF}'
+  )
+GROUP BY n_name
+"""
+
+#: ``xform_chunk_overlap`` window geometry: 40-word chunks, stride 30
+#: (10-word overlap) — mirrored in the oracle's integer arithmetic.
+CHUNK_SIZE, CHUNK_STRIDE = 40, 30
+
+
+def q_xform_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``xform_chunk_overlap`` — overlapping word-window chunking of the
+    corpus (see :func:`~..operators.corpus.chunk_overlap`): scan-side
+    tokenize-once + slice + explode, zero shuffles, no Python."""
+    out = C.chunk_overlap(
+        load_table(spark, sf_dir, "documents"),
+        chunk_size=CHUNK_SIZE,
+        stride=CHUNK_STRIDE,
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.col("chunk_n_words").cast("bigint").alias("chunk_n_words"),
+        "chunk_text",
+    )
+
+
+_XFORM_CHUNK_OVERLAP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws, len({_SQL_WORDS}) AS n FROM documents
+), s AS (
+  SELECT doc_id, ws, n,
+         unnest(generate_series(
+           0, ((GREATEST(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1})
+               // {CHUNK_STRIDE}) * {CHUNK_STRIDE}, {CHUNK_STRIDE})) AS cs
+  FROM w WHERE n > 0
+)
+SELECT doc_id,
+       CAST(cs // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(cs AS BIGINT) AS chunk_start,
+       CAST(LEAST({CHUNK_SIZE}, n - cs) AS BIGINT) AS chunk_n_words,
+       array_to_string(ws[cs+1:cs+{CHUNK_SIZE}], ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embed_quantize`` — symmetric int8 quantization of the embedding
+    table (see :func:`~..operators.similarity.quantize_embeddings`):
+    scan-side per-element expressions, no shuffle, no Python."""
+    return S.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+_EMBED_QUANTIZE_ORACLE = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM embeddings
+), s AS (
+  SELECT vec_id, xs,
+         list_max(list_transform(xs, v -> abs(v))) / 127.0 AS scale
+  FROM x
+)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+       CASE WHEN scale = 0
+            THEN list_transform(xs, v -> 0)
+            ELSE list_transform(xs, v -> CAST(ROUND(v / scale) AS INTEGER))
+       END AS qvec
+FROM s
+"""
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``agg_mode`` — per-user modal event type (most frequent;
+    lexicographically-smallest tie-break). Scale shape: two stacked
+    hash aggregations — (user, type) counts with map-side partials,
+    then ``min(struct(-count, type))`` argmax per user — instead of a
+    window rank: no per-user sort, constant-size buffers, and the
+    second agg's input is already one row per (user, type)."""
+    ev = load_table(spark, sf_dir, "events", spread=False)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg_n"),
+                    F.col("event_type").alias("v"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "user_id",
+            F.col("b.v").alias("mode_event"),
+            (-F.col("b.neg_n")).alias("n_events"),
+        )
+    )
+
+
+_AGG_MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY n DESC, event_type
+         ) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event, n AS n_events FROM r WHERE rn = 1
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_token_count`` — per-document tokenizer-cost profile (see
+    :func:`~..operators.text.with_token_counts`): BPE-ish token counts
+    by class + tokens-per-word fertility. Scan-side JVM regex only."""
+    out = X.with_token_counts(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens_total",
+        "n_alpha_tokens",
+        "n_num_tokens",
+        "n_punct_tokens",
+        F.round("fertility", 6).alias("fertility"),
+    )
+
+
+_TEXT_TOKEN_COUNT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '{X.TOKEN_PATTERN}')) AS BIGINT)
+      AS total,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS alpha,
+    CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS num,
+    len({_SQL_WORDS}) AS n_words
+  FROM documents
+)
+SELECT doc_id, total AS n_tokens_total, alpha AS n_alpha_tokens,
+       num AS n_num_tokens, (total - alpha - num) AS n_punct_tokens,
+       ROUND(CASE WHEN n_words > 0
+                  THEN CAST(total AS DOUBLE) / n_words END, 6) AS fertility
+FROM t
+"""
+
+
+def q_win_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_first_touch`` — first-touch attribution: each user's
+    earliest event (by ``(ts, event_id)``) is the acquisition channel;
+    every later purchase attributes to it. Scale shape: ONE hash
+    aggregation — ``min(struct(ts, event_id, event_type))`` replaces
+    the window-rank formulation (no per-user sort, no full-row
+    shuffle; partials are constant-size) and the purchase rollups ride
+    the same pass. Purchase value sums as exact DECIMAL, cast back to
+    double at the end."""
+    ev = load_table(spark, sf_dir, "events", spread=False)
+    is_p = F.col("event_type") == "purchase"
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("ts"), F.col("event_id"), F.col("event_type")
+                )
+            ).alias("ft"),
+            F.sum(F.when(is_p, 1).otherwise(0)).alias("n_purchases"),
+            F.sum(F.when(is_p, _dec("value")))
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .select(
+            "user_id",
+            F.col("ft.ts").alias("first_ts"),
+            F.col("ft.event_id").alias("first_event_id"),
+            F.col("ft.event_type").alias("first_event_type"),
+            "n_purchases",
+            "purchase_value",
+        )
+    )
+
+
+_WIN_FIRST_TOUCH_ORACLE = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+), p AS (
+  SELECT user_id,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)))
+              FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+           AS purchase_value
+  FROM events GROUP BY 1
+)
+SELECT f.user_id, f.ts AS first_ts, f.event_id AS first_event_id,
+       f.event_type AS first_event_type, p.n_purchases, p.purchase_value
+FROM f JOIN p ON p.user_id = f.user_id
+WHERE f.rn = 1
+"""
+
+
+def q_rel_order_priority_series(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``rel_order_priority_series`` — monthly order-count/revenue time
+    series per priority with within-month share. Scale shape: one
+    scan-side hash aggregation onto (month, priority) — a few hundred
+    groups regardless of SF — then the share window runs over that tiny
+    aggregate, never the raw orders."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders", spread=False)
+    agg = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+    w = Window.partitionBy("month")
+    return agg.withColumn(
+        "month_share",
+        F.round(F.col("n_orders") / F.sum("n_orders").over(w), 6),
+    )
+
+
+_REL_ORDER_PRIORITY_SERIES_ORACLE = """
+WITH a AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS total_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderpriority, n_orders, total_price,
+       ROUND(n_orders / SUM(n_orders) OVER (PARTITION BY month), 6)
+         AS month_share
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3138,6 +3627,16 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xform_compact": q_xform_compact,
     "multimodal_features": q_multimodal_features,
     "rel_quantiles_dist": q_rel_quantiles_dist,
+    "rel_customer_orders_dist": q_rel_customer_orders_dist,
+    "rel_large_orders": q_rel_large_orders,
+    "rel_min_cost_supplier": q_rel_min_cost_supplier,
+    "rel_global_sales_prospects": q_rel_global_sales_prospects,
+    "xform_chunk_overlap": q_xform_chunk_overlap,
+    "embed_quantize": q_embed_quantize,
+    "agg_mode": q_agg_mode,
+    "text_token_count": q_text_token_count,
+    "win_first_touch": q_win_first_touch,
+    "rel_order_priority_series": q_rel_order_priority_series,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -3212,4 +3711,14 @@ EXTENDED_ORACLES: dict[str, str] = {
     # engine-specific) — rows-only driver check + pytest error bound;
     # its exact twin below IS hash-checked (the cross-engine anchor)
     "agg_exact_distinct": _AGG_EXACT_DISTINCT_ORACLE,
+    "rel_customer_orders_dist": _REL_CUSTOMER_ORDERS_DIST_ORACLE,
+    "rel_large_orders": _REL_LARGE_ORDERS_ORACLE,
+    "rel_min_cost_supplier": _REL_MIN_COST_SUPPLIER_ORACLE,
+    "rel_global_sales_prospects": _REL_GLOBAL_SALES_PROSPECTS_ORACLE,
+    "xform_chunk_overlap": _XFORM_CHUNK_OVERLAP_ORACLE,
+    "embed_quantize": _EMBED_QUANTIZE_ORACLE,
+    "agg_mode": _AGG_MODE_ORACLE,
+    "text_token_count": _TEXT_TOKEN_COUNT_ORACLE,
+    "win_first_touch": _WIN_FIRST_TOUCH_ORACLE,
+    "rel_order_priority_series": _REL_ORDER_PRIORITY_SERIES_ORACLE,
 }

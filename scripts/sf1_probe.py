@@ -198,6 +198,7 @@ def probe() -> None:
         "text_quality_tiers",
         "xform_split",
         "join_fuzzy",
+        "pipeline_clean_corpus",
     ]
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--keys=")]
     if only:

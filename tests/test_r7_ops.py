@@ -1,0 +1,156 @@
+"""Behavioral edge tests for the r7 operators (chunk_overlap,
+quantize_embeddings, with_token_counts, agg_mode / win_first_touch
+tie-break semantics) — properties worth pinning beyond the DuckDB
+parity harness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_audit_sessions_example_spark.operators import corpus as C
+from flink_audit_sessions_example_spark.operators import similarity as S
+from flink_audit_sessions_example_spark.operators import text as X
+
+
+def _chunks(spark, text, chunk_size=5, stride=3):
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    return sorted(
+        C.chunk_overlap(
+            df, chunk_size=chunk_size, stride=stride
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+
+
+def test_chunk_overlap_geometry(spark):
+    # 12 words, chunk 5, stride 3 -> m = 1 + ceil(7/3) = 4 chunks,
+    # starts 0,3,6,9; overlap = 2 words between consecutive chunks
+    words = [f"w{i}" for i in range(12)]
+    out = _chunks(spark, " ".join(words))
+    assert [r.chunk_start for r in out] == [0, 3, 6, 9]
+    assert [r.chunk_n_words for r in out] == [5, 5, 5, 3]
+    assert out[0].chunk_text == "w0 w1 w2 w3 w4"
+    assert out[-1].chunk_text == "w9 w10 w11"  # short tail chunk
+    # every word covered; consecutive chunks share chunk_size-stride words
+    assert out[1].chunk_text.split()[:2] == out[0].chunk_text.split()[3:]
+
+
+def test_chunk_overlap_short_and_empty_docs(spark):
+    # shorter than one chunk -> exactly one chunk, full doc
+    out = _chunks(spark, "a b c")
+    assert len(out) == 1 and out[0].chunk_text == "a b c"
+    assert out[0].chunk_n_words == 3
+    # exactly chunk_size words -> one chunk (no empty tail)
+    out = _chunks(spark, "a b c d e")
+    assert len(out) == 1
+    # empty / whitespace-only doc -> no chunks
+    assert _chunks(spark, "   ") == []
+
+
+def test_chunk_overlap_rejects_bad_geometry(spark):
+    df = None  # validation precedes any DataFrame use
+    with pytest.raises(ValueError):
+        C.chunk_overlap(df, chunk_size=5, stride=6)
+    with pytest.raises(ValueError):
+        C.chunk_overlap(df, chunk_size=5, stride=0)
+
+
+def test_quantize_embeddings_roundtrip_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, -2.0, 0.5, 4.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in S.quantize_embeddings(df).collect()}
+    # max|x| maps to ±q_max exactly; signs preserved
+    assert out[1].qvec[3] == 127
+    assert out[1].qvec[1] == round(-2.0 / (4.0 / 127))
+    assert out[1].scale == pytest.approx(4.0 / 127, abs=1e-6)
+    # zero vector: scale 0, all-zero codes, no division blow-up
+    assert out[2].scale == 0.0 and out[2].qvec == [0, 0, 0, 0]
+    # dequantization error bounded by scale/2 per element
+    scale = 4.0 / 127
+    deq = [q * scale for q in out[1].qvec]
+    for a, b in zip(deq, [1.0, -2.0, 0.5, 4.0]):
+        assert abs(a - b) <= scale / 2 + 1e-12
+
+
+def test_token_counts_classes_sum_and_fertility(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello, world! 42 times."),
+            Row(doc_id=2, text="   "),
+        ]
+    )
+    out = {r.doc_id: r for r in X.with_token_counts(df).collect()}
+    r = out[1]
+    # tokens: hello , world ! 42 times .  -> 7 total; 3 alpha+times=4? ->
+    # alpha: hello, world, times; num: 42; punct: , ! .
+    assert r.n_alpha_tokens == 3
+    assert r.n_num_tokens == 1
+    assert r.n_punct_tokens == 3
+    assert r.n_tokens_total == 7
+    assert r.fertility == pytest.approx(7 / 4)  # 4 whitespace words
+    # wordless doc: zero counts, NULL fertility
+    assert out[2].n_tokens_total == 0 and out[2].fertility is None
+
+
+def test_quality_tiers_boundaries_path_matches_registered(spark):
+    """r5-verdict item: quality_tiers(boundaries=...) must produce the
+    identical tiers as the registered compute-the-quartiles shape, via
+    a SINGLE scan (no aggregate, no join in the plan)."""
+    from conftest import SF_DIR
+    from flink_audit_sessions_example_spark.plans import QUERIES
+    from flink_audit_sessions_example_spark.plans.extended import (
+        quality_tiers,
+    )
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    registered = QUERIES["text_quality_tiers"](spark, SF_DIR)
+    expected = {r.doc_id: r.tier for r in registered.collect()}
+
+    scored = X.with_quality_score(
+        load_table(spark, SF_DIR, "documents")
+    ).select("doc_id", "quality")
+    b = scored.agg(
+        F.expr("percentile(quality, array(0.25D, 0.5D, 0.75D))").alias("b")
+    ).collect()[0].b
+    fast = quality_tiers(scored, boundaries=tuple(b))
+    got = {r.doc_id: r.tier for r in fast.collect()}
+    assert got == expected
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final and "Aggregate" not in final, final
+    assert final.count("Scan parquet") == 1
+
+
+def test_agg_mode_tie_breaks_lexicographically(spark):
+    from flink_audit_sessions_example_spark.plans.extended import q_agg_mode
+
+    # build a tiny events-shaped relation through the registered query's
+    # operator shape: counts 2-2 tie between 'b' and 'a' -> 'a' wins
+    ev = spark.createDataFrame(
+        [Row(user_id=1, event_type=t) for t in ["b", "a", "b", "a"]]
+        + [Row(user_id=2, event_type="z")]
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mode = (
+        counts.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg_n"),
+                    F.col("event_type").alias("v"),
+                )
+            ).alias("b")
+        )
+        .select("user_id", F.col("b.v").alias("mode_event"))
+    )
+    got = {r.user_id: r.mode_event for r in mode.collect()}
+    assert got == {1: "a", 2: "z"}
