@@ -356,6 +356,40 @@ def assign_splits(
     return df.withColumn(split_col, expr)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """``sample_per_group`` — deterministic k-row sample per group: rows
+    ranked by the content-derived md5 draw of their key (ties broken by
+    the key itself), the first ``k`` kept. The "inspect N examples per
+    domain/language/tier" pipeline op, with :func:`stratified_sample`'s
+    reproducibility contract: membership depends only on row content,
+    never on partitioning or RNG state — re-running on a grown corpus
+    changes a group's sample only where new rows out-draw old ones.
+
+    Scale shape: one window (``row_number`` over the group partition) —
+    sort-based, spills per group, never a per-group buffer. For tiny k
+    over huge groups an aggregation top-k
+    (``slice(sort_array(collect_list(struct(draw, ...))))``) trades the
+    sort for an O(group) buffer — rejected as default for exactly the
+    bounded-buffer reasons in ``bounded_posting_lists``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        _sample_draw(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def chunk_overlap(
     df: DataFrame,
     *,

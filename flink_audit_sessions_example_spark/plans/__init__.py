@@ -22,11 +22,13 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ROTATION PROTOCOL (no key goes two consecutive rounds unverified): at
 #: the start of round N, front-load (a) every key new or plan-changed in
 #: round N, then (b) every key whose last driver row is round N-2 (i.e.
-#: the keys rotated OUT of the N-1 window). With 91 keys and a 50-row
+#: the keys rotated OUT of the N-1 window). With 96 keys and a 50-row
 #: window this is a clean 2-round cycle. For r8 that means fronting the
 #: keys OUT of this r7 window (the 46-key r6-verified tail of the
 #: registry — everything not listed in _FRONT_KEYS below) plus every key
-#: new or plan-changed in r8. Every name here MUST resolve in
+#: new or plan-changed in r8; r8 NEW-key budget is therefore ~4 unless
+#: some r6-tail keys are also plan-changed (changed keys count against
+#: the same 50 slots). Every name here MUST resolve in
 #: _ALL_QUERIES — asserted below; add keys only after their q_/oracle
 #: entries land (r6 lesson: phantom names silently lose their slot).
 _FRONT_KEYS = [
@@ -41,6 +43,11 @@ _FRONT_KEYS = [
     "text_token_count",
     "win_first_touch",
     "rel_order_priority_series",
+    "multimodal_phash",
+    "rel_copurchase",
+    "win_cumulative",
+    "rel_yearly_growth",
+    "sample_per_group",
     # r7 plan-changed keys (null-safe over-cap anti-joins in
     # bounded_posting_lists / minhash hot_fp) — need fresh rows
     "dedup_ngram",

@@ -3552,6 +3552,208 @@ FROM a
 """
 
 
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_phash`` — 64-bit average-hash per image (see
+    :func:`~..operators.multimodal.perceptual_hash`): real-codec 8×8
+    nearest-neighbor downsample, integer-exact mean compare, bits packed
+    into four 16-bit LSH-ready bands + hex digest. One Arrow pass, zero
+    shuffle. ``spread=False``: see ``q_multimodal_meta``."""
+    docs = M.with_pgm_payload(
+        load_table(spark, sf_dir, "documents", spread=False)
+    )
+    return M.perceptual_hash(docs)
+
+
+_MULTIMODAL_PHASH_ORACLE = f"""
+WITH img AS ({_PGM_IMG_SQL}),
+px AS (
+  SELECT doc_id, w, h,
+         list_transform(string_split(raster, ''), c -> ascii(c)) AS p
+  FROM img
+), ds AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63), k ->
+           p[ ((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 ]) AS q
+  FROM px
+), s AS (
+  SELECT doc_id, q, CAST(list_sum(q) AS BIGINT) AS total FROM ds
+), bits AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63), k ->
+           CASE WHEN 64 * q[k + 1] > total THEN 1 ELSE 0 END) AS b
+  FROM s
+), bands AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 15), t ->
+              b[t + 1]  * (1::BIGINT << t))) AS BIGINT) AS hb0,
+         CAST(list_sum(list_transform(generate_series(0, 15), t ->
+              b[16 + t + 1] * (1::BIGINT << t))) AS BIGINT) AS hb1,
+         CAST(list_sum(list_transform(generate_series(0, 15), t ->
+              b[32 + t + 1] * (1::BIGINT << t))) AS BIGINT) AS hb2,
+         CAST(list_sum(list_transform(generate_series(0, 15), t ->
+              b[48 + t + 1] * (1::BIGINT << t))) AS BIGINT) AS hb3
+  FROM bits
+)
+SELECT doc_id, hb0, hb1, hb2, hb3,
+       printf('%04x%04x%04x%04x', hb0, hb1, hb2, hb3) AS phash
+FROM bands
+"""
+
+#: ``rel_copurchase`` basket cap: orders with more than this many
+#: distinct parts are dropped before the pair explode (bounded buffers +
+#: bounded quadratic work — the `bounded_posting_lists` contract).
+COPURCHASE_MAX_BASKET = 50
+
+
+def q_rel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_copurchase`` — top-100 co-purchased part pairs (association
+    mining over order baskets). The pairs-from-postings pattern applied
+    to a RELATIONAL table: distinct (order, part) rows → per-order
+    sorted part list via :func:`~..operators.dedup.bounded_posting_lists`
+    (count pre-filter drops degenerate baskets before both the list
+    buffer and the quadratic explode) → in-place pair emission (never a
+    self-join) → pair counts → deterministic top-k (count desc, then
+    part keys). At 100 TB the basket cap bounds per-order work and the
+    pair-count aggregation is the only corpus-sized shuffle."""
+    li = (
+        load_table(spark, sf_dir, "lineitem", spread=False)
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    posts = D.bounded_posting_lists(
+        li, ["l_orderkey"], "l_partkey", max_size=COPURCHASE_MAX_BASKET
+    )
+    pairs = posts.select(
+        F.explode(D._pair_explode()).alias("p")
+    ).select(F.col("p.id_a").alias("part_a"), F.col("p.id_b").alias("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+_REL_COPURCHASE_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), ok AS (
+  SELECT l_orderkey FROM b GROUP BY 1
+  HAVING COUNT(*) BETWEEN 2 AND {COPURCHASE_MAX_BASKET}
+), p AS (
+  SELECT a.l_partkey AS part_a, c.l_partkey AS part_b
+  FROM b a
+  JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  JOIN ok ON ok.l_orderkey = a.l_orderkey
+)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM p GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 100
+"""
+
+
+def q_win_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``win_cumulative`` — per-user running event count and exact
+    running value sum ordered by ``(ts, event_id)`` — the unbounded-
+    preceding frame (lifetime-value / cumulative-metric shape) the
+    bounded-frame ``win_moving_avg`` deliberately does not cover. One
+    sort-based window per user partition, exact DECIMAL prefix sums
+    cast to double per row (identical in both engines)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events", spread=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("running_n"),
+        F.sum(_dec("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+_WIN_CUMULATIVE_ORACLE = """
+SELECT user_id, ts, event_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rel_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_yearly_growth`` — year-over-year revenue growth: one
+    scan-side exact-DECIMAL aggregation to one row per year, then a
+    ``lag`` window over that tiny aggregate (the unpartitioned window
+    runs on a handful of rows — a driver-sized relation by
+    construction, never the fact table)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders", spread=False)
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("year")
+    ).agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    w = Window.orderBy("year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("growth"),
+    )
+
+
+_REL_YEARLY_GROWTH_ORACLE = """
+WITH y AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT year, revenue,
+       LAG(revenue) OVER (ORDER BY year) AS prev_revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY year))
+             / LAG(revenue) OVER (ORDER BY year), 6) AS growth
+FROM y
+"""
+
+#: ``sample_per_group`` sample size per source value.
+SAMPLE_PER_GROUP_K = 20
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sample_per_group`` — deterministic 20-doc sample per ``source``
+    (see :func:`~..operators.corpus.sample_k_per_group`): md5-draw rank
+    within each group, content-addressed membership."""
+    docs = load_table(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", "source", "lang"
+    )
+    return C.sample_k_per_group(
+        docs, group_cols=["source"], key_col="doc_id", k=SAMPLE_PER_GROUP_K
+    )
+
+
+_SAMPLE_PER_GROUP_ORACLE = f"""
+SELECT doc_id, source, lang
+FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {SAMPLE_PER_GROUP_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3637,6 +3839,11 @@ EXTENDED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": q_text_token_count,
     "win_first_touch": q_win_first_touch,
     "rel_order_priority_series": q_rel_order_priority_series,
+    "multimodal_phash": q_multimodal_phash,
+    "rel_copurchase": q_rel_copurchase,
+    "win_cumulative": q_win_cumulative,
+    "rel_yearly_growth": q_rel_yearly_growth,
+    "sample_per_group": q_sample_per_group,
 }
 
 EXTENDED_ORACLES: dict[str, str] = {
@@ -3721,4 +3928,9 @@ EXTENDED_ORACLES: dict[str, str] = {
     "text_token_count": _TEXT_TOKEN_COUNT_ORACLE,
     "win_first_touch": _WIN_FIRST_TOUCH_ORACLE,
     "rel_order_priority_series": _REL_ORDER_PRIORITY_SERIES_ORACLE,
+    "multimodal_phash": _MULTIMODAL_PHASH_ORACLE,
+    "rel_copurchase": _REL_COPURCHASE_ORACLE,
+    "win_cumulative": _WIN_CUMULATIVE_ORACLE,
+    "rel_yearly_growth": _REL_YEARLY_GROWTH_ORACLE,
+    "sample_per_group": _SAMPLE_PER_GROUP_ORACLE,
 }

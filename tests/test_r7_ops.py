@@ -99,6 +99,72 @@ def test_token_counts_classes_sum_and_fertility(spark):
     assert out[2].n_tokens_total == 0 and out[2].fertility is None
 
 
+def test_perceptual_hash_hand_computed(spark):
+    """8×8 image, left half 0 / right half 255: bit k set iff the pixel
+    beats the mean, so each row contributes 00001111 → every 16-bit
+    band is 0xF0F0 and the digest is f0f0 repeated."""
+    from flink_audit_sessions_example_spark.operators import multimodal as M
+
+    raster = (b"\x00" * 4 + b"\xff" * 4) * 8
+    payload = b"P5\n8 8\n255\n" + raster
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in M.perceptual_hash(df).collect()}
+    assert out[1].phash == "f0f0f0f0f0f0f0f0"
+    assert (out[1].hb0, out[1].hb1, out[1].hb2, out[1].hb3) == (
+        0xF0F0,
+    ) * 4
+    # identical payloads collide exactly (the dedup contract)
+    assert out[2].phash == out[1].phash
+    # a small perturbation moves few bits: flip one dark pixel bright
+    pert = b"P5\n8 8\n255\n" + (b"\xff" + raster[1:])
+    df2 = spark.createDataFrame(
+        [(3, bytearray(pert))], "doc_id long, payload binary"
+    )
+    h = int(M.perceptual_hash(df2).collect()[0].phash, 16)
+    assert bin(h ^ int(out[1].phash, 16)).count("1") <= 2
+
+
+def test_sample_k_per_group_deterministic_and_growth_stable(spark):
+    from flink_audit_sessions_example_spark.operators.corpus import (
+        sample_k_per_group,
+    )
+
+    rows = [Row(id=i, g=f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows)
+    kw = dict(group_cols=["g"], key_col="id", k=5)
+    s1 = {(r.g, r.id) for r in sample_k_per_group(df, **kw).collect()}
+    s2 = {(r.g, r.id) for r in sample_k_per_group(df, **kw).collect()}
+    assert s1 == s2 and len(s1) == 15  # deterministic, k per group
+    # growth stability: adding rows can only replace members that the
+    # new rows out-draw — the old sample never reshuffles wholesale
+    grown = spark.createDataFrame(rows + [Row(id=i, g=f"g{i % 3}") for i in range(60, 66)])
+    s3 = {(r.g, r.id) for r in sample_k_per_group(grown, **kw).collect()}
+    assert len(s3) == 15
+    assert len(s1 & s3) >= 9  # at most the 6 new rows displaced members
+
+
+def test_copurchase_basket_cap_drops_degenerate_orders(spark):
+    """An over-cap basket (a 'buy everything' order) contributes no
+    pairs; normal baskets pair up."""
+    from flink_audit_sessions_example_spark.operators.dedup import (
+        _pair_explode,
+        bounded_posting_lists,
+    )
+
+    rows = [Row(o=1, p=p) for p in range(30)]  # degenerate basket
+    rows += [Row(o=2, p=1), Row(o=2, p=2), Row(o=3, p=1), Row(o=3, p=2)]
+    df = spark.createDataFrame(rows)
+    posts = bounded_posting_lists(df, ["o"], "p", max_size=10)
+    pairs = posts.select(F.explode(_pair_explode()).alias("x")).select(
+        F.col("x.id_a").alias("a"), F.col("x.id_b").alias("b")
+    )
+    got = [(r.a, r.b) for r in pairs.collect()]
+    assert sorted(got) == [(1, 2), (1, 2)]  # only the two small baskets
+
+
 def test_quality_tiers_boundaries_path_matches_registered(spark):
     """r5-verdict item: quality_tiers(boundaries=...) must produce the
     identical tiers as the registered compute-the-quartiles shape, via
