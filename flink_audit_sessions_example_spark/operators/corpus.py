@@ -371,12 +371,15 @@ def sample_k_per_group(
     never on partitioning or RNG state — re-running on a grown corpus
     changes a group's sample only where new rows out-draw old ones.
 
-    Scale shape: one window (``row_number`` over the group partition) —
-    sort-based, spills per group, never a per-group buffer. For tiny k
-    over huge groups an aggregation top-k
-    (``slice(sort_array(collect_list(struct(draw, ...))))``) trades the
-    sort for an O(group) buffer — rejected as default for exactly the
-    bounded-buffer reasons in ``bounded_posting_lists``.
+    Scale shape: the ``rank <= k`` filter compiles to Spark's
+    **WindowGroupLimit** pushdown (verified in the finalized plan): a
+    PARTIAL group-limit runs below the exchange — each map task forwards
+    at most k rows per group it sees — so the shuffle carries
+    O(k · groups · tasks-touching-group), not the corpus, and the final
+    per-group pass is a bounded merge. No per-group buffer anywhere
+    (the aggregation top-k alternative,
+    ``slice(sort_array(collect_list(...)))``, would buffer whole groups
+    — rejected for exactly the ``bounded_posting_lists`` reasons).
     """
     from pyspark.sql.window import Window
 

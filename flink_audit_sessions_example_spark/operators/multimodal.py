@@ -149,6 +149,20 @@ def pnm_decode(payload: bytes) -> tuple[int, int, int]:
     return w, h, 1
 
 
+def _nn_downsample(img, width: int, height: int):
+    """Nearest-neighbor downsample of an (h, w, channels) array: output
+    pixel (x, y) samples input ``(x·w_in div width, y·h_in div height)``
+    — THE codec mapping, shared by :func:`pnm_resize` and
+    :func:`perceptual_hash` so their documented equivalence is
+    structural, not duplicated."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return img[ys][:, xs]
+
+
 def pnm_resize(payload: bytes, width: int, height: int) -> bytes:
     """Real nearest-neighbor raster resize of a binary P5/P6 image.
 
@@ -162,9 +176,7 @@ def pnm_resize(payload: bytes, width: int, height: int) -> bytes:
     magic, w, h, maxval, raster = _pnm_parse(payload)
     channels = 1 if magic == b"P5" else 3
     img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
-    ys = (np.arange(height) * h) // height
-    xs = (np.arange(width) * w) // width
-    resized = img[ys][:, xs]
+    resized = _nn_downsample(img, width, height)
     header = b"%s\n%d %d\n%d\n" % (magic, width, height, maxval)
     return header + resized.tobytes()
 
@@ -401,16 +413,25 @@ def perceptual_hash(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in PHASH_SCHEMA}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                _, w, h, _, raster = _pnm_parse(bytes(payload))
+                magic, w, h, _, raster = _pnm_parse(bytes(payload))
                 out["doc_id"].append(doc_id)
                 if w == 0 or h == 0:
                     for k in ("hb0", "hb1", "hb2", "hb3", "phash"):
                         out[k].append(None)
                     continue
-                img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
-                ys = (np.arange(8) * h) // 8
-                xs = (np.arange(8) * w) // 8
-                q = img[ys][:, xs].astype(np.int64).ravel()  # row-major
+                channels = 1 if magic == b"P5" else 3
+                img = np.frombuffer(raster, dtype=np.uint8).reshape(
+                    h, w, channels
+                )
+                # P6/RGB: per-pixel channel SUM (exact integer luma proxy;
+                # reduces to the pixel value for P5) — the mean compare
+                # below is scale-free, so no division is needed
+                q = (
+                    _nn_downsample(img, 8, 8)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                    .ravel()  # row-major
+                )
                 total = int(q.sum())
                 bits = (64 * q > total).astype(np.int64)
                 bands = [

@@ -3571,16 +3571,22 @@ px AS (
          list_transform(string_split(raster, ''), c -> ascii(c)) AS p
   FROM img
 ), ds AS (
+  -- w = 0 / h = 0 degenerate images: NULL q, propagated to NULL bands
+  -- and NULL phash — matching the operator's explicit guard
   SELECT doc_id,
-         list_transform(generate_series(0, 63), k ->
-           p[ ((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 ]) AS q
+         CASE WHEN w > 0 AND h > 0 THEN
+           list_transform(generate_series(0, 63), k ->
+             p[ ((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 ])
+         END AS q
   FROM px
 ), s AS (
   SELECT doc_id, q, CAST(list_sum(q) AS BIGINT) AS total FROM ds
 ), bits AS (
   SELECT doc_id,
-         list_transform(generate_series(0, 63), k ->
-           CASE WHEN 64 * q[k + 1] > total THEN 1 ELSE 0 END) AS b
+         CASE WHEN q IS NULL THEN NULL ELSE
+           list_transform(generate_series(0, 63), k ->
+             CASE WHEN 64 * q[k + 1] > total THEN 1 ELSE 0 END)
+         END AS b
   FROM s
 ), bands AS (
   SELECT doc_id,

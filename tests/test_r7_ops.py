@@ -127,6 +127,24 @@ def test_perceptual_hash_hand_computed(spark):
     assert bin(h ^ int(out[1].phash, 16)).count("1") <= 2
 
 
+def test_perceptual_hash_p6_and_degenerate(spark):
+    """P6/RGB payloads hash via exact per-pixel channel sums (no crash,
+    same geometry as P5 — r7 review fix); zero-dimension images yield
+    NULL bands/phash instead of killing the task."""
+    from flink_audit_sessions_example_spark.operators import multimodal as M
+
+    rgb = (b"\x00\x00\x00" * 4 + b"\xff\xff\xff" * 4) * 8
+    p6 = b"P6\n8 8\n255\n" + rgb
+    degen = b"P5\n0 8\n255\n"
+    df = spark.createDataFrame(
+        [(1, bytearray(p6)), (2, bytearray(degen))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in M.perceptual_hash(df).collect()}
+    assert out[1].phash == "f0f0f0f0f0f0f0f0"  # same image, RGB-encoded
+    assert out[2].phash is None and out[2].hb0 is None
+
+
 def test_sample_k_per_group_deterministic_and_growth_stable(spark):
     from flink_audit_sessions_example_spark.operators.corpus import (
         sample_k_per_group,
