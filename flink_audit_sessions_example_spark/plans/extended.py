@@ -3626,8 +3626,17 @@ def q_rel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .dropDuplicates()
     )
+    # pin_keyed=False: the keyed subtree is a 2-column pruned scan + one
+    # dedup shuffle — the recompute-cheap case SCALING.md's pin guidance
+    # names (measured sf0.1 min-of-3: no-pin 1.65 s vs pin 1.72 s, and
+    # lineage stays intact for free). Contrast dedup_ngram, whose pinned
+    # subtree is the expensive Arrow tokenizer pass.
     posts = D.bounded_posting_lists(
-        li, ["l_orderkey"], "l_partkey", max_size=COPURCHASE_MAX_BASKET
+        li,
+        ["l_orderkey"],
+        "l_partkey",
+        max_size=COPURCHASE_MAX_BASKET,
+        pin_keyed=False,
     )
     pairs = posts.select(
         F.explode(D._pair_explode()).alias("p")
