@@ -183,6 +183,90 @@ def test_copurchase_basket_cap_drops_degenerate_orders(spark):
     assert sorted(got) == [(1, 2), (1, 2)]  # only the two small baskets
 
 
+def test_chunk_overlap_coverage_property(spark):
+    """Property sweep over (n_words, chunk_size, stride): every word is
+    covered by at least one chunk, reconstruction from stride-prefixes
+    equals the document, and consecutive chunks overlap by exactly
+    chunk_size - stride words (except possibly at the tail)."""
+    cases = [
+        (n, c, s)
+        for n in (1, 2, 5, 29, 30, 31, 59, 60, 61, 100)
+        for (c, s) in ((5, 3), (5, 5), (40, 30), (7, 1))
+    ]
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{j}" for j in range(n)))
+        for i, (n, _, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows)
+    for i, (n, c, s) in enumerate(cases):
+        chunks = sorted(
+            (
+                r
+                for r in C.chunk_overlap(
+                    df.where(F.col("doc_id") == i), chunk_size=c, stride=s
+                ).collect()
+            ),
+            key=lambda r: r.chunk_idx,
+        )
+        words = [f"w{j}" for j in range(n)]
+        covered = set()
+        for r in chunks:
+            got = r.chunk_text.split()
+            assert got == words[r.chunk_start : r.chunk_start + c]
+            assert r.chunk_n_words == len(got)
+            covered.update(range(r.chunk_start, r.chunk_start + len(got)))
+        assert covered == set(range(n)), (n, c, s)
+        # reconstruction: first `stride` words of each chunk + tail
+        rebuilt = []
+        for r in chunks[:-1]:
+            rebuilt += r.chunk_text.split()[:s]
+        rebuilt += chunks[-1].chunk_text.split()
+        assert rebuilt[: len(words)] == words or rebuilt == words, (n, c, s)
+
+
+def test_scan_side_ops_are_streaming_safe(spark, tmp_path):
+    """The stateless scan-side r7 ops (chunk_overlap, with_token_counts,
+    perceptual_hash) run unchanged on a streaming DataFrame — no
+    aggregation state, so append mode with availableNow reproduces the
+    batch answer exactly."""
+    from flink_audit_sessions_example_spark.operators import multimodal as M
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch.limit(50).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    src = spark.read.parquet(str(tmp_path / "docs"))
+    stream = spark.readStream.schema(src.schema).parquet(
+        str(tmp_path / "docs")
+    )
+
+    def run(name, fn):
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    pipelines = {
+        "t_stream_chunks": lambda d: C.chunk_overlap(
+            d, chunk_size=10, stride=7
+        ),
+        "t_stream_tokens": lambda d: X.with_token_counts(d).select(
+            "doc_id", "n_tokens_total", "fertility"
+        ),
+        "t_stream_phash": lambda d: M.perceptual_hash(
+            M.with_pgm_payload(d)
+        ),
+    }
+    for name, fn in pipelines.items():
+        got = sorted(map(tuple, run(name, fn).collect()))
+        want = sorted(map(tuple, fn(src).collect()))
+        assert got == want, name
+
+
 def test_quality_tiers_boundaries_path_matches_registered(spark):
     """r5-verdict item: quality_tiers(boundaries=...) must produce the
     identical tiers as the registered compute-the-quartiles shape, via
