@@ -446,3 +446,79 @@ def perceptual_hash(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         phash_batches, PHASH_SCHEMA
     )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs over :func:`perceptual_hash` output — the
+    LSH-banded Hamming join that makes the 64-bit aHash a dedup
+    operator rather than a fingerprint column.
+
+    Candidates are pairs colliding on at least one of the four 16-bit
+    bands; by pigeonhole, any pair with Hamming distance ≤ 3 differs in
+    at most 3 bands, so it collides on at least one — **recall is 1.0
+    (deterministic, not probabilistic) for ``max_hamming ≤ 3``**; for
+    larger thresholds banding only loses pairs that differ in all four
+    bands. Verification is the exact popcount of band XORs
+    (``bit_count``, JVM-side), so precision is always 1.0.
+
+    Scale shape: the band bucket build is
+    :func:`~.dedup.bounded_posting_lists` (``max_bucket_size`` drops
+    degenerate buckets — e.g. the all-black-image band value — BEFORE
+    the aggregation buffer and the quadratic pair explode), the bands
+    RIDE the posting payload (``struct(id, hb0..hb3)``) so no join
+    back to the hash table is needed, and pairs emit in place — never
+    a self-join. Degenerate NULL-band rows (zero-dimension images)
+    are excluded up front.
+
+    Output: ``(id_a, id_b, hamming)``, ``id_a < id_b``, one row per
+    qualifying pair regardless of how many bands it collided on.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import _pair_explode, bounded_posting_lists
+
+    payload = F.struct(
+        F.col(id_col).alias("id"),
+        *[F.col(f"hb{j}").alias(f"h{j}") for j in range(4)],
+    )
+    banded = hashes.where(F.col("hb0").isNotNull()).select(
+        payload.alias("pay"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), F.col(f"hb{j}").alias("v")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("pay", F.col("bk.band").alias("band"), F.col("bk.v").alias("v"))
+    buckets = bounded_posting_lists(
+        banded, ["band", "v"], F.col("pay"), max_size=max_bucket_size,
+        pin_keyed=False,
+    )
+    pairs = buckets.select(F.explode(_pair_explode()).alias("p")).select(
+        F.col("p.id_a").alias("a"), F.col("p.id_b").alias("b")
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.h{j}").bitwiseXOR(F.col(f"b.h{j}"))
+        )
+        for j in range(4)
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -7,6 +7,7 @@ sink dispatch (console / Kafka / memory), and the query lifecycle
 (``App.java:136-162``'s ``main``).
 """
 
+from .attribution import stream_first_touch
 from .custom_state import audit_denied_sessions_custom_state
 from .joins import denied_near_allowed, stream_interval_join
 from .pipeline import (
@@ -19,6 +20,7 @@ from .pipeline import (
 
 __all__ = [
     "audit_denied_sessions_custom_state",
+    "stream_first_touch",
     "denied_near_allowed",
     "stream_interval_join",
     "stream_denied_sessions",

@@ -143,6 +143,34 @@ def generate() -> None:
         os.path.join(OUT, "part.parquet"),
     )
 
+    # lineitem-shaped basket table at 10×, faithful for rel_copurchase:
+    # basket sizes drawn from the REAL per-order distinct-part-count
+    # distribution, parts uniform over the 10× catalog — per-order pair
+    # volume (the operator's quadratic dimension) then matches the real
+    # table's, while pair-collision density scales like real TPC-H
+    # (parts grow with sf). Only the columns the operator reads.
+    li_src = pq.read_table(
+        os.path.join(SF01, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    ).to_pydict()
+    baskets: dict[int, set] = {}
+    for o, p in zip(li_src["l_orderkey"], li_src["l_partkey"]):
+        baskets.setdefault(o, set()).add(p)
+    basket_sizes = np.array([len(s) for s in baskets.values()])
+    n_orders = 10 * len(baskets)
+    sizes = rng.choice(basket_sizes, n_orders)
+    okeys = np.repeat(np.arange(n_orders, dtype=np.int64), sizes)
+    pkeys = rng.integers(0, n_part, okeys.size)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(okeys, pa.int64()),
+                "l_partkey": pa.array(pkeys, pa.int64()),
+            }
+        ),
+        os.path.join(OUT, "lineitem.parquet"),
+    )
+
     emb_src = pq.read_table(os.path.join(SF01, "embeddings.parquet"))
     em = np.array(emb_src.column("embedding").to_pylist(), dtype=np.float32)
     idx = rng.integers(0, len(em), N_VECS)
@@ -199,6 +227,12 @@ def probe() -> None:
         "xform_split",
         "join_fuzzy",
         "pipeline_clean_corpus",
+        "rel_copurchase",
+        "xform_chunk_overlap",
+        "text_token_count",
+        "multimodal_phash",
+        "embed_quantize",
+        "sample_per_group",
     ]
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--keys=")]
     if only:

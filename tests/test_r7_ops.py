@@ -145,6 +145,49 @@ def test_perceptual_hash_p6_and_degenerate(spark):
     assert out[2].phash is None and out[2].hb0 is None
 
 
+def test_phash_near_dup_pairs_banded_hamming(spark):
+    """Banded Hamming join: exact dup (0 bits), near dup (2 bits in one
+    band), and a far pair (4 bands all different) — the far pair must
+    not appear even though verification would pass it at a high
+    threshold, because it collides on no band (the documented recall
+    contract is exact only for hamming <= 3)."""
+    from flink_audit_sessions_example_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    base = dict(hb0=0x1234, hb1=0x00FF, hb2=0xABCD, hb3=0x0F0F)
+    rows = [
+        Row(doc_id=1, **base),
+        Row(doc_id=2, **base),  # exact dup -> hamming 0
+        Row(doc_id=3, **{**base, "hb1": 0x00FC}),  # 2 bits off in hb1
+        Row(
+            doc_id=4,
+            hb0=base["hb0"] ^ 1,
+            hb1=base["hb1"] ^ 1,
+            hb2=base["hb2"] ^ 1,
+            hb3=base["hb3"] ^ 1,
+        ),  # hamming 4, spread over all bands -> no band collision
+        Row(doc_id=5, hb0=None, hb1=None, hb2=None, hb3=None),  # degenerate
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+    # e2e through real images: identical payloads pair at hamming 0
+    from flink_audit_sessions_example_spark.operators import multimodal as M
+
+    raster = (b"\x00" * 4 + b"\xff" * 4) * 8
+    payload = b"P5\n8 8\n255\n" + raster
+    imgs = spark.createDataFrame(
+        [(10, bytearray(payload)), (11, bytearray(payload))],
+        "doc_id long, payload binary",
+    )
+    pairs = phash_near_dup_pairs(M.perceptual_hash(imgs)).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(10, 11, 0)]
+
+
 def test_sample_k_per_group_deterministic_and_growth_stable(spark):
     from flink_audit_sessions_example_spark.operators.corpus import (
         sample_k_per_group,
@@ -265,6 +308,112 @@ def test_scan_side_ops_are_streaming_safe(spark, tmp_path):
         got = sorted(map(tuple, run(name, fn).collect()))
         want = sorted(map(tuple, fn(src).collect()))
         assert got == want, name
+
+
+def test_stream_first_touch_matches_batch_with_retroactive_event(spark, tmp_path):
+    """Stateful streaming first-touch: two micro-batches where the second
+    delivers an EARLIER event for user 1 (retroactive attribution change)
+    plus more purchases; the latest update row per user must equal the
+    batch min(struct)+rollup aggregate over the union."""
+    import datetime as dt
+
+    from flink_audit_sessions_example_spark.streaming import (
+        stream_first_touch,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string, value double"
+
+    def t(*a):
+        return dt.datetime(*a)
+
+    b1 = [
+        (1, t(2024, 1, 2, 10), 10, "click", 0.0),
+        (1, t(2024, 1, 2, 11), 11, "purchase", 19.99),
+        (2, t(2024, 1, 1, 9), 12, "view", 0.0),
+    ]
+    b2 = [
+        (1, t(2024, 1, 1, 8), 13, "signup", 0.0),  # EARLIER: new first touch
+        (1, t(2024, 1, 3, 9), 14, "purchase", 5.005),
+        (2, t(2024, 1, 2, 9), 15, "purchase", 1.25),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    for name, rows in (("b1.parquet", b1), ("b2.parquet", b2)):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(pa_schema.names, r)) for r in rows], pa_schema
+            ),
+            str(d / name),
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_first_touch(stream)
+        .writeStream.format("memory")
+        .queryName("t_first_touch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.table("t_first_touch").collect()
+    assert len(updates) >= 3  # user 1 updated across batches
+    final = {}
+    for r in updates:  # memory sink appends update rows in batch order
+        final[r.user_id] = r
+    u1, u2 = final[1], final[2]
+    assert (u1.first_event_id, u1.first_event_type) == (13, "signup")
+    assert u1.n_purchases == 2 and u1.purchase_value == pytest.approx(
+        24.995, abs=1e-9
+    )
+    assert (u2.first_event_id, u2.n_purchases) == (12, 1)
+
+    # equivalence with the batch aggregate over the union
+    batch = spark.createDataFrame(b1 + b2, schema)
+    agg = (
+        batch.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+            ).alias("ft"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            )
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .collect()
+    )
+    for r in agg:
+        f = final[r.user_id]
+        assert f.first_event_id == r.ft.event_id
+        assert f.n_purchases == r.n_purchases
+        assert (f.purchase_value is None) == (r.purchase_value is None)
+        if r.purchase_value is not None:
+            assert f.purchase_value == pytest.approx(
+                r.purchase_value, abs=1e-9
+            )
 
 
 def test_quality_tiers_boundaries_path_matches_registered(spark):
