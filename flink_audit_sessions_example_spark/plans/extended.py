@@ -3378,11 +3378,15 @@ FROM s
 
 def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``agg_mode`` — per-user modal event type (most frequent;
-    lexicographically-smallest tie-break). Scale shape: two stacked
-    hash aggregations — (user, type) counts with map-side partials,
-    then ``min(struct(-count, type))`` argmax per user — instead of a
-    window rank: no per-user sort, constant-size buffers, and the
-    second agg's input is already one row per (user, type)."""
+    lexicographically-smallest tie-break). Scale shape: the (user,
+    type) counts are a HASH aggregation with map-side partials over the
+    raw events; the ``min(struct(-count, type))`` argmax then runs over
+    that already-collapsed one-row-per-(user, type) relation (Spark
+    picks sort-based aggregation for the struct buffer — observed plan
+    — but the sort touches only the tiny counts relation, never raw
+    events, and the argmax partials still combine map-side). No window
+    rank over the fact table anywhere; plan-gated in
+    tests/test_plans.py."""
     ev = load_table(spark, sf_dir, "events", spread=False)
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
@@ -3456,12 +3460,18 @@ FROM t
 def q_win_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``win_first_touch`` — first-touch attribution: each user's
     earliest event (by ``(ts, event_id)``) is the acquisition channel;
-    every later purchase attributes to it. Scale shape: ONE hash
-    aggregation — ``min(struct(ts, event_id, event_type))`` replaces
-    the window-rank formulation (no per-user sort, no full-row
-    shuffle; partials are constant-size) and the purchase rollups ride
-    the same pass. Purchase value sums as exact DECIMAL, cast back to
-    double at the end."""
+    every later purchase attributes to it. Scale shape: ONE aggregation
+    pass — ``min(struct(ts, event_id, event_type))`` + the purchase
+    rollups together — instead of the window-rank formulation. Spark
+    compiles the struct-min to a SORT-based aggregation (observed
+    plan): each task groups its rows by user_id with a spillable sort,
+    partials combine map-side, and the single exchange carries one
+    constant-width row per (user, task) — unlike a window, which would
+    shuffle EVERY event row and sort each user partition by time. The
+    single-exchange / no-Window shape is plan-gated in
+    tests/test_plans.py. Purchase value sums as exact DECIMAL, cast
+    back to double at the end; the streaming twin is
+    ``streaming/attribution.py::stream_first_touch``."""
     ev = load_table(spark, sf_dir, "events", spread=False)
     is_p = F.col("event_type") == "purchase"
     return (

@@ -221,3 +221,64 @@ def test_ngram_dedup_single_scan_single_python_stage(spark):
     # (tree prints parents first, so below == later in the string)
     anti = initial.index("LeftAnti")
     assert anti > initial.index("partial_collect_list"), initial
+
+
+def _final_plan(spark, key):
+    """Finalized adaptive physical plan (post-AQE) — collect() first;
+    explain/noop inspect a clone (memory: the r5 lesson)."""
+    df = QUERIES[key](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_r7_large_orders_aggregates_before_joins(spark):
+    """rel_large_orders scale gate: the cent-scaled quantity HAVING runs
+    BELOW both joins (only surviving orderkeys join orders/customer),
+    and the lineitem scan is pruned to its two columns."""
+    final = _final_plan(spark, "rel_large_orders")
+    # tree prints parents first: the joins must appear BEFORE (above)
+    # the quantity aggregation
+    agg = final.index("partial_sum(cast(round((l_quantity")
+    assert final.index("Join") < agg
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in final
+
+
+def test_r7_single_agg_no_window_shapes(spark):
+    """agg_mode / win_first_touch scale gate: no Window over the fact
+    table — argmin/argmax via aggregation; exactly one user-keyed
+    exchange for win_first_touch; agg_mode's raw-events stage is the
+    HASH agg on (user, type) and the sort-based struct argmin consumes
+    only its collapsed output."""
+    for key in ("agg_mode", "win_first_touch"):
+        assert "Window" not in _final_plan(spark, key), key
+    final = _final_plan(spark, "win_first_touch")
+    assert final.count("Exchange hashpartitioning") == 1
+    final = _final_plan(spark, "agg_mode")
+    assert "HashAggregate(keys=[user_id" in final
+    assert final.index("partial_min(struct") < final.index(
+        "HashAggregate(keys=[user_id"
+    )
+
+
+def test_r7_scan_side_ops_zero_hash_exchange(spark):
+    """xform_chunk_overlap / embed_quantize / text_token_count scale
+    gate: pure scan-side projections — no hash-partitioned exchange
+    anywhere (the only exchange allowed is load_table's round-robin
+    spread), and embed_quantize's scale fold is STAGED (array_max
+    appears once; an inlined alias would replicate it per element)."""
+    for key in ("xform_chunk_overlap", "embed_quantize", "text_token_count"):
+        assert "Exchange hashpartitioning" not in _final_plan(spark, key), key
+    assert _final_plan(spark, "embed_quantize").count("array_max") == 1
+
+
+def test_r7_sample_per_group_window_group_limit(spark):
+    """sample_per_group scale gate: the rank<=k filter compiles to
+    WindowGroupLimit with a PARTIAL pass below the exchange — each map
+    task forwards at most k rows per group, so the shuffle is
+    O(k·groups·tasks), never the corpus."""
+    final = _final_plan(spark, "sample_per_group")
+    assert "WindowGroupLimit" in final
+    assert final.index("Exchange hashpartitioning") < final.index(
+        ", Partial"
+    )
