@@ -166,6 +166,52 @@ def with_token_counts(
     return out if words_staged else out.drop(_WORDS)
 
 
+def with_hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    dim: int = 32,
+    words_staged: bool = False,
+) -> DataFrame:
+    """``text_hashed_features`` — hashing-trick bag-of-words: a fixed
+    ``dim``-wide word-count vector per document, bucketed by the first 8
+    hex digits of each word's md5 (content-derived, engine-reproducible
+    — no vocabulary table, no fitting pass; the classic featurization
+    for corpus-scale classifiers and cheap clustering).
+
+    Scale shape: pure scan-side projection — stage the token array
+    once, map words→buckets once, then count per bucket with an array
+    ``filter`` per dimension. Per-row cost is O(dim · words)
+    interpreted-HOF ops; embarrassingly parallel, ZERO shuffle, and at
+    100 TB strictly cheaper than the explode → groupBy(doc, bucket) →
+    re-collect formulation, whose exchange carries O(total words) rows.
+    For ``dim`` ≫ ~100 flip to that explode form (the HOF cost grows
+    linearly in dim while the explode's shuffle does not).
+
+    Adds: ``features`` (``array<bigint>``, length ``dim``) and
+    ``n_feature_words`` (= total count across buckets).
+    """
+    staged = _stage_words(df, text_col, words_staged)
+    buckets = F.transform(
+        F.col(_WORDS),
+        lambda w: F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+            F.lit(dim),
+        ),
+    )
+    staged = staged.withColumn("__buckets", buckets)
+    features = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.size(
+            F.filter(F.col("__buckets"), lambda b: b == d.cast("bigint"))
+        ).cast("bigint"),
+    )
+    out = staged.withColumn("features", features).withColumn(
+        "n_feature_words", F.size(F.col("__buckets")).cast("bigint")
+    ).drop("__buckets")
+    return out if words_staged else out.drop(_WORDS)
+
+
 def with_language_id(
     df: DataFrame, text_col: str = "text", *, words_staged: bool = False
 ) -> DataFrame:

@@ -145,6 +145,32 @@ def test_perceptual_hash_p6_and_degenerate(spark):
     assert out[2].phash is None and out[2].hb0 is None
 
 
+def test_hashed_features_counts_and_determinism(spark):
+    """Hashing-trick features: bucket counts sum to the word count,
+    identical words land in identical buckets across documents, and the
+    md5 bucket of a known word matches a hand computation."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple"),
+            Row(doc_id=2, text="banana"),
+            Row(doc_id=3, text="   "),
+        ]
+    )
+    out = {r.doc_id: r for r in X.with_hashed_features(df, dim=8).collect()}
+    assert sum(out[1].features) == 3 == out[1].n_feature_words
+    b_apple = int(hashlib.md5(b"apple").hexdigest()[:8], 16) % 8
+    b_banana = int(hashlib.md5(b"banana").hexdigest()[:8], 16) % 8
+    assert out[1].features[b_apple] >= 2
+    if b_apple == b_banana:
+        assert out[1].features[b_banana] == 3
+    else:
+        assert out[1].features[b_banana] == 1 == out[2].features[b_banana]
+    assert out[2].n_feature_words == 1
+    assert out[3].features == [0] * 8 and out[3].n_feature_words == 0
+
+
 def test_phash_near_dup_pairs_banded_hamming(spark):
     """Banded Hamming join: exact dup (0 bits), near dup (2 bits in one
     band), and a far pair (4 bands all different) — the far pair must
