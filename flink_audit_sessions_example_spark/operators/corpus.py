@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import TOKEN_PATTERN, _words, shingle_rows
+from .text import TOKEN_PATTERN, _words, md5_draw, shingle_rows
 
 #: Denominator of the md5 sampling draw: first 8 hex digits → uniform
 #: 32-bit integer. Rates are expressed as draw < rate · 2³².
@@ -30,13 +30,11 @@ _DRAW_SPACE = 16**8
 
 
 def _sample_draw(key: Column) -> Column:
-    """Deterministic uniform draw in [0, 2³²) from a key column: integer
-    value of the first 8 hex digits of md5(key). Content-derived (no RNG,
-    no partition dependence) — the same row always draws the same number,
-    in Spark and in the DuckDB oracle."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
+    """Deterministic uniform draw in [0, 2³²) from a key column —
+    content-derived (no RNG, no partition dependence): the same row
+    always draws the same number, in Spark and in the DuckDB oracle.
+    One definition for the whole engine: :func:`..operators.text.md5_draw`."""
+    return md5_draw(key)
 
 
 def stratified_sample(

@@ -35,6 +35,18 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def md5_draw(key: Column) -> Column:
+    """Deterministic uniform draw in [0, 2³²) from any column: integer
+    value of the first 8 hex digits of md5(string(key)). THE canonical
+    content-derived draw — `corpus._sample_draw` and
+    :func:`with_hashed_features` both resolve to this one definition,
+    and the DuckDB twin is
+    ``CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
 def _words(text: Column) -> Column:
     """Whitespace tokens of the lowercased, trimmed text.
 
@@ -191,13 +203,12 @@ def with_hashed_features(
     Adds: ``features`` (``array<bigint>``, length ``dim``) and
     ``n_feature_words`` (= total count across buckets).
     """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
     staged = _stage_words(df, text_col, words_staged)
     buckets = F.transform(
         F.col(_WORDS),
-        lambda w: F.pmod(
-            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
-            F.lit(dim),
-        ),
+        lambda w: F.pmod(md5_draw(w), F.lit(dim)),
     )
     staged = staged.withColumn("__buckets", buckets)
     features = F.transform(

@@ -268,8 +268,21 @@ def probe() -> None:
     spark.stop()
 
 
+_REQUIRED_FILES = (
+    "documents.parquet",
+    "embeddings.parquet",
+    "part.parquet",
+    "lineitem.parquet",
+)
+
 if __name__ == "__main__":
-    if not os.path.isdir(OUT) or "--regen" in sys.argv:
+    # per-file check, not a bare isdir: an artifact generated before a
+    # table was added to the generator must regenerate, not crash the
+    # probe with PATH_NOT_FOUND
+    missing = not all(
+        os.path.isfile(os.path.join(OUT, f)) for f in _REQUIRED_FILES
+    )
+    if missing or "--regen" in sys.argv:
         print("generating sf1-style corpus ...", flush=True)
         generate()
     probe()

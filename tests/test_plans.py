@@ -250,11 +250,14 @@ def test_r7_single_agg_no_window_shapes(spark):
     exchange for win_first_touch; agg_mode's raw-events stage is the
     HASH agg on (user, type) and the sort-based struct argmin consumes
     only its collapsed output."""
-    for key in ("agg_mode", "win_first_touch"):
-        assert "Window" not in _final_plan(spark, key), key
-    final = _final_plan(spark, "win_first_touch")
-    assert final.count("Exchange hashpartitioning") == 1
-    final = _final_plan(spark, "agg_mode")
+    plans = {
+        key: _final_plan(spark, key)
+        for key in ("agg_mode", "win_first_touch")
+    }
+    for key, final in plans.items():
+        assert "Window" not in final, key
+    assert plans["win_first_touch"].count("Exchange hashpartitioning") == 1
+    final = plans["agg_mode"]
     assert "HashAggregate(keys=[user_id" in final
     assert final.index("partial_min(struct") < final.index(
         "HashAggregate(keys=[user_id"

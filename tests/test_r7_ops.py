@@ -300,7 +300,9 @@ def test_scan_side_ops_are_streaming_safe(spark, tmp_path):
     batch answer exactly."""
     from flink_audit_sessions_example_spark.operators import multimodal as M
 
-    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from conftest import SF_DIR
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     batch.limit(50).write.mode("overwrite").parquet(str(tmp_path / "docs"))
     src = spark.read.parquet(str(tmp_path / "docs"))
     stream = spark.readStream.schema(src.schema).parquet(
@@ -363,6 +365,13 @@ def test_stream_first_touch_matches_batch_with_retroactive_event(spark, tmp_path
         (1, t(2024, 1, 1, 8), 13, "signup", 0.0),  # EARLIER: new first touch
         (1, t(2024, 1, 3, 9), 14, "purchase", 5.005),
         (2, t(2024, 1, 2, 9), 15, "purchase", 1.25),
+        # user 3: microsecond ordering within one millisecond — the
+        # higher event_id arrives EARLIER by 400µs and must win
+        (3, dt.datetime(2024, 1, 1, 7, 0, 0, 500), 21, "view", 0.0),
+        (3, dt.datetime(2024, 1, 1, 7, 0, 0, 900), 20, "click", 0.0),
+        # user 3's only purchase carries a NULL value: n_purchases=1,
+        # purchase_value NULL (batch SUM over all-NULL decimals)
+        (3, t(2024, 1, 2, 7), 22, "purchase", None),
     ]
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -408,6 +417,10 @@ def test_stream_first_touch_matches_batch_with_retroactive_event(spark, tmp_path
         24.995, abs=1e-9
     )
     assert (u2.first_event_id, u2.n_purchases) == (12, 1)
+    u3 = final[3]
+    assert u3.first_event_id == 21  # earlier microsecond beats lower id
+    assert u3.first_ts.microsecond == 500  # no millisecond truncation
+    assert u3.n_purchases == 1 and u3.purchase_value is None
 
     # equivalence with the batch aggregate over the union
     batch = spark.createDataFrame(b1 + b2, schema)
