@@ -181,11 +181,34 @@ def pnm_resize(payload: bytes, width: int, height: int) -> bytes:
     return header + resized.tobytes()
 
 
+def _row_guard(fn, on_error: str, null_result):
+    """Per-payload error policy for the Arrow decode ops. ``'fail'``
+    (default — the registered/oracle behavior): a malformed payload
+    raises and fails the task, loudly. ``'null'``: the row survives with
+    NULL derived fields — at 100 TB one corrupt blob in a trillion must
+    not kill the stage; count the NULLs downstream to monitor decode
+    health. Policy is per-ROW, never per-batch: one bad payload must not
+    poison its batch neighbors."""
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null', got {on_error!r}")
+    if on_error == "fail":
+        return fn
+
+    def guarded(*a):
+        try:
+            return fn(*a)
+        except Exception:
+            return null_result
+
+    return guarded
+
+
 def decode_media(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
     decode_fn: Callable[[bytes], tuple[int, int, int]] | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """``multimodal_decode`` — Arrow-batched decode / feature extraction.
 
@@ -203,8 +226,11 @@ def decode_media(
     ...     decode_fn = lambda b: Image.open(io.BytesIO(b)).size + (1,)
     ... except ImportError:
     ...     decode_fn = None  # fall back to the PNM codec
+
+    ``on_error='null'`` keeps a corrupt payload's row with NULL
+    width/height/n_frames instead of failing the task (:func:`_row_guard`).
     """
-    fn = decode_fn or pnm_decode
+    fn = _row_guard(decode_fn or pnm_decode, on_error, (None, None, None))
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -244,6 +270,7 @@ def resize_media(
     height: int,
     id_col: str = "doc_id",
     resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """``multimodal_resize`` — batch resize via ``mapInPandas``.
 
@@ -251,9 +278,10 @@ def resize_media(
     binary payloads in, transformed payloads out, decode CPU scaling with
     partitions. ``resize_fn(payload, w, h) -> bytes`` defaults to the real
     nearest-neighbor :func:`pnm_resize`; PIL ``Image.resize`` etc. slot in
-    through the same hook.
+    through the same hook. ``on_error='null'``: corrupt payloads yield a
+    NULL output payload instead of failing the task.
     """
-    fn = resize_fn or pnm_resize
+    fn = _row_guard(resize_fn or pnm_resize, on_error, None)
 
     def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -312,7 +340,7 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def extract_features(
-    df: DataFrame, *, id_col: str = "doc_id"
+    df: DataFrame, *, id_col: str = "doc_id", on_error: str = "fail"
 ) -> DataFrame:
     """``multimodal_features`` — pixel-level feature extraction: per-image
     intensity statistics (mean, population std, 4-bin histogram over
@@ -335,8 +363,12 @@ def extract_features(
     Scale shape: one ``mapInPandas`` pass — payload bytes are read once,
     feature rows are fixed-width, CPU parallelizes with partitions; no
     shuffle at all (the per-image reduce happens inside the Arrow batch,
-    there is no cross-row aggregation).
+    there is no cross-row aggregation). ``on_error='null'``: a corrupt
+    payload keeps its row with NULL features instead of failing the task
+    (see :func:`_row_guard` for the policy rationale).
     """
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null', got {on_error!r}")
 
     def feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math
@@ -347,7 +379,17 @@ def extract_features(
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in FEATURES_SCHEMA}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                _, _, _, _, raster = _pnm_parse(bytes(payload))
+                try:
+                    _, _, _, _, raster = _pnm_parse(bytes(payload))
+                except Exception:
+                    if on_error != "null":
+                        raise
+                    out["doc_id"].append(doc_id)
+                    for k in (
+                        "n_pixels", "px_mean", "px_std", "b0", "b1", "b2", "b3",
+                    ):
+                        out[k].append(None)
+                    continue
                 px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
                 n = int(px.size)
                 sx = int(px.sum())
@@ -386,7 +428,9 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
-def perceptual_hash(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+def perceptual_hash(
+    df: DataFrame, *, id_col: str = "doc_id", on_error: str = "fail"
+) -> DataFrame:
     """``multimodal_phash`` — 64-bit average-hash (aHash) per image: the
     perceptual fingerprint image-dedup pipelines bucket on (near-
     identical images differ in a few bits; exact dups collide exactly).
@@ -404,7 +448,11 @@ def perceptual_hash(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     Scale shape: one Arrow ``mapInPandas`` pass, fixed-width output,
     zero shuffle — decode and hash ride the scan exactly like
     :func:`extract_features`.
+    ``on_error='null'``: a corrupt payload keeps its row with NULL
+    bands/phash instead of failing the task (:func:`_row_guard` policy).
     """
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null', got {on_error!r}")
 
     def phash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -413,7 +461,13 @@ def perceptual_hash(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in PHASH_SCHEMA}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                magic, w, h, _, raster = _pnm_parse(bytes(payload))
+                try:
+                    magic, w, h, _, raster = _pnm_parse(bytes(payload))
+                except Exception:
+                    if on_error != "null":
+                        raise
+                    w = h = 0  # corrupt payload → the NULL-output path
+                    magic, raster = b"P5", b""
                 out["doc_id"].append(doc_id)
                 if w == 0 or h == 0:
                     for k in ("hb0", "hb1", "hb2", "hb3", "phash"):

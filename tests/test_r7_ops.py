@@ -249,6 +249,49 @@ def test_phash_pairs_compose_into_image_dedup_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 1}
 
 
+def test_multimodal_on_error_null_survives_corrupt_payload(spark):
+    """100 TB robustness: one corrupt blob must not kill the stage.
+    With on_error='null' every decode op keeps the corrupt row with
+    NULL derived fields and processes its batch neighbors normally;
+    the default ('fail') still raises loudly."""
+    from flink_audit_sessions_example_spark.operators import multimodal as M
+
+    good = b"P5\n2 2\n255\nABCD"
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"not a pnm at all")),
+        (3, bytearray(b"P5\n9 9\n255\nshort")),  # truncated raster
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    meta = df.withColumn("media_meta", F.struct(
+        F.lit("x").alias("media_type"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha"),
+    ))
+
+    dec = {r.doc_id: r for r in M.decode_media(meta, on_error="null").collect()}
+    assert (dec[1].width, dec[1].height) == (2, 2)
+    assert dec[2].width is None and dec[3].width is None
+
+    rz = {r.doc_id: r for r in M.resize_media(
+        df, width=2, height=2, on_error="null").collect()}
+    assert rz[1].payload is not None and rz[2].payload is None
+
+    ft = {r.doc_id: r for r in M.extract_features(df, on_error="null").collect()}
+    assert ft[1].n_pixels == 4 and ft[2].n_pixels is None
+
+    ph = {r.doc_id: r for r in M.perceptual_hash(df, on_error="null").collect()}
+    assert ph[1].phash is not None and ph[2].phash is None
+
+    import pytest as _pytest
+
+    # default: loud failure (PySpark wraps the worker's ValueError)
+    with _pytest.raises(Exception, match="PNM|pnm|raster"):
+        M.decode_media(meta).collect()
+    with _pytest.raises(ValueError):
+        M.decode_media(meta, on_error="skip")
+
+
 def test_sample_k_per_group_deterministic_and_growth_stable(spark):
     from flink_audit_sessions_example_spark.operators.corpus import (
         sample_k_per_group,
