@@ -23,79 +23,86 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: the start of round N, front-load (a) every key new or plan-changed in
 #: round N, then (b) every key whose last driver row is round N-2 (i.e.
 #: the keys rotated OUT of the N-1 window). With 96 keys and a 50-row
-#: window this is a clean 2-round cycle. For r8 that means fronting the
-#: keys OUT of this r7 window (the 46-key r6-verified tail of the
-#: registry — everything not listed in _FRONT_KEYS below) plus every key
-#: new or plan-changed in r8; r8 NEW-key budget is therefore ~4 unless
-#: some r6-tail keys are also plan-changed (changed keys count against
-#: the same 50 slots). Every name here MUST resolve in
-#: _ALL_QUERIES — asserted below; add keys only after their q_/oracle
-#: entries land (r6 lesson: phantom names silently lose their slot).
+#: window this is a clean 2-round cycle. The r8 front below = the 4 keys
+#: new or registration-changed in r8 (``embed_quantize`` red-row retry,
+#: ``agg_approx_distinct`` bound-check re-registration,
+#: ``text_hashed_features`` / ``multimodal_phash_pairs`` first
+#: registrations) + the 46 keys NOT in the r7 driver window (computed
+#: from CORRECTNESS_r07.json keys — the ground truth, not registry
+#: order), = exactly 50. For r9: front = keys OUT of this r8 window
+#: (the 48-key tail) + r9 new/changed keys — NEW-key budget 2 (e.g. the
+#: ``rel_quantiles_approx`` bound-check re-registration planned r9).
+#: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
+#: keys only after their q_/oracle entries land (r6 lesson: phantom
+#: names silently lose their slot).
 _FRONT_KEYS = [
-    # r7 NEW keys — need first driver rows this round
-    "rel_customer_orders_dist",
-    "rel_large_orders",
-    "rel_min_cost_supplier",
-    "rel_global_sales_prospects",
-    "xform_chunk_overlap",
+    # r8 NEW / registration-changed keys — need first (or repaired)
+    # driver rows this round
     "embed_quantize",
-    "agg_mode",
-    "text_token_count",
-    "win_first_touch",
-    "rel_order_priority_series",
-    "multimodal_phash",
-    "rel_copurchase",
-    "win_cumulative",
-    "rel_yearly_growth",
-    "sample_per_group",
-    # r7 plan-changed keys (null-safe over-cap anti-joins in
-    # bounded_posting_lists / minhash hot_fp) — need fresh rows
-    "dedup_ngram",
-    "dedup_minhash",
-    "dedup_cluster",
-    "join_fuzzy",
-    # the 31 keys whose last driver CORRECTNESS row is r5 — no key goes
-    # two consecutive rounds unverified
-    "set_except",
-    "set_intersect",
-    "rel_revenue_by_nation",
-    "rel_filtered_scan",
-    "join_asof",
-    "dedup_exact",
-    "dedup_count",
-    "dedup_simhash",
-    "sim_topk_ivf",
-    "text_stats",
-    "text_langid",
-    "text_quality",
-    "text_quality_tiers",
-    "rel_top_customers",
-    "win_rank_sessions",
-    "text_repetition",
-    "text_pii_scrub",
-    "sample_stratified",
-    "xform_split",
-    "rel_shipping_priority",
-    "join_anti",
-    "win_user_gaps",
-    "rel_quantiles_approx",
-    "agg_multi_distinct",
-    "rel_promo_share",
-    "rel_top_suppliers",
     "agg_approx_distinct",
-    "agg_exact_distinct",
-    "domain_mix",
-    "join_range",
-    "rel_quantiles_dist",
+    "text_hashed_features",
+    "multimodal_phash_pairs",
+    # the 46 keys whose last driver CORRECTNESS row is r6 (everything
+    # not in the r7 window) — no key goes two consecutive rounds
+    # unverified
+    "agg_denied_sum",
+    "cluster_profile",
+    "decontaminate",
+    "dedup_chunk",
+    "dedup_embed",
+    "flt_nonzero",
+    "flt_valid_user",
+    "join_salted",
+    "join_semi",
+    "key_by_user",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_resize",
+    "pack_sequences",
+    "pipeline_clean_corpus",
+    "rel_above_avg",
+    "rel_cube",
+    "rel_histogram_bins",
+    "rel_pivot",
+    "rel_pricing_summary",
+    "rel_quantiles",
+    "rel_rollup",
+    "rel_stats_corr",
+    "rel_window_share",
+    "sim_topk",
+    "sim_topk_lsh",
+    "src_file_datefilter",
+    "src_file_monitor",
+    "text_corpus_freq",
+    "text_fingerprint",
+    "text_word_histogram",
+    "time_watermark",
+    "win_moving_avg",
+    "win_ntile",
+    "win_range_frame",
+    "win_retention",
+    "win_session",
+    "win_sliding",
+    "win_tumbling",
+    "win_wrap_result",
+    "xform_compact",
+    "xform_format_string",
+    "xform_json_extract",
+    "xform_parse_json",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}
 _ALL_ORACLES = {**_CORE_ORACLES, **EXTENDED_ORACLES}
 
 # every front-of-window name must be a real registry key — a typo or a
-# not-yet-landed key would otherwise silently lose its driver slot
+# not-yet-landed key would otherwise silently lose its driver slot.
+# A hard raise, not an assert: `python -O` strips asserts, and this is
+# exactly the integrity check that must survive optimized runs.
 _unresolved = [k for k in _FRONT_KEYS if k not in _ALL_QUERIES]
-assert not _unresolved, f"_FRONT_KEYS not in registry: {_unresolved}"
+if _unresolved:
+    raise ValueError(f"_FRONT_KEYS not in registry: {_unresolved}")
 
 QUERIES = {
     **{k: _ALL_QUERIES[k] for k in _FRONT_KEYS},
