@@ -96,7 +96,13 @@ def _first_touch_fn(key, pdfs, state):
         cand_rows = pdf.dropna(subset=["ts", "event_id"])
         if cand_rows.empty:
             continue
-        ts_us = cand_rows["ts"].astype("int64") // 1_000
+        # normalize to ns BEFORE the integer reinterpret: pandas 2.x can
+        # hand this column over as datetime64[us] (non-ns Arrow dtypes),
+        # where a bare astype(int64)//1000 would yield milli-of-micro
+        # values 1000× off and corrupt the first-touch ordering
+        ts_us = (
+            cand_rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+        )
         order = np.lexsort(
             (cand_rows["event_id"].to_numpy(), ts_us.to_numpy())
         )

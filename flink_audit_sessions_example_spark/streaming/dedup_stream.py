@@ -36,12 +36,23 @@ Contracts, stated plainly:
   the stored prefix), so one boilerplate bucket cannot grow state or
   quadratic match work without bound. State per bucket ≤
   cap · (num_hashes + 1) longs.
-- **No watermark / no timeout.** "Seen so far" is a lifetime set, like
-  the batch corpus it mirrors. Evicting state would silently re-admit
-  old near-dups.
+- **Lifetime state by default; opt-in TTL eviction for true infinite
+  streams.** "Seen so far" is a lifetime set, like the batch corpus it
+  mirrors — right for bounded backfills, but the NUMBER of band-bucket
+  state keys grows with every distinct text ever seen, so on a truly
+  unbounded stream the state store grows without bound even though each
+  bucket is capped. ``state_ttl_ms`` (processing-time horizon in
+  milliseconds) bounds total state: a bucket idle for the TTL is
+  REMOVED (``GroupStateTimeout.ProcessingTimeTimeout``), trading recall
+  beyond the horizon — a near-dup of a document whose buckets have all
+  expired is silently re-admitted — for stable state size. Activity
+  resets the clock, so hot buckets never expire; pick the TTL as the
+  re-crawl horizon you actually need to dedup against.
 
 At scale: one shuffle on the band key per micro-batch (the same exchange
-the batch banding pays), state store size = buckets × bounded members.
+the batch banding pays), state store size = buckets × bounded members —
+and with ``state_ttl_ms`` set, buckets ≤ the distinct band keys seen within
+one TTL horizon instead of ever.
 """
 
 from __future__ import annotations
@@ -53,10 +64,22 @@ CANDIDATES_OUTPUT = "id_a bigint, id_b bigint, est_jaccard double"
 _BUCKET_STATE = "ids array<bigint>, sigs array<bigint>"
 
 
-def _make_bucket_fn(num_hashes: int, threshold: float, cap: int | None):
+def _make_bucket_fn(
+    num_hashes: int,
+    threshold: float,
+    cap: int | None,
+    ttl_ms: int | None = None,
+):
     def fn(key, pdfs, state):
         import numpy as np
         import pandas as pd
+
+        if state.hasTimedOut:
+            # TTL eviction: the bucket saw no arrivals for the whole
+            # horizon — drop its members (recall beyond the horizon is
+            # forfeited by contract; see module docstring)
+            state.remove()
+            return
 
         if state.exists:
             ids, flat = state.get
@@ -86,11 +109,18 @@ def _make_bucket_fn(num_hashes: int, threshold: float, cap: int | None):
                         out_a.append(a)
                         out_b.append(b)
                         out_j.append(est)
-                if cap is None or len(ids) < cap:
+                # admit once: an at-least-once source re-delivering a
+                # doc in a later micro-batch must not burn another cap
+                # slot (a bucket could otherwise fill with copies of one
+                # doc, blocking genuinely distinct members) or re-emit
+                # its pairs from a duplicate stored copy
+                if (cap is None or len(ids) < cap) and doc_id not in ids:
                     ids.append(doc_id)
                     sigs.append([int(x) for x in sig])
 
         state.update((ids, [x for s in sigs for x in s]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out_a:
             yield pd.DataFrame(
                 {"id_a": out_a, "id_b": out_b, "est_jaccard": out_j}
@@ -109,13 +139,27 @@ def stream_minhash_candidates(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket_size: int | None = 200,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs between each arriving document and every
     previously seen document (update mode; see module docstring for the
-    estimator / at-least-once / bounded-state contracts)."""
+    estimator / at-least-once / bounded-state contracts).
+
+    ``state_ttl_ms``: optional processing-time horizon (milliseconds)
+    after which an IDLE bucket's state is evicted —
+    bounds total state-store size on unbounded streams at the cost of
+    recall beyond the horizon (module docstring). Default ``None`` keeps
+    the batch-mirroring lifetime set."""
     from ..operators.dedup import _band_key
     from ..operators.text import minhash_doc_sigs
 
+    if num_hashes % bands != 0:
+        # a silent floor would band only the first bands·(num_hashes//bands)
+        # signature components, quietly changing collision recall
+        raise ValueError(
+            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_doc_sigs(
         docs.select(F.col(id_col), F.col(text_col)),
@@ -137,9 +181,11 @@ def stream_minhash_candidates(
         ).alias("bkey"),
     )
     return banded.groupBy("bkey").applyInPandasWithState(
-        _make_bucket_fn(num_hashes, threshold, max_bucket_size),
+        _make_bucket_fn(num_hashes, threshold, max_bucket_size, state_ttl_ms),
         outputStructType=CANDIDATES_OUTPUT,
         stateStructType=_BUCKET_STATE,
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if state_ttl_ms is not None else "NoTimeout"
+        ),
     )
