@@ -694,6 +694,23 @@ def corpus_freq_score(
     vocabulary side is Zipf-small relative to the corpus (≤ low hundreds
     of millions of rows at web scale) and joins by word; AQE broadcasts
     it at test scale.
+
+    Residual hot-key ledger: after pre-aggregation the ``doc_counts ⨝
+    vocab`` word key is still Zipf-skewed — a stopword like 'the' keeps
+    one row per CONTAINING DOCUMENT on the probe side, so its shuffle
+    partition is O(corpus docs) while the median word's is tiny. This
+    is bounded without code here because (a) whenever the vocabulary
+    fits a broadcast (it does far beyond test scale — it is the
+    DISTINCT-word relation, Zipf-small), there is no partitioning by
+    word at all and the hot word just streams through map-side lookup,
+    and (b) in the sort-merge regime past that, AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``) cuts the oversized 'the'
+    partition into median-sized task chunks and replicates the single
+    matching vocab row to each — per-task work stays bounded by the
+    skew threshold, not by the hottest word's document frequency. A
+    ``bounded_posting_lists``-style stopword cap would additionally
+    DROP hot words from scoring; that changes results, so it stays a
+    caller-side filter, not an operator default.
     """
     wd = _with_words(df, text_col).select(
         F.col(id_col).alias("id"), F.explode(F.col(_WORDS)).alias("w")
@@ -718,4 +735,87 @@ def corpus_freq_score(
             / (F.col("n_tokens").cast("double") * F.col("total").cast("double")),
             6,
         ).alias("freq_score"),
+    )
+
+
+def ngram_novelty_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    pin_shingles: bool = True,
+) -> DataFrame:
+    """Shingle-novelty score — the boilerplate/recency signal pretraining
+    curation pipelines rank on: what fraction of a document's distinct
+    word-``k``-shingles appear NOWHERE else in the corpus?
+
+    ``novelty = n_unique / n_shingles`` where ``n_shingles`` is the
+    document's distinct ``k``-shingle count and ``n_unique`` counts the
+    shingles with corpus document-frequency exactly 1. Templated or
+    mirrored documents score near 0 (every shingle shared), fresh prose
+    scores near 1 — the complement of the near-dup signal
+    ``minhash_near_dup_pairs`` detects pairwise, computed corpus-wide
+    in two aggregations instead of a quadratic join. All counts are
+    BIGINTs and the one division is a small-integer rational, so the
+    score is bit-identical on any engine and any partitioning (the same
+    cross-engine contract as :func:`corpus_freq_score`; no logs, no
+    order-dependent double sums).
+
+    Plan shape: ONE Arrow tokenizer pass (``shingle_rows`` — distinct
+    shingles per doc, count ``n`` carried for free), aggregated to
+    per-shingle document frequency; the df relation joins back to the
+    (already distinct) shingle rows and collapses straight to per-doc
+    counts. Shuffle volume is O(distinct (doc, shingle) pairs) for the
+    df aggregation — the same exchange the minhash banding pays — and
+    the join's shingle key carries at most ``df`` rows per shingle with
+    df's Zipf tail bounded exactly like ``corpus_freq_score``'s word
+    key (broadcast regime first, AQE skew-split past it; see that
+    docstring's residual-skew ledger). Docs with fewer than ``k`` words
+    have no shingles and are emitted with ``n_shingles = 0`` and NULL
+    novelty (0/0 is a non-claim, not a 0 or 1).
+
+    ``pin_shingles=True`` (default) pins the tokenizer output with a
+    lazy ``localCheckpoint``: the shingle relation has TWO consumers
+    (the df aggregation and the join probe), and when AQE broadcasts
+    the small df side the probe subtree re-runs the Arrow pass —
+    observed as 2× ``MapInPandas`` in the final plan. The pin follows
+    the measured pin-keyed heuristic (SCALING.md: pin expensive Arrow
+    subtrees, skip recompute-cheap scans): order-balanced A/B at sf0.1,
+    pin 1.55 s vs no-pin 1.70 s min-of-4, and the gap widens with
+    corpus size since the tokenizer dominates the pass. Same
+    fault-tolerance trade as every pin (SCALING.md "localCheckpoint
+    pin"): lost-executor recompute is forfeited for the pinned RDD.
+    """
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, k=k, with_n=True)
+    if pin_shingles:
+        sh = sh.localCheckpoint(eager=False)
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+    per_doc = (
+        sh.join(df_counts, "sh")
+        .groupBy("id")
+        .agg(
+            F.first("n").alias("n_shingles"),
+            F.sum(F.when(F.col("df_sh") == 1, 1).otherwise(0)).alias(
+                "n_unique"
+            ),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(per_doc, base[id_col] == per_doc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shingles"),
+            F.coalesce(F.col("n_unique"), F.lit(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.round(
+                F.col("n_unique").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
     )

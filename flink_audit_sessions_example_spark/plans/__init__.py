@@ -30,8 +30,12 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: registrations) + the 46 keys NOT in the r7 driver window (computed
 #: from CORRECTNESS_r07.json keys — the ground truth, not registry
 #: order), = exactly 50. For r9: front = keys OUT of this r8 window
-#: (the 48-key tail) + r9 new/changed keys — NEW-key budget 2 (e.g. the
-#: ``rel_quantiles_approx`` bound-check re-registration planned r9).
+#: (the 48-key tail) + r9 new/changed keys — NEW-key budget 2: the
+#: ``rel_quantiles_approx`` bound-check re-registration (same trick as
+#: r8's ``agg_approx_distinct``) and ``text_ngram_novelty``
+#: (``operators/text.py::ngram_novelty_score``, pytest-gated since r8
+#: with its DuckDB twin already parity-proven in
+#: ``tests/test_r8_ops.py::test_ngram_novelty_matches_duckdb``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

@@ -149,7 +149,14 @@ def stream_minhash_candidates(
     after which an IDLE bucket's state is evicted —
     bounds total state-store size on unbounded streams at the cost of
     recall beyond the horizon (module docstring). Default ``None`` keeps
-    the batch-mirroring lifetime set."""
+    the batch-mirroring lifetime set.
+
+    Trigger note: with a TTL set, Spark keeps scheduling no-data
+    batches to process pending timeouts, so a ``Trigger.AvailableNow``
+    run never self-terminates — stop the query explicitly once the
+    backfill is drained (observed on Spark 4.1; the TTL targets
+    continuous ``processingTime`` streams, where queries run forever by
+    design)."""
     from ..operators.dedup import _band_key
     from ..operators.text import minhash_doc_sigs
 

@@ -233,6 +233,8 @@ def probe() -> None:
         "multimodal_phash",
         "embed_quantize",
         "sample_per_group",
+        "text_hashed_features",
+        "multimodal_phash_pairs",
     ]
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--keys=")]
     if only:

@@ -305,3 +305,23 @@ def test_front_window_fits_driver_and_resolves():
     assert list(QUERIES)[: len(_FRONT_KEYS)] == _FRONT_KEYS
     # every oracle key is a query key
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_r8_hashed_features_pure_scan_projection(spark):
+    """text_hashed_features scale gate: hashing-trick featurization is a
+    pure scan-side projection — no exchange of any kind, no Python, no
+    join; the whole cost is per-row HOF work riding the parquet scan."""
+    plan = _plan(spark, "text_hashed_features")
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_r8_phash_pairs_single_arrow_pass_no_self_join(spark):
+    """multimodal_phash_pairs scale gate: ONE Arrow decode+hash pass
+    (formatted explain prints each node twice: tree + detail), pairs
+    emitted in place from posting lists — never a sort-merge self-join
+    of the hash relation."""
+    plan = _plan(spark, "multimodal_phash_pairs")
+    assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
+    assert "SortMergeJoin" not in plan

@@ -102,47 +102,85 @@ def test_stream_minhash_bands_must_divide_num_hashes(spark):
         stream_minhash_candidates(df, num_hashes=64, bands=12)
 
 
-def _write_doc_batches(tmp_path, batches):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def _run_phases(spark, tmp_path, phases, ttl_ms):
+    """Run the LSH stream as one checkpointed query RESTARTED once per
+    phase (one new file each), returning the accumulated candidate
+    pairs and the last observed state-store row count.
+
+    Why restarts instead of one availableNow run over all files: TTL
+    eviction fires when a batch starts after a key's horizon expired,
+    so a single run's micro-batch spacing decides whether eviction
+    happens before the next document arrives — timing-dependent under
+    load (observed flaky in-suite). Each restart's first batch begins
+    well past any tiny TTL set in the previous phase, making "idle
+    across a phase boundary" deterministic. A TTL'd query also never
+    self-terminates under availableNow (Spark keeps scheduling
+    timeout-processing batches), so each phase polls for its input and
+    stops the query explicitly.
+    """
+    import time
 
     d = tmp_path / "docs"
     d.mkdir()
-    pa_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
-    for name, rows in batches:
+    chk = str(tmp_path / "chk")
+    pa_schema = None
+    pairs: dict = {}
+    state_rows = None
+    for name, rows in phases:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if pa_schema is None:
+            pa_schema = pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string())]
+            )
         pq.write_table(
             pa.Table.from_pylist(
-                [{"doc_id": i, "text": t} for i, t in rows], pa_schema
+                [{"doc_id": i_, "text": t} for i_, t in rows], pa_schema
             ),
             str(d / name),
         )
-    return d
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string"
+        ).parquet(str(d))
 
+        def sink(batch_df, _epoch):
+            for r in batch_df.collect():
+                pairs[(r.id_a, r.id_b)] = r.est_jaccard
 
-def _run_stream(spark, d, qname, **kwargs):
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(d))
-    )
-    q = (
-        stream_minhash_candidates(stream, threshold=0.5, **kwargs)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    pairs = {
-        (r.id_a, r.id_b): r.est_jaccard for r in spark.table(qname).collect()
-    }
-    state_rows = None
-    for p in reversed(q.recentProgress):
-        ops = p.get("stateOperators") or []
-        if ops:
-            state_rows = ops[0]["numRowsTotal"]
-            break
+        # foreachBatch, not the memory sink: only foreachBatch supports
+        # restarting from the shared checkpoint (memory sink refuses)
+        q = (
+            stream_minhash_candidates(
+                stream, threshold=0.5, state_ttl_ms=ttl_ms
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                progress = q.recentProgress
+                seen = sum(p["numInputRows"] for p in progress)
+                if seen >= len(rows) and progress[-1].get("stateOperators"):
+                    state_rows = progress[-1]["stateOperators"][0][
+                        "numRowsTotal"
+                    ]
+                    break
+                if not q.isActive:
+                    for p in reversed(progress):
+                        if p.get("stateOperators"):
+                            state_rows = p["stateOperators"][0][
+                                "numRowsTotal"
+                            ]
+                            break
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
     return pairs, state_rows
 
 
@@ -154,15 +192,12 @@ def test_stream_minhash_ttl_evicts_idle_buckets(spark, tmp_path):
     with every document ever seen."""
     base = " ".join(f"tok{i}" for i in range(60))
     filler = " ".join(f"f{i}x f{i}y" for i in range(40))
-    batches = [
+    phases = [
         ("b1.parquet", [(1, base)]),
         ("b2.parquet", [(2, filler)]),  # doc 1 idle -> evicted here
         ("b3.parquet", [(3, base)]),  # exact copy, but past the horizon
     ]
-    d = _write_doc_batches(tmp_path, batches)
-    pairs, state_rows = _run_stream(
-        spark, d, "t_lsh_ttl", state_ttl_ms=1
-    )
+    pairs, state_rows = _run_phases(spark, tmp_path, phases, ttl_ms=1)
     assert (1, 3) not in pairs, pairs
     # only the LAST batch's buckets survive: 16 bands x 1 doc, minus
     # within-doc band-key collisions -> at most 16 state rows (the
@@ -176,14 +211,13 @@ def test_stream_minhash_ttl_in_horizon_pairs_still_caught(spark, tmp_path):
     state accumulates all live buckets."""
     base = " ".join(f"tok{i}" for i in range(60))
     filler = " ".join(f"f{i}x f{i}y" for i in range(40))
-    batches = [
+    phases = [
         ("b1.parquet", [(1, base)]),
         ("b2.parquet", [(2, filler)]),
         ("b3.parquet", [(3, base)]),
     ]
-    d = _write_doc_batches(tmp_path, batches)
-    pairs, state_rows = _run_stream(
-        spark, d, "t_lsh_ttl_wide", state_ttl_ms=3_600_000
+    pairs, state_rows = _run_phases(
+        spark, tmp_path, phases, ttl_ms=3_600_000
     )
     assert pairs.get((1, 3)) == 1.0, pairs
     # all three docs' buckets still live
@@ -218,3 +252,67 @@ def test_first_touch_normalizes_non_ns_ts_dtype():
     )
     ft_us = state.get[0]
     assert ft_us == 1_704_067_200_000_500  # epoch micros, not 1000x off
+
+
+def test_ngram_novelty_planted_semantics(spark):
+    """Hand-checkable novelty: shared shingles score down, exact dups
+    score 0, short docs get NULL novelty with zero counts."""
+    from flink_audit_sessions_example_spark.operators.text import (
+        ngram_novelty_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),  # shingles: "a b c","b c d","c d e"
+            (2, "a b c x y"),  # shares "a b c" with doc 1
+            (3, "z1 z2 z3"),  # one shingle, corpus-unique
+            (4, "p q"),  # < k words: no shingles
+            (5, "m n o p5"),  # exact duplicate pair ->
+            (6, "m n o p5"),  # every shingle df=2, novelty 0
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty_score(docs).collect()}
+    assert len(out) == 6
+    assert (out[1].n_shingles, out[1].n_unique) == (3, 2)
+    assert out[1].novelty == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2].novelty == pytest.approx(2 / 3, abs=1e-6)
+    assert (out[3].n_shingles, out[3].n_unique, out[3].novelty) == (1, 1, 1.0)
+    assert (out[4].n_shingles, out[4].n_unique) == (0, 0)
+    assert out[4].novelty is None
+    assert out[5].novelty == 0.0 and out[6].novelty == 0.0
+
+
+def test_ngram_novelty_matches_duckdb(spark):
+    """Cross-engine parity on the real corpus (pre-validates the r9
+    oracle registration; non-vacuous there: sf0.01 novelty spans
+    0 -> 2/3 with mean ~0.36)."""
+    from conftest import SF_DIR
+    from oracle_utils import assert_parity
+
+    from flink_audit_sessions_example_spark.operators.text import (
+        ngram_novelty_score,
+    )
+    from flink_audit_sessions_example_spark.plans.extended import _sql_shingles
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sql = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_shingles(3)}) AS sh FROM documents
+    ), dfc AS (
+      SELECT sh, COUNT(*) AS df_sh FROM sh GROUP BY sh
+    ), per AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN d.df_sh = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM sh s JOIN dfc d USING (sh) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_shingles, 0) AS n_shingles,
+           COALESCE(p.n_unique, 0) AS n_unique,
+           ROUND(CAST(p.n_unique AS DOUBLE) / p.n_shingles, 6) AS novelty
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+    assert_parity(ngram_novelty_score(docs), sql, SF_DIR)
