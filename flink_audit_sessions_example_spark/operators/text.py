@@ -819,3 +819,76 @@ def ngram_novelty_score(
             ).alias("novelty"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by tf·idf — the
+    keyword/topic-tag extraction step corpus pipelines run for
+    cluster labeling, domain routing, and search indexing.
+
+    Scoring uses the RAW idf ratio, ``score = tf · (N / df)``, not the
+    logarithmic variant: within one document the ranking is identical
+    for any monotone transform of ``N/df``, and the raw ratio is three
+    IEEE-754 operations both engines round identically — ``ln`` is
+    correctly-rounded in neither Java nor C libm, and a 1-ulp
+    divergence at a rank boundary would flip rows between engines. The
+    emitted score is rounded to 6 decimals and the RANKING uses the
+    rounded value too (ties broken by term ascending), so rank and
+    hash agree cross-engine by construction.
+
+    Plan shape: one tokenize+explode pass aggregated to per-(doc,
+    DISTINCT term) tf — the same Zipf-skew pre-collapse as
+    :func:`corpus_freq_score` (repeated stopwords never cross an
+    exchange); document frequency and the corpus doc count N are
+    re-aggregations of that same aggregate (AQE ReuseExchange) and a
+    broadcast 1-row relation; the ``rank ≤ k`` filter compiles to
+    WindowGroupLimit, so each map task forwards at most ``k`` rows per
+    document below the rank exchange. The term-key join shares the
+    hot-stopword ledger in :func:`corpus_freq_score` (broadcast regime,
+    then AQE skew-split).
+
+    Output: ``(doc_id, term, tf, df_term, score, rank)``, ``rank`` 1-based.
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    wd = _with_words(df, text_col).select(
+        F.col(id_col).alias("id"), F.explode(F.col(_WORDS)).alias("term")
+    )
+    tf = wd.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+    ndocs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.col("__n").cast("double") / F.col("df_term")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df_term").cast("bigint").alias("df_term"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -35,7 +35,9 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: r8's ``agg_approx_distinct``) and ``text_ngram_novelty``
 #: (``operators/text.py::ngram_novelty_score``, pytest-gated since r8
 #: with its DuckDB twin already parity-proven in
-#: ``tests/test_r8_ops.py::test_ngram_novelty_matches_duckdb``).
+#: ``tests/test_r8_ops.py::test_ngram_novelty_matches_duckdb``). r10
+#: candidate, same footing: ``tfidf_top_terms`` (parity-proven in
+#: ``test_tfidf_top_terms_matches_duckdb_and_plan``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

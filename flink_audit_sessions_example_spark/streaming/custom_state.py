@@ -58,7 +58,14 @@ def _make_session_fn(gap_seconds: int):
         if not state.hasTimedOut:
             for pdf in pdfs:
                 pdf = pdf.dropna(subset=["evtTime"])
-                ts_ms = pdf["evtTime"].astype("int64") // 1_000_000
+                # normalize to ns BEFORE the integer reinterpret: pandas
+                # 2.x can hand this over as datetime64[us], where a bare
+                # astype(int64)//1e6 yields seconds, not millis (same
+                # guard as streaming/attribution.py)
+                ts_ms = (
+                    pdf["evtTime"].astype("datetime64[ns]").astype("int64")
+                    // 1_000_000
+                )
                 weights = pdf["event_count"].fillna(0).astype("int64")
                 denied = pdf["result"].fillna(0).astype("int64") != 1
                 for t, w, d in zip(ts_ms, weights, denied):

@@ -23,6 +23,10 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # real Python tracebacks when an Arrow worker dies mid-batch
+        # (a transient "worker exited unexpectedly" is unactionable
+        # without this)
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .getOrCreate()
     )
     yield spark

@@ -316,3 +316,185 @@ def test_ngram_novelty_matches_duckdb(spark):
     FROM documents d LEFT JOIN per p USING (doc_id)
     """
     assert_parity(ngram_novelty_score(docs), sql, SF_DIR)
+
+
+def test_custom_state_session_fn_normalizes_non_ns_ts_dtype():
+    """Same guard as the first-touch fn: a datetime64[us] evtTime column
+    must yield epoch-MILLI session bounds, not second-of-milli values
+    1000x off."""
+    from flink_audit_sessions_example_spark.streaming.custom_state import (
+        _make_session_fn,
+    )
+
+    class SessionFakeState(FakeState):
+        def getCurrentWatermarkMs(self):
+            return 10_000_000_000_000  # far future: every session closes
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout_set = ts
+
+    pdf = pd.DataFrame(
+        {
+            "evtTime": pd.array(
+                [
+                    pd.Timestamp("2024-01-01 00:00:00"),
+                    pd.Timestamp("2024-01-01 00:00:30"),
+                ],
+                dtype="datetime64[us]",
+            ),
+            "event_count": [1, 2],
+            "result": [0, 0],
+        }
+    )
+    state = SessionFakeState()
+    out = list(_make_session_fn(60)((u"alice",), iter([pdf]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["denies"] == 3
+    assert pd.Timestamp(row["start"]) == pd.Timestamp("2024-01-01 00:00:00")
+    assert pd.Timestamp(row["end"]) == pd.Timestamp("2024-01-01 00:01:30")
+    assert state.removed  # everything flushed
+
+
+def test_rel_quantiles_approx_bound_check_shape(spark):
+    """Pre-proves the r9 re-registration of ``rel_quantiles_approx``
+    (the same trick that turned ``agg_approx_distinct`` green in r8):
+    Spark verifies the sketch's RANK guarantee itself — the number of
+    group values strictly below (resp. at or below) the sketch
+    percentile must bracket the target rank p*n within the documented
+    n/accuracy rank error (+1 position of boundary slack; a VALUE-band
+    against the interpolating exact percentile is wrong at small n,
+    where the sketch returns an element but the band is narrower than
+    one inter-element gap — measured: p50 of one sf0.001 group fails
+    it). All-integer counts, so the booleans are deterministic on any
+    engine/partitioning; the DuckDB twin emits TRUE."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+    from oracle_utils import assert_parity
+
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    acc = 10_000
+    probs = (0.25, 0.5, 0.75)
+    mid = ", ".join(f"{p}D" for p in probs)
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ap = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({mid}), {acc})"
+        ).alias("ap")
+    )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    counted = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg
+            for i in range(len(probs))
+            for agg in (
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        < F.element_at("ap", i + 1)
+                    ).cast("long")
+                ).alias(f"lt{i}"),
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        <= F.element_at("ap", i + 1)
+                    ).cast("long")
+                ).alias(f"le{i}"),
+            )
+        ],
+    )
+    slack = F.ceil(F.col("n") / acc) + 1
+    checked = counted.select(
+        "l_returnflag",
+        *[
+            (
+                (F.col(f"lt{i}") <= probs[i] * F.col("n") + slack)
+                & (F.col(f"le{i}") >= probs[i] * F.col("n") - slack)
+            ).alias(f"p{int(probs[i] * 100)}_ok")
+            for i in range(len(probs))
+        ],
+    )
+    oracle = """
+    SELECT l_returnflag, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM lineitem GROUP BY l_returnflag
+    """
+    assert_parity(checked, oracle, SF_DIR)
+
+
+def test_tfidf_top_terms_planted_semantics(spark):
+    """Hand-checkable tf-idf ranking: a term unique to one doc outranks
+    a corpus-wide term at equal tf; rank<=k enforced; rounded-score
+    ties break by term ascending."""
+    from flink_audit_sessions_example_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common"),  # tf(rare)=1 df=1; tf(common)=2 df=3
+            (2, "common zz zz"),
+            (3, "common aa bb"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    assert len(rows) == 6  # 2 per doc
+    # doc 1: rare scores 1*(3/1)=3.0 > common 2*(3/3)=2.0
+    assert rows[(1, 1)].term == "rare" and rows[(1, 1)].score == 3.0
+    assert rows[(1, 2)].term == "common" and rows[(1, 2)].score == 2.0
+    # doc 2: zz 2*(3/1)=6.0 first
+    assert rows[(2, 1)].term == "zz" and rows[(2, 1)].score == 6.0
+    # doc 3: aa and bb tie at 3.0 -> alphabetical
+    assert rows[(3, 1)].term == "aa" and rows[(3, 2)].term == "bb"
+
+
+def test_tfidf_top_terms_matches_duckdb_and_plan(spark):
+    """Cross-engine parity on the real corpus (pre-proves a future
+    oracle registration) + the WindowGroupLimit scale gate: the
+    rank<=k filter must push a partial group-limit below the rank
+    exchange so map tasks forward at most k rows per document."""
+    from conftest import SF_DIR
+    from oracle_utils import assert_parity
+
+    from flink_audit_sessions_example_spark.operators.text import (
+        tfidf_top_terms,
+    )
+    from flink_audit_sessions_example_spark.plans.extended import _SQL_WORDS
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = tfidf_top_terms(docs, k=3)
+    sql = f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM w GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_term FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_term,
+             ROUND(tf.tf * (CAST(n.nd AS DOUBLE) / dfreq.df_term), 6)
+               AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+      ) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df_term, score, rank FROM ranked
+    WHERE rank <= 3
+    """
+    assert_parity(out, sql, SF_DIR)
+    plan_str = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan_str, plan_str
