@@ -787,6 +787,8 @@ def ngram_novelty_score(
     fault-tolerance trade as every pin (SCALING.md "localCheckpoint
     pin"): lost-executor recompute is forfeited for the pinned RDD.
     """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     sh = shingle_rows(df, id_col=id_col, text_col=text_col, k=k, with_n=True)
     if pin_shingles:
         sh = sh.localCheckpoint(eager=False)
@@ -800,10 +802,15 @@ def ngram_novelty_score(
                 "n_unique"
             ),
         )
+        # private key name: shingle_rows emits 'id', which would be
+        # AMBIGUOUS in the left join below whenever id_col == 'id'
+        .withColumnRenamed("id", "__novelty_id")
     )
     base = df.select(F.col(id_col))
     return (
-        base.join(per_doc, base[id_col] == per_doc["id"], "left")
+        base.join(
+            per_doc, base[id_col] == per_doc["__novelty_id"], "left"
+        )
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_shingles"), F.lit(0))
@@ -845,9 +852,11 @@ def tfidf_top_terms(
     Plan shape: one tokenize+explode pass aggregated to per-(doc,
     DISTINCT term) tf — the same Zipf-skew pre-collapse as
     :func:`corpus_freq_score` (repeated stopwords never cross an
-    exchange); document frequency and the corpus doc count N are
-    re-aggregations of that same aggregate (AQE ReuseExchange) and a
-    broadcast 1-row relation; the ``rank ≤ k`` filter compiles to
+    exchange); document frequency is a re-aggregation of that same
+    aggregate, while the corpus doc count N is a separate broadcast
+    1-row COUNT over the input relation (a column-pruned scan — NOT a
+    ReuseExchange of the tf subtree, since zero-word documents must
+    still count toward N); the ``rank ≤ k`` filter compiles to
     WindowGroupLimit, so each map task forwards at most ``k`` rows per
     document below the rank exchange. The term-key join shares the
     hot-stopword ledger in :func:`corpus_freq_score` (broadcast regime,

@@ -22,8 +22,9 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ROTATION PROTOCOL (no key goes two consecutive rounds unverified): at
 #: the start of round N, front-load (a) every key new or plan-changed in
 #: round N, then (b) every key whose last driver row is round N-2 (i.e.
-#: the keys rotated OUT of the N-1 window). With 96 keys and a 50-row
-#: window this is a clean 2-round cycle. The r8 front below = the 4 keys
+#: the keys rotated OUT of the N-1 window). With 98 keys and a 50-row
+#: window the cycle is 50 front + 48 tail, alternating each round.
+#: The r8 front below = the 4 keys
 #: new or registration-changed in r8 (``embed_quantize`` red-row retry,
 #: ``agg_approx_distinct`` bound-check re-registration,
 #: ``text_hashed_features`` / ``multimodal_phash_pairs`` first
@@ -36,8 +37,8 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: (``operators/text.py::ngram_novelty_score``, pytest-gated since r8
 #: with its DuckDB twin already parity-proven in
 #: ``tests/test_r8_ops.py::test_ngram_novelty_matches_duckdb``). r10
-#: candidate, same footing: ``tfidf_top_terms`` (parity-proven in
-#: ``test_tfidf_top_terms_matches_duckdb_and_plan``).
+#: candidates, same footing: ``tfidf_top_terms`` and
+#: ``funnel_stages`` (both parity-proven in ``tests/test_r8_ops.py``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

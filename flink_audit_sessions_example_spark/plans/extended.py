@@ -3615,8 +3615,13 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.perceptual_hash(docs)
 
 
-_MULTIMODAL_PHASH_ORACLE = f"""
-WITH img AS ({_PGM_IMG_SQL}),
+#: Shared CTE chain deriving the four 16-bit aHash bands per image —
+#: the single source of truth for BOTH the ``multimodal_phash`` oracle
+#: and the ``multimodal_phash_pairs`` oracle (a one-sided edit to the
+#: hash math would otherwise silently break the invariant that the
+#: pairs oracle verifies the same hash the phash oracle pins).
+#: Degenerate w=0/h=0 images keep their row with NULL bands.
+_PHASH_BANDS_SQL = f"""img AS ({_PGM_IMG_SQL}),
 px AS (
   SELECT doc_id, w, h,
          list_transform(string_split(raster, ''), c -> ascii(c)) AS p
@@ -3650,7 +3655,10 @@ px AS (
          CAST(list_sum(list_transform(generate_series(0, 15), t ->
               b[48 + t + 1] * (1::BIGINT << t))) AS BIGINT) AS hb3
   FROM bits
-)
+)"""
+
+_MULTIMODAL_PHASH_ORACLE = f"""
+WITH {_PHASH_BANDS_SQL}
 SELECT doc_id, hb0, hb1, hb2, hb3,
        printf('%04x%04x%04x%04x', hb0, hb1, hb2, hb3) AS phash
 FROM bands
@@ -3895,44 +3903,16 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MULTIMODAL_PHASH_PAIRS_ORACLE = f"""
-WITH img AS ({_PGM_IMG_SQL}),
-px AS (
-  SELECT doc_id, w, h,
-         list_transform(string_split(raster, ''), c -> ascii(c)) AS p
-  FROM img
-), ds AS (
-  SELECT doc_id,
-         CASE WHEN w > 0 AND h > 0 THEN
-           list_transform(generate_series(0, 63), k ->
-             p[ ((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 ])
-         END AS q
-  FROM px
-), s AS (
-  SELECT doc_id, q, CAST(list_sum(q) AS BIGINT) AS total FROM ds
-), bits AS (
-  SELECT doc_id,
-         CASE WHEN q IS NULL THEN NULL ELSE
-           list_transform(generate_series(0, 63), k ->
-             CASE WHEN 64 * q[k + 1] > total THEN 1 ELSE 0 END)
-         END AS b
-  FROM s
-), bands AS (
-  SELECT doc_id,
-         CAST(list_sum(list_transform(generate_series(0, 15), t ->
-              b[t + 1]  * (1::BIGINT << t))) AS BIGINT) AS hb0,
-         CAST(list_sum(list_transform(generate_series(0, 15), t ->
-              b[16 + t + 1] * (1::BIGINT << t))) AS BIGINT) AS hb1,
-         CAST(list_sum(list_transform(generate_series(0, 15), t ->
-              b[32 + t + 1] * (1::BIGINT << t))) AS BIGINT) AS hb2,
-         CAST(list_sum(list_transform(generate_series(0, 15), t ->
-              b[48 + t + 1] * (1::BIGINT << t))) AS BIGINT) AS hb3
-  FROM bits
-  WHERE b IS NOT NULL
+WITH {_PHASH_BANDS_SQL},
+nb AS (
+  -- degenerate NULL-band rows are excluded from pairing, matching the
+  -- operator's isNotNull guard (hb0 is NULL iff every band is)
+  SELECT doc_id, hb0, hb1, hb2, hb3 FROM bands WHERE hb0 IS NOT NULL
 ), e AS (
   SELECT doc_id, hb0, hb1, hb2, hb3, t.j,
          CASE t.j WHEN 0 THEN hb0 WHEN 1 THEN hb1
                   WHEN 2 THEN hb2 ELSE hb3 END AS v
-  FROM bands CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) t
+  FROM nb CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) t
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.hb0, b.hb0)) + bit_count(xor(a.hb1, b.hb1))

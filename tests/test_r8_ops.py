@@ -368,8 +368,6 @@ def test_rel_quantiles_approx_bound_check_shape(spark):
     one inter-element gap — measured: p50 of one sf0.001 group fails
     it). All-integer counts, so the booleans are deterministic on any
     engine/partitioning; the DuckDB twin emits TRUE."""
-    import math
-
     import pyspark.sql.functions as F
 
     from conftest import SF_DIR
@@ -498,3 +496,120 @@ def test_tfidf_top_terms_matches_duckdb_and_plan(spark):
     assert_parity(out, sql, SF_DIR)
     plan_str = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan_str, plan_str
+
+
+def test_ngram_novelty_id_col_named_id(spark):
+    """id_col='id' must not collide with shingle_rows' internal 'id'
+    output column (regression: AMBIGUOUS_REFERENCE in the left join)."""
+    from flink_audit_sessions_example_spark.operators.text import (
+        ngram_novelty_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "id bigint, text string"
+    )
+    out = {r.id: r for r in ngram_novelty_score(docs, id_col="id").collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+
+
+def test_funnel_stages_planted_semantics(spark):
+    """Ordered-funnel ground truth: out-of-order events don't convert,
+    the reach is the FIRST qualifying event, and the conversion window
+    stalls a too-slow stage."""
+    from datetime import datetime as dt
+
+    from flink_audit_sessions_example_spark.operators.corpus import (
+        funnel_stages,
+    )
+
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, 1, dt(2024, 1, 1, 10), "view", None, None),
+        (2, 1, dt(2024, 1, 1, 11), "click", None, None),
+        (3, 1, dt(2024, 1, 1, 12), "purchase", None, None),
+        # user 2: purchase BEFORE the click -> only 2 stages complete
+        (4, 2, dt(2024, 1, 1, 10), "view", None, None),
+        (5, 2, dt(2024, 1, 1, 10, 30), "purchase", None, None),
+        (6, 2, dt(2024, 1, 1, 11), "click", None, None),
+        # user 3: click precedes any view -> stalls at stage 1; the
+        # SECOND click (after the view) converts
+        (7, 3, dt(2024, 1, 1, 9), "click", None, None),
+        (8, 3, dt(2024, 1, 1, 10), "view", None, None),
+        (9, 3, dt(2024, 1, 1, 13), "click", None, None),
+        # user 4: never views
+        (10, 4, dt(2024, 1, 1, 10), "click", None, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        r.user_id: r
+        for r in funnel_stages(ev, ("view", "click", "purchase")).collect()
+    }
+    assert out[1].stages_completed == 3
+    assert out[2].stages_completed == 2  # early purchase doesn't count
+    assert out[3].stages_completed == 2
+    assert out[3].reach_2 == dt(2024, 1, 1, 13)  # post-view click only
+    assert out[4].stages_completed == 0
+    # 2-hour conversion window: user 3's 3-hour view->click stalls
+    windowed = {
+        r.user_id: r
+        for r in funnel_stages(
+            ev, ("view", "click", "purchase"), within="2 hours"
+        ).collect()
+    }
+    assert windowed[1].stages_completed == 3
+    assert windowed[3].stages_completed == 1
+
+
+def test_funnel_stages_matches_duckdb_and_single_exchange(spark):
+    """The one-window formulation must equal the sequential-join
+    formulation cross-engine (1-day conversion window — selective on
+    this corpus: completion splits ~60/23/17%), and the plan must show
+    the single-exchange / single-sort shape the docstring claims."""
+    from conftest import SF_DIR
+    from oracle_utils import assert_parity
+
+    from flink_audit_sessions_example_spark.operators.corpus import (
+        funnel_stages,
+    )
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = funnel_stages(
+        ev, ("view", "click", "purchase"), within="1 day"
+    )
+    oracle = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 1 DAY
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 1 DAY
+      GROUP BY 1
+    ), u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, s1.t1 AS reach_1, s2.t2 AS reach_2,
+           s3.t3 AS reach_3,
+           CAST((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+                + (s3.t3 IS NOT NULL)::INT AS BIGINT)
+             AS stages_completed
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    """
+    assert_parity(out, oracle, SF_DIR)
+    out2 = funnel_stages(ev, ("view", "click", "purchase"), within="1 day")
+    out2.collect()
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("Sort ") <= 1 or final.count("Sort [") == 1, final
