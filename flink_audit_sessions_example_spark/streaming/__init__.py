@@ -10,6 +10,7 @@ sink dispatch (console / Kafka / memory), and the query lifecycle
 from .attribution import stream_first_touch
 from .custom_state import audit_denied_sessions_custom_state
 from .dedup_stream import stream_minhash_candidates
+from .funnel import stream_funnel_stages
 from .joins import denied_near_allowed, stream_interval_join
 from .pipeline import (
     start_session_query,
@@ -23,6 +24,7 @@ __all__ = [
     "audit_denied_sessions_custom_state",
     "stream_first_touch",
     "stream_minhash_candidates",
+    "stream_funnel_stages",
     "denied_near_allowed",
     "stream_interval_join",
     "stream_denied_sessions",

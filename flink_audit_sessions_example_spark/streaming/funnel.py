@@ -1,0 +1,130 @@
+"""Streaming funnel attribution — ``applyInPandasWithState``.
+
+The batch twin is ``operators/corpus.py::funnel_stages`` (ordered
+multi-stage conversion with an optional conversion window, one window
+pass). This module keeps the funnel CONTINUOUSLY: per-user state is the
+reached-stage prefix — at most k epoch-micro timestamps — updated per
+micro-batch and emitted in update mode whenever a user's funnel
+advances.
+
+Contracts, stated plainly:
+
+- **O(1) state per user.** The state is the reach-time prefix (≤ k
+  longs), never an event buffer — a hot user costs the rows they ship,
+  not storage.
+- **Exact under per-user event-time order; late data is a ratchet,
+  not a rebase.** When a user's events arrive in nondecreasing
+  event-time order (per-batch input is sorted on ``(ts, id)``
+  internally), the emitted funnel is IDENTICAL to the batch operator
+  over the union of all batches (pytest-pinned). A LATE event with an
+  earlier timestamp than an already-recorded reach cannot re-base the
+  funnel: re-deriving downstream stages from a moved reach needs the
+  full event history, which O(1) state cannot hold by design. The
+  batch twin is the retroactive ground truth; run it over the at-rest
+  corpus when late data matters, exactly like the first-touch pair
+  (``streaming/attribution.py`` IS retroactive because its aggregate
+  is a plain min — a funnel's stages are not independent mins).
+- **No timeout.** A funnel is a lifetime metric like first-touch;
+  evict via the state-store TTL knobs if the product defines a
+  staleness horizon.
+
+At scale: one shuffle on the user key per micro-batch and ≤ k longs of
+state per user — the same exchange the batch window pays once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STATE_SCHEMA = "reaches array<bigint>"
+
+
+def _make_funnel_fn(stages: tuple[str, ...], within_us: int | None):
+    k = len(stages)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        reaches: list[int] = list(state.get[0]) if state.exists else []
+        advanced = False
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["ts", "event_id"])
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+            )
+            for t, typ in zip(ts_us, pdf["event_type"]):
+                if len(reaches) >= k:
+                    break
+                if typ != stages[len(reaches)]:
+                    continue
+                if reaches:
+                    if t <= reaches[-1]:
+                        continue
+                    if within_us is not None and t > reaches[-1] + within_us:
+                        continue
+                reaches.append(int(t))
+                advanced = True
+        if advanced:
+            state.update((reaches,))
+            row = {
+                "user_id": [key[0]],
+                "stages_completed": [len(reaches)],
+            }
+            for i in range(k):
+                row[f"reach_{i + 1}"] = pd.to_datetime(
+                    [reaches[i] if i < len(reaches) else None], unit="us"
+                )
+            yield pd.DataFrame(row)
+
+    return fn
+
+
+def stream_funnel_stages(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    *,
+    within: str | None = None,
+) -> DataFrame:
+    """Continuously-maintained ordered funnel per user (update mode;
+    see module docstring for the O(1)-state and in-order-exactness
+    contracts). ``within`` is the conversion window as ``(value,
+    unit)``-style interval literal, e.g. ``"1 day"`` — same semantics
+    as the batch twin."""
+    if len(stages) < 2:
+        raise ValueError(f"need at least 2 stages, got {len(stages)!r}")
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"stages must be distinct, got {stages!r}")
+    within_us = None
+    if within is not None:
+        # reuse Spark's own interval parser so "1 day"/"36 hours"/etc.
+        # mean exactly what the batch operator's INTERVAL literal means:
+        # add the interval to the epoch and read off the micros (a bare
+        # CAST(INTERVAL AS BIGINT) returns the count in the interval's
+        # own unit, not micros)
+        sess = events.sparkSession
+        # difference form so a non-UTC session timezone cancels out
+        within_us = sess.sql(
+            f"SELECT unix_micros(t + INTERVAL {within}) - unix_micros(t) "
+            "FROM (SELECT CAST('1970-01-01 00:00:00' AS TIMESTAMP) AS t)"
+        ).collect()[0][0]
+        if not within_us or within_us <= 0:
+            raise ValueError(f"not a positive interval: {within!r}")
+    out_schema = (
+        "user_id bigint, stages_completed int, "
+        + ", ".join(f"reach_{i + 1} timestamp" for i in range(len(stages)))
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_funnel_fn(tuple(stages), within_us),
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -613,3 +613,169 @@ def test_funnel_stages_matches_duckdb_and_single_exchange(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final
     assert final.count("Sort ") <= 1 or final.count("Sort [") == 1, final
+
+
+def test_stream_funnel_fn_advances_and_is_order_exact():
+    """Unit drive of the funnel state fn: advance across batches,
+    ignore wrong-stage / out-of-order rows, honor the conversion
+    window, emit only on advancement."""
+    from flink_audit_sessions_example_spark.streaming.funnel import (
+        _make_funnel_fn,
+    )
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_id": [r[1] for r in rows],
+                "ts": pd.to_datetime([r[2] for r in rows]),
+                "event_type": [r[3] for r in rows],
+            }
+        )
+
+    fn = _make_funnel_fn(("view", "click", "purchase"), None)
+    state = FakeState()
+    out = list(
+        fn(
+            (7,),
+            iter([pdf([(7, 1, "2024-01-01 10:00", "view"),
+                       (7, 2, "2024-01-01 09:00", "purchase")])]),
+            state,
+        )
+    )
+    assert len(out) == 1 and out[0].iloc[0]["stages_completed"] == 1
+    # batch 2: a click after the view advances; purchase at the SAME ts
+    # as the click does not (strict >)
+    out = list(
+        fn(
+            (7,),
+            iter([pdf([(7, 3, "2024-01-01 11:00", "click"),
+                       (7, 4, "2024-01-01 11:00", "purchase")])]),
+            state,
+        )
+    )
+    assert out[0].iloc[0]["stages_completed"] == 2
+    # batch 3: nothing qualifying -> no emission
+    assert list(fn((7,), iter([pdf([(7, 5, "2024-01-01 10:30", "click")])]), state)) == []
+    # conversion window: purchase 3 days after the click stalls
+    fnw = _make_funnel_fn(("view", "click", "purchase"), 86_400_000_000)
+    st2 = FakeState(value=(list(state.get[0]),))
+    assert list(fnw((7,), iter([pdf([(7, 6, "2024-01-04 11:00", "purchase")])]), st2)) == []
+    out = list(fnw((7,), iter([pdf([(7, 7, "2024-01-02 10:59", "purchase")])]), st2))
+    assert out[0].iloc[0]["stages_completed"] == 3
+
+
+def test_stream_funnel_matches_batch_twin(spark, tmp_path):
+    """In-order cross-micro-batch streaming funnel must equal the batch
+    operator over the union of all batches (the module's exactness
+    contract), including the conversion window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_audit_sessions_example_spark.operators.corpus import (
+        funnel_stages,
+    )
+    from flink_audit_sessions_example_spark.streaming import (
+        stream_funnel_stages,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    sch = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("event_type", pa.string())]
+    )
+    from datetime import datetime as dt
+
+    b1 = [(1, 1, dt(2024, 1, 1, 10), "view"),
+          (2, 2, dt(2024, 1, 1, 10), "view"),
+          (3, 2, dt(2024, 1, 1, 10, 30), "click")]
+    b2 = [(4, 1, dt(2024, 1, 2, 9), "click"),   # within 1 day of view
+          (5, 1, dt(2024, 1, 2, 10), "purchase"),
+          (6, 2, dt(2024, 1, 3, 11), "purchase")]  # > 1 day after click
+    for name, rows in (("b1.parquet", b1), ("b2.parquet", b2)):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(("event_id", "user_id", "ts", "event_type"), r))
+                 for r in rows],
+                sch,
+            ),
+            str(d / name),
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp, "
+            "event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_funnel_stages(
+            stream, ("view", "click", "purchase"), within="1 day"
+        )
+        .writeStream.format("memory")
+        .queryName("t_funnel_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.table("t_funnel_stream").collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.stages_completed > cur.stages_completed:
+            latest[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in funnel_stages(
+            spark.createDataFrame(
+                b1 + b2,
+                "event_id bigint, user_id bigint, ts timestamp, "
+                "event_type string",
+            ),
+            ("view", "click", "purchase"),
+            within="1 day",
+        ).collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, b in batch.items():
+        srow = latest[uid]
+        assert srow.stages_completed == b.stages_completed, uid
+        for i in range(1, 4):
+            assert getattr(srow, f"reach_{i}") == getattr(b, f"reach_{i}"), (
+                uid,
+                i,
+            )
+
+
+def test_ngram_novelty_pin_plan_shape(spark):
+    """Novelty pin gate (the dedup_ngram model): with the pin, the
+    consumer plan reads the checkpointed shingle rows (no parquet scan
+    of documents except the doc_id base relation, no Python stage —
+    the tokenizer ran once inside the pinned lineage); without the
+    pin, the probe side re-runs the Arrow pass (2x MapInPandas), which
+    is exactly what the pin exists to prevent."""
+    from conftest import SF_DIR
+
+    from flink_audit_sessions_example_spark.operators.text import (
+        ngram_novelty_score,
+    )
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    pinned = ngram_novelty_score(docs)
+    pinned.collect()
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 0, plan.count("MapInPandas")
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+    # the one allowed parquet scan is the doc_id base of the left join
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 1, final
+
+    unpinned = ngram_novelty_score(docs, pin_shingles=False)
+    unpinned.collect()
+    plan2 = unpinned._jdf.queryExecution().executedPlan().toString()
+    final2 = plan2.split("== Initial Plan ==")[0]
+    assert final2.count("MapInPandas") == 2, final2.count("MapInPandas")
