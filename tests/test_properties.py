@@ -240,3 +240,88 @@ def test_latest_by_key_matches_reference(spark, rows):
         if k not in want or key > want[k][0]:
             want[k] = (key, (ts, eid, p))
     assert got == {k: v for k, (_, v) in want.items()}
+
+
+def _ref_funnel(events, stages, within_s=None):
+    """Independent pure-Python funnel: per user, sort by (ts, eid) and
+    advance a stage automaton — stage i at the first stages[i] event
+    strictly after reach_{i-1} (and within the conversion window)."""
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for uid, eid, ts, typ in events:
+        by_user.setdefault(uid, []).append((ts, eid, typ))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        reaches: list[int] = []
+        for ts, _eid, typ in evs:
+            if len(reaches) >= len(stages):
+                break
+            if typ != stages[len(reaches)]:
+                continue
+            if reaches:
+                if ts <= reaches[-1]:
+                    continue
+                if within_s is not None and ts > reaches[-1] + within_s:
+                    continue
+            reaches.append(ts)
+        out[uid] = reaches
+    return out
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user
+        st.integers(min_value=0, max_value=10_000),  # event id (unique-ish)
+        st.integers(min_value=0, max_value=600),  # ts seconds
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: t[1],  # distinct event ids
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=funnel_events, within=st.sampled_from([None, 120]))
+def test_funnel_stages_matches_reference(spark, events, within):
+    """funnel_stages (the one-window formulation) against a pure-Python
+    stage automaton, with and without a conversion window, over
+    adversarial shapes: duplicate timestamps, events before any stage-1,
+    interleaved users, exact-window-boundary gaps."""
+    from flink_audit_sessions_example_spark.operators.corpus import (
+        funnel_stages,
+    )
+
+    stages = ("view", "click", "purchase")
+    rows = [
+        (eid, uid, EPOCH + dt.timedelta(seconds=ts), typ)
+        for uid, eid, ts, typ in events
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string",
+    )
+    got = {
+        r.user_id: [
+            getattr(r, f"reach_{i + 1}")
+            for i in range(3)
+            if getattr(r, f"reach_{i + 1}") is not None
+        ]
+        for r in funnel_stages(
+            ev,
+            stages,
+            within=None if within is None else f"{within} seconds",
+        ).collect()
+    }
+    # reference works in epoch seconds; convert its reaches to datetimes
+    ref = {
+        uid: [EPOCH + dt.timedelta(seconds=t) for t in reaches]
+        for uid, reaches in _ref_funnel(
+            [(u, e, t, ty) for u, e, t, ty in events], stages, within
+        ).items()
+    }
+    assert got == ref
