@@ -315,6 +315,112 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# Span-level (substring) dedup
+# --------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    scope: str = "cross",
+    pin_shingles: bool = True,
+) -> DataFrame:
+    """``dedup_spans`` — substring-level duplicate detection: the maximal
+    token spans covered by duplicated word-``k``-shingles.
+
+    Document-level dedup (exact / minhash / simhash / ngram-Jaccard)
+    misses PARTIAL duplication — the boilerplate header pasted into a
+    million otherwise-distinct pages, the quoted paragraph, the
+    templated footer. Span-level dedup finds the duplicated REGIONS.
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") locate exact duplicated substrings with a corpus suffix
+    array; the w-gram formulation here is its join-friendly equivalent:
+    a token is in a reported span iff some duplicated ``k``-gram covers
+    it, so every duplicated substring of length ≥ ``k`` is recovered in
+    full (shorter ones are below the resolution — the suffix-array
+    method's length threshold plays the same role).
+
+    Plan — 3 exchanges, no all-pairs join, no unbounded task state:
+
+    1. :func:`~.text.positioned_shingle_rows` — narrow Arrow tokenizer
+       pass emitting ``(id, pos, sh)`` per shingle occurrence.
+    2. Duplicated-shingle set: ``groupBy(sh).agg(min(id), max(id),
+       count)``. Deliberately NOT ``count_distinct(id)``: min/max/count
+       have O(1) agg state and full map-side partial aggregation, so a
+       boilerplate shingle occurring in 10M documents costs each map
+       task ONE shuffle row — no distinct expansion, no hot-reducer
+       blowup. ``scope='cross'`` keeps shingles seen in ≥2 distinct
+       documents (``min(id) != max(id)``); ``scope='any'`` keeps any
+       repeat, including within one document (``count >= 2``).
+    3. Join occurrences back on ``sh`` (shuffle join; a hot shingle's
+       probe rows split under AQE skew handling — the build side is one
+       row per key).
+    4. Per-doc maximal-interval merge (gaps-and-islands): ONE window
+       over ``(id ORDER BY pos)`` serving both ``lag`` and the running
+       island sum; islands break where the next duplicated shingle
+       starts more than ``k`` after the previous (coverage gap). The
+       final ``groupBy(id, island)`` reuses the window's hash
+       partitioning on ``id`` — no fourth exchange.
+
+    ``pin_shingles=True`` (default) pins the Arrow pass with a lazy
+    ``localCheckpoint``: steps 2 and 3 are two consumers of the same
+    MapInPandas subtree feeding DIFFERENT exchanges, and without the pin
+    the tokenizer runs twice (ReuseExchange only deduplicates identical
+    exchanges).
+
+    Output: one row per maximal duplicated span —
+    ``(id_col, span_start, span_end, span_len, n_dup_shingles)``, token
+    indices 0-based, both ends inclusive.
+    """
+    from .text import positioned_shingle_rows
+
+    if scope not in ("cross", "any"):
+        raise ValueError(f"scope must be 'cross' or 'any', got {scope!r}")
+    occ = positioned_shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
+    if pin_shingles:
+        occ = occ.localCheckpoint(eager=False)
+    stats = occ.groupBy("sh").agg(
+        F.min("id").alias("_mn"),
+        F.max("id").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dup_cond = (
+        F.col("_n") >= 2
+        if scope == "any"
+        else F.col("_mn") != F.col("_mx")
+    )
+    dup = stats.where(dup_cond).select("sh")
+    hits = occ.join(dup, "sh")
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    island = F.sum(
+        F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        hits.withColumn("_island", island)
+        .groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_dup_shingles",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH banding (sub-quadratic scale path)
 # --------------------------------------------------------------------------
 

@@ -515,6 +515,45 @@ def shingle_rows(
     ).mapInPandas(gen, schema)
 
 
+def positioned_shingle_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int,
+) -> DataFrame:
+    """All word-``k``-shingle OCCURRENCES with token positions:
+    ``(id, pos, sh)`` rows, ``pos`` = 0-based index of the shingle's
+    first token.
+
+    Unlike :func:`shingle_rows` (DISTINCT shingles, for set-similarity),
+    every occurrence is kept — span-level dedup has to map duplicated
+    shingles back to WHERE they occur, and a shingle repeated within one
+    document marks two regions. Same Arrow-batched tokenizer, same token
+    semantics (lowercase, Java-``\\s`` runs — see ``_JAVA_WS``); docs
+    shorter than ``k`` words yield nothing.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            shingles: list = []
+            for i, w in _py_word_lists(pdf["_id"], pdf["_text"], k):
+                n = len(w) - k + 1
+                ids.extend([i] * n)
+                poss.extend(range(n))
+                shingles.extend(
+                    " ".join(w[j : j + k]) for j in range(n)
+                )
+            yield pd.DataFrame({"id": ids, "pos": poss, "sh": shingles})
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(gen, "id long, pos long, sh string")
+
+
 def hashed_shingle_rows(
     df: DataFrame,
     *,
