@@ -83,3 +83,99 @@ def approx_quantiles_by(
             for i, p in enumerate(probabilities)
         ],
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = 20,
+    capacity: int = 256,
+) -> DataFrame:
+    """``agg_heavy_hitters`` — approximate top-k most frequent values
+    (batched Misra-Gries summaries) with a DETERMINISTIC error bound.
+
+    The exact formulation (``groupBy(key).count()`` then top-k) shuffles
+    one row per distinct key; at 100 TB over an unbounded key domain
+    (words, URLs, user agents) that is the whole corpus. Misra-Gries
+    keeps ≤ ``capacity`` counters per task and is a MERGEABLE summary
+    (Agarwal et al., PODS'12): per-partition summaries sum key-wise and
+    the bounds ADD, so the plan is one narrow Arrow pass emitting
+    ≤ ``capacity`` rows per task + a summary-sized aggregation — the
+    shuffle carries tasks × capacity rows, independent of both the row
+    count and the key cardinality.
+
+    Guarantees (the contract the tests pin, with W = retained summary
+    weight, N = non-null input rows, both computed in the same pass):
+
+    - ``est ≤ true ≤ est + err_bound`` for every reported key, with
+      ``err_bound = floor((N − W) / (capacity + 1))``. Each batched
+      compression subtracts the (capacity+1)-th largest counter value v
+      from every counter, discarding ≥ (capacity+1)·v total weight while
+      any single key loses ≤ v — so a key's cumulative deficit is at
+      most the partition's discarded weight / (capacity+1), and deficits
+      sum across partitions into the global bound.
+    - every key with true count > err_bound survives into the merged
+      summary (a key absent from a partition's summary has lost its
+      whole local count to deficits). The top-``k`` cut can still drop
+      it: the MERGED summary holds up to tasks × capacity keys, so the
+      membership guarantee transfers to the output only when ``k`` is at
+      least that (pass a large ``k`` to keep the full summary; the
+      summary is tiny either way).
+
+    Plan: scan → ``mapInPandas`` (pandas ``value_counts`` per batch +
+    vectorized compression; one meta row per task carries N_p) →
+    lazy-``localCheckpoint`` pin (the totals row and the per-key sum are
+    two consumers feeding different exchanges — unpinned, the full scan
+    runs twice) → tiny hash agg + broadcast of the 1-row totals.
+
+    Output: ``(key, est, err_bound)``, top-k by ``est`` (desc, key
+    tiebreak), key cast to string, NULL keys ignored.
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+    if cap < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    def gen(batches):
+        counters: pd.Series | None = None
+        n = 0
+        for pdf in batches:
+            vc = pdf["_k"].value_counts()  # drops NULL keys
+            n += int(vc.sum())
+            counters = (
+                vc if counters is None else counters.add(vc, fill_value=0)
+            )
+            if len(counters) > cap:
+                v = counters.nlargest(cap + 1).iloc[-1]
+                c = counters - v
+                counters = c[c > 0]
+        keys = [] if counters is None else list(counters.index)
+        ws = [] if counters is None else [int(x) for x in counters.values]
+        yield pd.DataFrame(
+            {
+                "key": keys + [None],
+                "w": ws + [0],
+                "n": [0] * len(keys) + [n],
+            }
+        )
+
+    summ = df.select(F.col(key_col).cast("string").alias("_k")).mapInPandas(
+        gen, "key string, w long, n long"
+    )
+    summ = summ.localCheckpoint(eager=False)
+    totals = summ.agg(F.sum("n").alias("_N"), F.sum("w").alias("_W"))
+    est = (
+        summ.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("w").alias("est"))
+    )
+    topk = est.orderBy(F.desc("est"), "key").limit(k)
+    return topk.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "est",
+        F.floor((F.col("_N") - F.col("_W")) / F.lit(cap + 1))
+        .cast("bigint")
+        .alias("err_bound"),
+    )
