@@ -39,6 +39,15 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ``tests/test_r8_ops.py::test_ngram_novelty_matches_duckdb``). r10
 #: candidates, same footing: ``tfidf_top_terms`` and
 #: ``funnel_stages`` (both parity-proven in ``tests/test_r8_ops.py``).
+#: r11+ queue (parity-proven in their own test files, registration
+#: budget permitting — the registry crosses 100 keys there, so the
+#: rotation stretches past strict 2-round coverage for the oldest
+#: stable keys; front-load by staleness order when that happens):
+#: ``dedup_spans`` (``duplicated_spans``, ``tests/test_span_dedup.py``),
+#: ``agg_heavy_hitters`` (bound-check shape,
+#: ``tests/test_heavy_hitters.py::test_corpus_words_vs_duckdb_exact``),
+#: ``layout_zorder`` (exact mode,
+#: ``tests/test_zorder.py::test_exact_boundaries_match_duckdb``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

@@ -325,3 +325,75 @@ def test_funnel_stages_matches_reference(spark, events, within):
         ).items()
     }
     assert got == ref
+
+
+def _ref_tfidf(texts: dict[int, str], k: int):
+    """Independent tf-idf top-k: tokenization (lower, split on ws runs),
+    raw-idf score rounded to 6dp, rank on the ROUNDED score with term
+    tie-break — the exact contract of tfidf_top_terms."""
+    n = len(texts)
+    tf: dict[int, dict[str, int]] = {}
+    for i, t in texts.items():
+        words = t.lower().split()
+        if words:
+            d = tf.setdefault(i, {})
+            for w in words:
+                d[w] = d.get(w, 0) + 1
+    df_term: dict[str, int] = {}
+    for d in tf.values():
+        for w in d:
+            df_term[w] = df_term.get(w, 0) + 1
+    out = {}
+    for i, d in tf.items():
+        scored = sorted(
+            (
+                (round(c * (n / df_term[w]), 6), w, c)
+                for w, c in d.items()
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[i] = [
+            (w, c, df_term[w], s, r + 1)
+            for r, (s, w, c) in enumerate(scored[:k])
+        ]
+    return out
+
+
+tfidf_corpus = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=7),
+    values=st.lists(
+        st.sampled_from(["apple", "bee", "cat", "dog", "e1", "fig"]),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=tfidf_corpus, k=st.sampled_from([1, 3, 10]))
+def test_tfidf_top_terms_matches_reference(spark, texts, k):
+    """tfidf_top_terms against an independent pure-Python scorer over
+    adversarial corpora: empty documents (count toward N, emit no
+    rows), every-doc terms (df = N, score = tf), tied scores resolved
+    by term order, k larger than the vocabulary."""
+    from flink_audit_sessions_example_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got: dict[int, list] = {}
+    for r in tfidf_top_terms(df, k=k).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.term, r.tf, r.df_term, r.score, r.rank)
+        )
+    for rows in got.values():
+        rows.sort(key=lambda t: t[4])
+    assert got == _ref_tfidf(texts, k)
