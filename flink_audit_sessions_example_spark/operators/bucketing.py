@@ -148,6 +148,15 @@ def zorder_key(
         raise ValueError(
             "z-order needs >= 2 columns (one column: just sort by it)"
         )
+    if bits * len(cols) > 63:
+        # bit position 63 is the bigint sign bit (top-bucket rows would
+        # sort FIRST) and Java shifts wrap mod 64 (position 65 collides
+        # with 1) — either silently destroys the layout
+        raise ValueError(
+            f"bits * len(cols) must be <= 63 to fit a signed 64-bit "
+            f"zkey, got {bits} * {len(cols)} = {bits * len(cols)}; "
+            f"lower bits or drop columns"
+        )
     n_buckets = 1 << bits
     if boundaries is None:
         probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -164,6 +173,12 @@ def zorder_key(
                 for c in cols
             ]
         ).first()
+        for c in cols:
+            if row[c] is None:
+                raise ValueError(
+                    f"cannot derive z-order boundaries for {c!r}: "
+                    "empty input or all-NULL column"
+                )
         boundaries = {c: [float(x) for x in row[c]] for c in cols}
     for c in cols:
         b = boundaries[c]
@@ -201,8 +216,12 @@ def zorder_layout(
     file — what makes footer min/max stats selective) + a
     ``sortWithinPartitions`` so row groups inside each file stay
     clustered too."""
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError(
+            f"num_partitions must be >= 1, got {num_partitions}"
+        )
     out = zorder_key(df, cols, bits=bits, boundaries=boundaries)
-    parts = [num_partitions] if num_partitions else []
+    parts = [] if num_partitions is None else [num_partitions]
     return out.repartitionByRange(*parts, "zkey").sortWithinPartitions(
         "zkey"
     )

@@ -379,6 +379,10 @@ def duplicated_spans(
 
     if scope not in ("cross", "any"):
         raise ValueError(f"scope must be 'cross' or 'any', got {scope!r}")
+    if k < 1:
+        # k=0 would make every position an empty-string shingle shared
+        # by ALL documents (whole corpus one giant "duplicated span")
+        raise ValueError(f"k must be >= 1, got {k}")
     occ = positioned_shingle_rows(df, id_col=id_col, text_col=text_col, k=k)
     if pin_shingles:
         occ = occ.localCheckpoint(eager=False)

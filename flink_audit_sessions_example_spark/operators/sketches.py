@@ -137,6 +137,11 @@ def heavy_hitters(
     cap = int(capacity)
     if cap < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if k < 1:
+        # limit(0) would silently return an empty "top keys" answer
+        # indistinguishable from an empty input; negative k dies as an
+        # opaque AnalysisException at action time
+        raise ValueError(f"k must be >= 1, got {k}")
 
     def gen(batches):
         counters: pd.Series | None = None

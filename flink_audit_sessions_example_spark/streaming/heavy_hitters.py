@@ -37,7 +37,11 @@ Contracts:
   monotonic arrival count). Consumers keep the rows with the max
   ``ver`` per bucket — a key dropped by compression disappears from the
   next emission, and latest-wins semantics retract it (a latest-per-
-  (bucket, key) view would keep stale dropped rows).
+  (bucket, key) view would keep stale dropped rows). When compression
+  empties a bucket's summary entirely, the bucket emits ONE NULL-key
+  marker row (est 0) at the new ``ver`` — consumers treat a max-ver
+  NULL-key row as "no keys currently reported", so retraction still
+  happens.
 - **At-least-once caveat**: a re-delivered input row is re-counted —
   counts here are arrival counts. Deduplicate upstream
   (``stream_dedup``) when exactly-once counting matters.
@@ -81,8 +85,8 @@ def _make_hh_fn(capacity: int):
 
         w = sum(counters.values())
         state.update((list(counters), list(counters.values()), n))
+        bound = (n - w) // (capacity + 1)
         if counters:
-            bound = (n - w) // (capacity + 1)
             yield pd.DataFrame(
                 {
                     "bucket": [bucket] * len(counters),
@@ -90,6 +94,23 @@ def _make_hh_fn(capacity: int):
                     "est": list(counters.values()),
                     "err_bound": [bound] * len(counters),
                     "ver": [n] * len(counters),
+                }
+            )
+        elif n:
+            # compression can empty the whole summary (e.g. an all-
+            # distinct batch at small capacity). A silent skip would
+            # leave latest-wins consumers holding the PREVIOUS summary
+            # as current — stale rows whose est/bound claims no longer
+            # hold. Emit an explicit empty-summary marker (NULL key) so
+            # the retraction contract survives: max-ver rows with a
+            # NULL key mean "this bucket currently reports no keys".
+            yield pd.DataFrame(
+                {
+                    "bucket": [bucket],
+                    "key": [None],
+                    "est": [0],
+                    "err_bound": [bound],
+                    "ver": [n],
                 }
             )
 

@@ -71,6 +71,8 @@ def test_bound_holds_beyond_capacity(spark):
 def test_capacity_validation(spark):
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitters(_df(spark, ["a"]), "k", capacity=0)
+    with pytest.raises(ValueError, match="k must"):
+        heavy_hitters(_df(spark, ["a"]), "k", k=0)
 
 
 @settings(
@@ -98,7 +100,14 @@ def test_mg_invariants_random(spark, values, cap, parts):
     out = heavy_hitters(
         _df(spark, values, parts), "k", k=10_000, capacity=cap
     ).collect()
-    bound = out[0].err_bound if out else 0
+    if not out:
+        # compression can legitimately empty every partition's summary
+        # (e.g. an all-distinct stream at small capacity); the rows
+        # carry the bound, so with none emitted assert the conservative
+        # W=0 form of the guarantee instead of a bogus bound=0
+        assert max(true.values()) <= len(values) // (cap + 1)
+        return
+    bound = out[0].err_bound
     got = {r.key: r.est for r in out}
     for key, est in got.items():
         assert est <= true[key] <= est + bound

@@ -107,6 +107,10 @@ def test_duplicated_spans_scope(spark):
     assert got == {(1, 0): (2, 3), (1, 5): (7, 3)}
     with pytest.raises(ValueError, match="scope"):
         duplicated_spans(docs, scope="both")
+    # k=0 would make every position an empty-string shingle shared by
+    # every document (the whole corpus one "duplicated span")
+    with pytest.raises(ValueError, match="k must"):
+        duplicated_spans(docs, k=0)
 
 
 def test_duplicated_spans_matches_duckdb(spark):

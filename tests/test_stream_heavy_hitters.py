@@ -2,10 +2,11 @@
 (`streaming/heavy_hitters.py::stream_heavy_hitters`).
 
 Gates: (a) the state fn driven directly — fold, compress, carry state,
-emission shape; (b) checkpointed cross-micro-batch e2e — exact
-arrival counts when the bucket fits capacity (state survives restart),
-and the est/bound/membership invariants under forced compression;
-(c) input validation and NULL-key handling.
+emission shape, and the NULL-key empty-summary marker (retraction when
+compression empties a bucket); (b) checkpointed cross-micro-batch e2e —
+exact arrival counts when the bucket fits capacity (state survives
+restart, NULL input keys ignored), and the est/bound/membership
+invariants under forced compression; (c) input validation.
 """
 
 from __future__ import annotations
@@ -58,6 +59,22 @@ def test_fn_exact_within_capacity_and_state_carries():
     assert got == {"a": (2, 0, 5), "b": (3, 0, 5)}
 
 
+def test_fn_empty_summary_emits_null_key_marker():
+    """When compression empties the whole summary, the bucket must emit
+    a NULL-key marker at the new ver — a silent skip would leave
+    latest-wins consumers holding the previous summary as current
+    (stale est/bound claims)."""
+    fn = _make_hh_fn(2)
+    state = FakeState()
+    got = _drive(fn, state, ["a"])
+    assert got == {"a": (1, 0, 1)}
+    # fold {a:2, x:2, y:2} -> v=2 subtracts everything away
+    got = _drive(fn, state, ["a", "x", "x", "y", "y"])
+    assert got == {None: (0, 2, 6)}  # marker: est 0, bound (6-0)//3, ver 6
+    keys, ws, n = state.get
+    assert (list(keys), list(ws), n) == ([], [], 6)
+
+
 def test_fn_compression_bound_and_retraction():
     """Force compression: capacity 2, four distinct keys. The dominant
     key survives with an underestimate inside the bound; a squeezed-out
@@ -106,10 +123,13 @@ def _run_phases(spark, tmp_path, phases, *, capacity, n_buckets):
         def sink(batch_df, _epoch):
             for r in batch_df.collect():
                 ver, summ = latest.get(r.bucket, (-1, {}))
+                # NULL key = empty-summary marker (see module contract):
+                # replace with an empty dict, store no key row
+                row = {} if r.key is None else {r.key: (r.est, r.err_bound)}
                 if r.ver > ver:
-                    latest[r.bucket] = (r.ver, {r.key: (r.est, r.err_bound)})
+                    latest[r.bucket] = (r.ver, row)
                 elif r.ver == ver:
-                    summ[r.key] = (r.est, r.err_bound)
+                    summ.update(row)
 
         q = (
             stream_heavy_hitters(
@@ -139,11 +159,11 @@ def test_stream_exact_across_batches_matches_arrival_counts(
     between them) every key's estimate is its EXACT total arrival count
     with a zero bound — state carried across the checkpoint."""
     phases = [
-        ("b1.parquet", ["a", "a", "b", "c"]),
-        ("b2.parquet", ["a", "b", "b", "d"]),
+        ("b1.parquet", ["a", "a", "b", None, "c"]),  # NULLs ignored
+        ("b2.parquet", ["a", "b", "b", "d", None]),
     ]
     got = _run_phases(spark, tmp_path, phases, capacity=16, n_buckets=4)
-    true = Counter(v for _, vals in phases for v in vals)
+    true = Counter(v for _, vals in phases for v in vals if v is not None)
     assert {k: est for k, (est, _) in got.items()} == dict(true)
     assert all(b == 0 for _, b in got.values())
 

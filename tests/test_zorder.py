@@ -83,6 +83,20 @@ def test_zorder_validation(spark):
             bits=2,
             boundaries={"x": [3.0, 1.0, 2.0], "y": [1.0, 2.0, 3.0]},
         )
+    # bit 63 is the bigint sign bit and Java shifts wrap mod 64 — wide
+    # column lists must be rejected, not silently corrupted
+    wide = spark.createDataFrame([tuple(range(8))], ", ".join(f"c{i} int" for i in range(8)))
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key(wide, [f"c{i}" for i in range(8)], bits=8)
+    # empty input / all-NULL column: clear error, not a TypeError
+    empty = spark.createDataFrame([], "x int, y int")
+    with pytest.raises(ValueError, match="empty input or all-NULL"):
+        zorder_key(empty, ["x", "y"], bits=2)
+    allnull = spark.createDataFrame([(None, 1), (None, 2)], "x int, y int")
+    with pytest.raises(ValueError, match="'x'"):
+        zorder_key(allnull, ["x", "y"], bits=2)
+    with pytest.raises(ValueError, match="num_partitions"):
+        zorder_layout(df, ["x", "y"], num_partitions=0)
 
 
 def _block_overlap_fraction(pdf, col, lo, hi, n_blocks=64):
