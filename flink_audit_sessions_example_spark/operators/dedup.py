@@ -424,6 +424,92 @@ def duplicated_spans(
     )
 
 
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The actionable half of span-level dedup: REMOVE the token ranges
+    :func:`duplicated_spans` reported, keeping everything else.
+
+    ``spans`` is ``(id_col, span_start, span_end)`` rows (token indices,
+    0-based inclusive — exactly :func:`duplicated_spans` output; extra
+    columns are ignored). Documents without spans pass through intact.
+
+    Token alignment: spans index the Java-``\\s``-run tokenization the
+    dedup family uses. Whitespace runs are CASE-INSENSITIVE, so
+    splitting the ORIGINAL text yields the same token boundaries as the
+    lowercased dedup pass — original casing is preserved; original
+    whitespace is normalized to single spaces in the output (the same
+    canonicalization ``with_fingerprint`` applies).
+
+    Plan: aggregate spans to one array per doc (bounded: a doc has at
+    most tokens/k spans), ONE left join on the id (docs without spans
+    keep NULL → empty array), then pure scan-side array expressions —
+    split once into an ATTRIBUTE (higher-order array functions are
+    interpreted and would re-split per token if handed the raw
+    expression), index-aware ``filter`` with an ``exists`` probe of the
+    per-doc span array, ``concat_ws`` back. No shuffle beyond the span
+    aggregation + join.
+
+    Output: input columns with ``text_col`` replaced by the cleaned
+    text, plus ``n_tokens_removed``.
+
+    Note: removing a span can make its neighbours adjacent and thereby
+    CREATE a new k-gram across the seam; one strip pass removes every
+    span it was given, it does not guarantee a re-run of
+    :func:`duplicated_spans` finds nothing (run detect→strip to a fixed
+    point if that matters — each pass strictly shrinks the corpus).
+    """
+    span_arrays = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    trimmed = F.regexp_replace(
+        F.col(text_col), r"^[\s]+|[\s]+$", ""
+    )
+    joined = (
+        df.join(
+            span_arrays, df[id_col] == span_arrays["_sid"], "left"
+        )
+        .drop("_sid")
+        .withColumn(
+            "_spans",
+            F.coalesce(
+                "_spans",
+                F.array().cast("array<struct<s:bigint,e:bigint>>"),
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.when(
+                F.length(trimmed) == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(trimmed, r"[\s]+")),
+        )
+    )
+    kept = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (i.cast("bigint") >= sp["s"])
+            & (i.cast("bigint") <= sp["e"]),
+        ),
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return joined.select(
+        *out_cols,
+        F.concat_ws(" ", kept).alias(text_col),
+        (F.size("_w") - F.size(kept)).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH banding (sub-quadratic scale path)
 # --------------------------------------------------------------------------

@@ -113,20 +113,14 @@ def test_duplicated_spans_scope(spark):
         duplicated_spans(docs, k=0)
 
 
-def test_duplicated_spans_matches_duckdb(spark):
-    """Cross-engine parity on the real corpus at k=8 (pre-validates the
-    oracle registration; the corpus's planted near-dup boilerplate makes
-    it non-vacuous: 45 maximal spans, lengths 10-95 tokens)."""
-    from oracle_utils import assert_parity
-
+def _span_oracle_sql(k: int) -> str:
+    """DuckDB twin of duplicated_spans(k) over `documents` — shared by
+    the detect parity test and the detect→strip composition test."""
     from flink_audit_sessions_example_spark.plans.extended import (
         _SQL_WORDS,
     )
-    from flink_audit_sessions_example_spark.sources import load_table
 
-    k = 8
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    sql = f"""
+    return f"""
     WITH ps AS (
       SELECT doc_id,
              unnest(generate_series(0, len({_SQL_WORDS})-{k})) AS pos,
@@ -156,7 +150,18 @@ def test_duplicated_spans_matches_duckdb(spark):
            COUNT(*) AS n_dup_shingles
     FROM isl GROUP BY doc_id, island
     """
-    assert_parity(duplicated_spans(docs, k=k), sql, SF_DIR)
+
+
+def test_duplicated_spans_matches_duckdb(spark):
+    """Cross-engine parity on the real corpus at k=8 (pre-validates the
+    oracle registration; the corpus's planted near-dup boilerplate makes
+    it non-vacuous: 45 maximal spans, lengths 10-95 tokens)."""
+    from oracle_utils import assert_parity
+
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    assert_parity(duplicated_spans(docs, k=8), _span_oracle_sql(8), SF_DIR)
 
 
 def test_duplicated_spans_plan_shape(spark):
@@ -184,3 +189,98 @@ def test_duplicated_spans_plan_shape(spark):
     assert final.count("Scan ExistingRDD") >= 1, final
     n_shuffles = final.count("Exchange hashpartitioning")
     assert n_shuffles <= 3, final
+
+
+def test_strip_spans_planted(spark):
+    """Exact string surgery: given spans are removed token-wise, docs
+    without spans pass through (whitespace-normalized), casing is
+    preserved, a whole-doc span empties the text."""
+    from flink_audit_sessions_example_spark.operators.dedup import (
+        strip_spans,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "Alpha b c d E f"),
+            (2, "  keep   Me \t intact  "),
+            (3, "x y z"),
+        ],
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 3), (1, 5, 5), (3, 0, 2)],
+        "doc_id bigint, span_start bigint, span_end bigint",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in strip_spans(docs, spans).collect()
+    }
+    assert out[1] == ("Alpha E", 4)
+    assert out[2] == ("keep Me intact", 0)  # passthrough, ws-normalized
+    assert out[3] == ("", 3)
+
+
+def test_detect_strip_composition_removes_planted_region(spark):
+    """duplicated_spans -> strip_spans: the shared region disappears
+    from BOTH documents and the survivors keep their unique content."""
+    from flink_audit_sessions_example_spark.operators.dedup import (
+        strip_spans,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "u1 u2 a b c d v1"), (2, "w1 a b c d w2 w3")],
+    )
+    spans = duplicated_spans(docs, k=3)
+    out = {
+        r.doc_id: r.text for r in strip_spans(docs, spans).collect()
+    }
+    assert out == {1: "u1 u2 v1", 2: "w1 w2 w3"}
+
+
+def test_detect_strip_matches_duckdb(spark):
+    """Full detect->strip pipeline cross-engine on the real corpus: the
+    DuckDB twin computes the same spans and applies the same index-aware
+    token filter (nested list lambdas)."""
+    from oracle_utils import assert_parity
+
+    from flink_audit_sessions_example_spark.operators.dedup import (
+        strip_spans,
+    )
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    k = 8
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = strip_spans(docs, duplicated_spans(docs, k=k))
+    sql = f"""
+    WITH spans AS ({_span_oracle_sql(k)}),
+    sp AS (
+      SELECT doc_id,
+             list({{'s': span_start, 'e': span_end}}) AS spans
+      FROM spans GROUP BY doc_id
+    ), tok AS (
+      SELECT d.doc_id,
+             (CASE WHEN length(trim(regexp_replace(d.text,
+                     '^[\\s]+|[\\s]+$', '', 'g'))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(regexp_replace(d.text,
+                     '^[\\s]+|[\\s]+$', '', 'g'), '\\s+') END) AS w,
+             COALESCE(s.spans, []) AS spans
+      FROM documents d LEFT JOIN sp s USING (doc_id)
+    )
+    SELECT doc_id,
+           -- array_to_string([]) is NULL in DuckDB; Spark concat_ws -> ''
+           COALESCE(array_to_string(
+             list_filter(
+               list_transform(generate_series(0, len(w)-1),
+                 i -> CASE WHEN len(list_filter(spans,
+                        x -> i >= x.s AND i <= x.e)) = 0
+                      THEN w[i+1] END),
+               v -> v IS NOT NULL), ' '), '') AS text,
+           CAST(len(list_filter(generate_series(0, len(w)-1),
+                 i -> len(list_filter(spans,
+                        x -> i >= x.s AND i <= x.e)) > 0))
+             AS BIGINT) AS n_tokens_removed
+    FROM tok
+    """
+    assert_parity(got, sql, SF_DIR)
