@@ -1,0 +1,122 @@
+"""Time-series resample / gap-fill — regularize an event stream onto a
+fixed bucket grid per key, materializing the missing buckets and carrying
+observations forward.
+
+The operator class behind downsampling ("hourly rollup with no holes"),
+feature windows for training pipelines ("activity vector per user per
+hour, zeros where idle"), and monitor-style queries over the reference's
+audit stream (a session count per poll interval with explicit empty
+intervals, cf. the reference's windowed session aggregation —
+flink-audit-sessions-example `AuditSession` windowing — which only ever
+EMITS non-empty windows; gap-fill is the completion of that output).
+
+Scale shape (100 TB): the only row-count-proportional stage is the first
+aggregation (raw events → one row per (key, bucket)), which runs with a
+scan-side partial combine and shuffles O(distinct buckets), not O(rows).
+Everything downstream — spine generation, the left join, the
+forward-fill window — operates on the bucketed relation, which is
+O(keys x buckets_per_key): bounded by the time horizon, independent of
+event volume. The spine is generated per key with ``sequence()`` +
+``explode`` (no driver loop, no cross join against a calendar table),
+so a key observed over N buckets contributes exactly N spine rows on
+whatever task owns it after the keyed shuffle.
+
+Skew note: a single key's spine length is (max-min)/step — bounded by
+the CALENDAR, not by that key's event count, so the classic hot-key
+hazard (one user with 10^9 events) does not inflate any post-agg task;
+the hot key is collapsed scan-side by the partial aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: truncation unit -> the sequence step expression. date_trunc units and
+#: interval literals both exist in ANSI SQL, so the DuckDB oracle can
+#: mirror the grid exactly.
+_STEPS = {
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+    "week": "interval 1 week",
+    "minute": "interval 1 minute",
+}
+
+
+def gapfill_resample(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample ``df`` onto a per-key grid of ``unit`` buckets spanning
+    [min bucket, max bucket] of that key, with one output row per grid
+    point:
+
+    - ``bucket``     — the grid timestamp (``date_trunc(unit, ts)``)
+    - ``n_events``   — rows observed in the bucket (0 for gaps)
+    - ``v_sum``      — sum(value) in the bucket (NULL for gaps: the
+                       sum of nothing is not zero)
+    - ``v_ffill``    — ``v_sum`` carried forward over gaps (last
+                       observation carried forward; the first buckets of
+                       a key are never gaps, the spine starts at the
+                       first observation)
+    - ``is_gap``     — whether the bucket had no observations
+
+    Plan: groupBy(key, bucket) agg -> per-key min/max -> sequence/explode
+    spine -> left join actuals -> ffill window. The join and the window
+    both key on ``key_col``, so AQE coalesces them onto the same
+    executor-side layout; the window's sort is per key over its spine
+    only.
+
+    Known scale tradeoff: Catalyst plans the spine bounds as a SECOND
+    scan-side min/max aggregate over the raw input (it pushes min/max
+    below the bucket agg rather than reusing it), so the source is
+    scanned twice — each scan shuffles only its combined aggregate, but
+    at IO-bound scale callers should pin the input
+    (``df.localCheckpoint()``) or pre-bucket once and pass the bucketed
+    relation if a second scan is the dominant cost.
+    """
+    if unit not in _STEPS:
+        raise ValueError(f"unsupported unit {unit!r}; one of {sorted(_STEPS)}")
+    step = _STEPS[unit]
+
+    bucketed = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(unit, F.col(time_col)).alias("bucket"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("v_sum"),
+        )
+    )
+    spine = (
+        bucketed.groupBy("key")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr(step))
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(bucketed, ["key", "bucket"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "v_sum",
+        F.last("v_sum", ignorenulls=True).over(w).alias("v_ffill"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
