@@ -229,3 +229,68 @@ def exact_grouped_percentiles(
         .drop("g_r")
         .withColumnRenamed("g", group_col)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization): every value is
+    clamped into its group's [``lo``, ``hi``] exact type-7 percentile
+    band — the standard outlier-taming transform before loss-weighting /
+    normalizing a training measure.
+
+    Composition, not a new kernel: the bounds come from
+    ``exact_grouped_percentiles`` (bounded-memory distributed selection —
+    this inherits its 100 TB story: no per-group value map, no whole
+    -group-on-one-task window), and the bounds relation is one row per
+    group, so the re-attach join is a BROADCAST hash join against the
+    fact rows — no fact-side shuffle at all. The fact scan stays in
+    whole-stage codegen: ``least(greatest(v, lo), hi)`` on built-ins.
+
+    Semantics: NULL values stay NULL; a group whose values are all NULL
+    (NULL bounds) passes values through unchanged — Spark's
+    ``least``/``greatest`` ignore NULL arguments, so missing bounds
+    simply don't clip. A NULL group key winsorizes within the NULL
+    group (null-safe join). Output: all input columns +
+    ``out_col`` (default ``{value_col}_w``).
+    """
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    out = out_col or f"{value_col}_w"
+    lo_c = f"p{int(round(lo * 100))}"
+    hi_c = f"p{int(round(hi * 100))}"
+    if lo_c == hi_c:
+        raise ValueError(
+            f"lo and hi collide after column naming ({lo_c}); "
+            "use more separated percentiles"
+        )
+    bounds = exact_grouped_percentiles(
+        df,
+        group_col=group_col,
+        value_col=value_col,
+        percentiles=[lo, hi],
+    ).select(
+        F.col(group_col).alias("_wg"),
+        F.col(lo_c).alias("_wlo"),
+        F.col(hi_c).alias("_whi"),
+    )
+    clipped = F.when(
+        F.col(value_col).isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.least(F.greatest(F.col(value_col), F.col("_wlo")), F.col("_whi"))
+    )
+    return (
+        df.join(
+            F.broadcast(bounds),
+            F.col(group_col).eqNullSafe(F.col("_wg")),
+            "left",
+        )
+        .withColumn(out, clipped)
+        .drop("_wg", "_wlo", "_whi")
+    )
