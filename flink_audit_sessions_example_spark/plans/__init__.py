@@ -47,7 +47,13 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ``agg_heavy_hitters`` (bound-check shape,
 #: ``tests/test_heavy_hitters.py::test_corpus_words_vs_duckdb_exact``),
 #: ``layout_zorder`` (exact mode,
-#: ``tests/test_zorder.py::test_exact_boundaries_match_duckdb``).
+#: ``tests/test_zorder.py::test_exact_boundaries_match_duckdb``),
+#: ``win_gapfill`` (``operators/timeseries.py::gapfill_resample``,
+#: oracle ``tests/test_timeseries.py::GAPFILL_ORACLE``),
+#: ``join_bloom`` (``operators/runtime_filters.py::bloom_pruned_join``,
+#: oracle ``tests/test_runtime_filters.py::PRUNED_JOIN_ORACLE``),
+#: ``xform_winsorize`` (``operators/quantiles.py::winsorize``,
+#: oracle ``tests/test_winsorize.py::WINSORIZE_ORACLE``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

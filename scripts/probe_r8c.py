@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Per-arm scaling probe for the r8-session-3 ops (SCALING.md ledger).
+
+One process per invocation (the in-session A/B degradation documented in
+SCALING.md r8 makes shared-JVM arms unusable): ``python scripts/probe_r8c.py
+<op> <sf_dir>`` runs one op once and prints its wall seconds. A wrapper
+loop over {op} x {sf0.01, sf0.1} x repeats gives the 10x data exponent.
+Timing excludes session startup; each arm warms the JVM/parquet footer
+path with a cheap count first (the cold-first-key effect measured in the
+sf1 probe sessions).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    op, sf_dir = sys.argv[1], sys.argv[2]
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    # warm-up: JVM codegen paths + parquet footers, off the clock
+    load_table(spark, sf_dir, "orders").count()
+    load_table(spark, sf_dir, "events").count()
+
+    t0 = time.perf_counter()
+    if op == "gapfill":
+        from flink_audit_sessions_example_spark.operators.timeseries import (
+            gapfill_resample,
+        )
+
+        n = gapfill_resample(load_table(spark, sf_dir, "events")).count()
+    elif op == "bloom_join":
+        from flink_audit_sessions_example_spark.operators.runtime_filters import (
+            bloom_pruned_join,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer").where("c_nationkey = 1")
+        n = bloom_pruned_join(
+            orders, cust, fact_key="o_custkey", dim_key="c_custkey"
+        ).count()
+    elif op == "winsorize":
+        from flink_audit_sessions_example_spark.operators.quantiles import (
+            winsorize,
+        )
+
+        n = winsorize(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            ),
+            group_col="o_orderpriority",
+            value_col="o_totalprice",
+        ).count()
+    else:
+        raise SystemExit(f"unknown op {op}")
+    dt = time.perf_counter() - t0
+    print(f"{op} {sf_dir} rows={n} sec={dt:.3f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
