@@ -391,6 +391,55 @@ def sample_k_per_group(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    weight_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic WEIGHTED k-row sample per group, without
+    replacement — Efraimidis–Spirakis exponential keys: each row draws
+    ``u`` from its content (:func:`_sample_draw`, midpoint-shifted into
+    (0,1)) and ranks by ``u^(1/weight)`` descending; the top k per group
+    win. Inclusion probability is proportional to weight (exactly the
+    A-ES guarantee), membership depends only on row content — the
+    quality-score- or token-count-weighted corpus subsample, reproducible
+    across runs and partitionings like :func:`sample_k_per_group`.
+
+    Rows with NULL or non-positive weight are ineligible (never
+    sampled). Ties on the sampling key (possible only for equal draws,
+    i.e. md5 prefix collisions) break by ``key_col`` for determinism.
+
+    Scale shape: identical to :func:`sample_k_per_group` — the
+    ``row_number <= k`` filter compiles to WindowGroupLimit with a
+    partial pass below the exchange, so the shuffle carries
+    O(k · groups · tasks), never the corpus, and no whole-group buffer
+    exists anywhere.
+
+    Cross-engine caveat (same class as the tfidf ln note): ``pow`` is
+    not required to be correctly rounded, so two engines can disagree in
+    the last ulp of the sampling key. Rank flips require two keys within
+    one ulp — for content-derived continuous draws that is an md5-prefix
+    near-collision, negligible at any real corpus size (exact ties still
+    order identically via the tiebreak).
+    """
+    from pyspark.sql.window import Window
+
+    u = (_sample_draw(F.col(key_col)) + F.lit(0.5)) / F.lit(float(_DRAW_SPACE))
+    samp_key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = Window.partitionBy(*group_cols).orderBy(
+        samp_key.desc(), F.col(key_col)
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def chunk_overlap(
     df: DataFrame,
     *,

@@ -1453,3 +1453,70 @@ def latest_by_key(
         *key_cols,
         *[F.col(f"_latest.{c}").alias(c) for c in (*order_cols, *payload_cols)],
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    *,
+    key_cols: "list[str]",
+    order_cols: "list[str]",
+    payload_cols: "list[str]",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot: the materialized
+    "table after replaying the log" — :func:`latest_by_key`'s sibling
+    with DELETE semantics, the missing half of changelog → snapshot
+    materialization (Debezium/Flink-CDC-style upsert streams; the
+    reference's session store compaction is the I/U-only special case).
+
+    Contract: ``snapshot`` holds base state (``key_cols`` +
+    ``payload_cols``, no op column — every row an implicit upsert that
+    predates the whole log); ``changelog`` additionally carries
+    ``order_cols`` (the total per-key replay order: log sequence /
+    event time + unique id) and ``op_col`` with ``'I'``/``'U'``
+    (upsert — both set the payload) or ``'D'`` (tombstone). Output: one
+    row per surviving key — the latest payload, with keys whose latest
+    op is a delete ABSENT. Late-arriving ops are handled by order, not
+    arrival: replaying the same union always yields the same state.
+
+    Plan: tag snapshot rows epoch 0 / changelog epoch 1, union, and run
+    the same single ``max(struct(epoch, order, op, payload))``
+    aggregation as :func:`latest_by_key` — scan-side partial collapse,
+    shuffle O(distinct keys), hot keys (one entity updated 10^9 times)
+    collapse before the exchange. The delete filter runs on the
+    aggregated relation (O(keys) rows). Snapshot order columns don't
+    exist and don't need to: epoch 0 loses to every log row by the
+    struct's leading field.
+
+    Determinism contract (inherited): ``order_cols`` must be total
+    within a key's log rows, and a key must not appear twice in the
+    snapshot — both are caller invariants, not checked (checking
+    requires an extra aggregation pass).
+    """
+    snap = snapshot.select(
+        F.lit(0).alias("_epoch"),
+        *key_cols,
+        *[F.lit(None).cast(changelog.schema[c].dataType).alias(c) for c in order_cols],
+        F.lit("U").alias(op_col),
+        *payload_cols,
+    )
+    log = changelog.select(
+        F.lit(1).alias("_epoch"), *key_cols, *order_cols, op_col, *payload_cols
+    )
+    packed = F.struct(
+        F.col("_epoch"),
+        *[F.col(c) for c in order_cols],
+        F.col(op_col),
+        *[F.col(c) for c in payload_cols],
+    )
+    latest = (
+        snap.unionByName(log)
+        .groupBy(*key_cols)
+        .agg(F.max(packed).alias("_latest"))
+    )
+    return latest.where(F.col(f"_latest.{op_col}") != "D").select(
+        *key_cols,
+        *[F.col(f"_latest.{c}").alias(c) for c in (*order_cols, *payload_cols)],
+    )
+

@@ -53,7 +53,11 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ``join_bloom`` (``operators/runtime_filters.py::bloom_pruned_join``,
 #: oracle ``tests/test_runtime_filters.py::PRUNED_JOIN_ORACLE``),
 #: ``xform_winsorize`` (``operators/quantiles.py::winsorize``,
-#: oracle ``tests/test_winsorize.py::WINSORIZE_ORACLE``).
+#: oracle ``tests/test_winsorize.py::WINSORIZE_ORACLE``),
+#: ``corpus_weighted_sample`` (``operators/corpus.py::weighted_sample_k``,
+#: oracle ``tests/test_weighted_cdc.py::WEIGHTED_SAMPLE_ORACLE``),
+#: ``xform_cdc_apply`` (``operators/dedup.py::cdc_apply``,
+#: oracle ``tests/test_weighted_cdc.py::CDC_ORACLE``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

@@ -67,6 +67,42 @@ def main() -> None:
             group_col="o_orderpriority",
             value_col="o_totalprice",
         ).count()
+    elif op == "weighted_sample":
+        from flink_audit_sessions_example_spark.operators.corpus import (
+            weighted_sample_k,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        n = weighted_sample_k(
+            docs, group_cols=["source"], weight_col="n_chars",
+            key_col="doc_id", k=10,
+        ).count()
+    elif op == "cdc_apply":
+        from pyspark.sql import functions as F
+
+        from flink_audit_sessions_example_spark.operators.dedup import (
+            cdc_apply,
+            latest_by_key,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        snapshot = latest_by_key(
+            events.where("ts < timestamp'2024-01-15'"),
+            key_cols=["user_id"], order_cols=["ts", "event_id"],
+            payload_cols=["value"],
+        ).select("user_id", "value")
+        changelog = events.where("ts >= timestamp'2024-01-15'").select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("event_type") == "error", "D")
+            .otherwise("U").alias("op"),
+            "value",
+        )
+        n = cdc_apply(
+            snapshot, changelog, key_cols=["user_id"],
+            order_cols=["ts", "event_id"], payload_cols=["value"],
+        ).count()
     else:
         raise SystemExit(f"unknown op {op}")
     dt = time.perf_counter() - t0
