@@ -1520,3 +1520,77 @@ def cdc_apply(
         *[F.col(f"_latest.{c}").alias(c) for c in (*order_cols, *payload_cols)],
     )
 
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: "list[str]",
+    payload_cols: "list[str]",
+    include_unchanged: bool = False,
+    digest_only: bool = False,
+) -> DataFrame:
+    """Key-level diff of two dataset versions: one row per key present in
+    either snapshot, tagged ``status`` ∈ ``added`` (new only) /
+    ``removed`` (old only) / ``changed`` (both, payload differs) /
+    ``unchanged`` (both, payload identical — emitted only with
+    ``include_unchanged``). The dataset-versioning primitive a corpus
+    pipeline needs between crawls: what did this refresh actually touch —
+    and the batch way to AUDIT what :func:`cdc_apply` replayed (apply a
+    log, diff against the previous snapshot, get the net effect).
+
+    Payload comparison is null-safe per column (``<=>``, member-wise on
+    the struct — measured): a NULL→NULL field is unchanged, NULL→value
+    is a change. Output: ``key_cols``, ``status``, and (unless
+    ``digest_only``) the payload columns — the whole NEW payload when
+    the key exists in ``new``, else the last OLD payload (the pick is
+    per-SIDE, never per-column: a changed row whose new payload has a
+    legitimate NULL field keeps that NULL, not the stale old value).
+
+    Plan: each side projects to key + payload struct scan-side, one
+    full-outer shuffle join on the keys, status/coalesce in codegen above
+    it. Column pruning reaches both scans (only key + payload columns
+    are read), AQE handles size skew between versions.
+
+    ``digest_only=True`` is the 100 TB mode for wide payloads (document
+    text): each side ships only ``xxhash64(to_json(struct(payload),
+    ignoreNullFields=false))`` — 8 bytes per row through the shuffle
+    instead of the corpus — and the output drops the payload columns.
+    The JSON detour is deliberate: ``xxhash64`` over a raw struct SKIPS
+    null fields, so ``("x", NULL)`` and ``(NULL, "x")`` collide —
+    measured; the null-preserving JSON disambiguates. Contract: payload
+    types must serialize stably (no maps — JSON key order is undefined).
+    """
+    if digest_only:
+        pay = F.xxhash64(
+            F.to_json(
+                F.struct(*payload_cols), {"ignoreNullFields": "false"}
+            )
+        )
+        o = old.select(*key_cols, pay.alias("_old"))
+        n = new.select(*key_cols, pay.alias("_new"))
+    else:
+        o = old.select(*key_cols, F.struct(*payload_cols).alias("_old"))
+        n = new.select(*key_cols, F.struct(*payload_cols).alias("_new"))
+    j = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old").eqNullSafe(F.col("_new")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    pick = F.when(F.col("_new").isNotNull(), F.col("_new")).otherwise(
+        F.col("_old")
+    )
+    out = j.select(
+        *key_cols,
+        status.alias("status"),
+        *(
+            []
+            if digest_only
+            else [pick.getField(c).alias(c) for c in payload_cols]
+        ),
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
