@@ -97,3 +97,89 @@ def asof_join(
         .where(F.col("_side") == 1)
         .select("_row.*", out_col)
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: "list[str]",
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_width: str = "1 hour",
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """Point-in-interval join — every (point, interval) pair sharing the
+    ``on`` keys with ``start <= point_ts < end`` (half-open, the window
+    convention). Spark has no native interval join: the naive range
+    predicate compiles to BroadcastNestedLoopJoin — per-partition
+    quadratic, the classic 100 TB scale-killer. This is the standard
+    binning rewrite (Flink's interval join / DuckDB's IEJoin territory):
+
+    - intervals explode to one row per covered time bin
+      (``sequence(floor(start/w), floor((end-1)/w))``),
+    - points compute their single bin ``floor(ts/w)``,
+    - equi-join on (keys…, bin) + the residual range predicate.
+
+    Each qualifying pair matches in EXACTLY one bin (the point's), so no
+    dedup pass is needed. Shuffle carries O(points + intervals ·
+    bins_per_interval); pick ``bin_width`` near the typical interval
+    length (1 bin ≈ 1 interval ⇒ ~2 rows shuffled per interval).
+    Many-to-many semantics preserved: overlapping intervals each emit.
+
+    Guards: empty/inverted intervals (``end <= start``) match nothing and
+    are dropped before the explode (``sequence`` would otherwise generate
+    a DESCENDING range — measured Spark behavior, not an error). An
+    interval covering more than ``max_bins_per_interval`` bins fails the
+    job loudly via ``raise_error`` instead of silently exploding the
+    shuffle (a year-long interval at 1-minute bins is a config bug, not a
+    workload).
+
+    Output: all point columns + all interval columns (caller guarantees
+    disjoint names, as with any Spark join). Timestamps are compared in
+    microseconds (TIMESTAMP_NTZ inputs are cast; the session runs UTC).
+    """
+    import pandas as pd
+
+    w_us = int(pd.Timedelta(bin_width).value // 1_000)
+    if w_us <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width!r}")
+
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+
+    first_bin = F.floor(s_us / w_us)
+    last_bin = F.floor((e_us - 1) / w_us)
+    n_bins = last_bin - first_bin + 1
+    guarded = F.when(
+        n_bins > max_bins_per_interval,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: interval spans more than "
+                    f"{max_bins_per_interval} bins of {bin_width!r}; "
+                    f"widen bin_width or split the interval (start="
+                ),
+                F.col(start_col).cast("string"),
+                F.lit(", end="),
+                F.col(end_col).cast("string"),
+                F.lit(")"),
+            )
+        ),
+    ).otherwise(F.sequence(first_bin, last_bin))
+
+    iv = intervals.where(e_us > s_us).withColumn(
+        "_ij_bin", F.explode(guarded)
+    )
+    pt = points.withColumn("_ij_bin", F.floor(p_us / w_us))
+    cond = [pt[k] == iv[k] for k in on]
+    cond.append(pt["_ij_bin"] == iv["_ij_bin"])
+    joined = pt.join(iv, cond, "inner").where(
+        (p_us >= s_us) & (p_us < e_us)
+    )
+    return joined.select(
+        *[pt[c] for c in points.columns],
+        *[iv[c] for c in intervals.columns if c not in on],
+    )
