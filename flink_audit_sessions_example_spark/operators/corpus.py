@@ -706,3 +706,95 @@ def funnel_stages(
     return out.withColumn(
         "stages_completed", completed.cast("bigint")
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    n_shards: int,
+    n_cells: int = 64,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment with near-equal per-shard WEIGHT
+    budgets (token counts) — the training-shard writer's planner. Pure
+    hashing balances shard budgets only in expectation; a heavy-tailed
+    size distribution leaves the unlucky shard holding the giants. This
+    instead deals rows round-robin within (size-stratum × salt-cell)
+    groups, so every cell's rows spread across ALL shards with counts
+    differing by at most 1 — and within a stratum row weights agree
+    within 2×, so budget spread is bounded by construction, not by luck.
+
+    Mechanics (every step integer-exact, cross-engine reproducible):
+
+    - stratum = ``length(bin(weight + 1))`` — the binary magnitude
+      ⌊log2(w+1)⌋+1 as STRING LENGTH arithmetic, deliberately not float
+      ``log2`` (whose last-ulp rounding could flip ``floor`` at
+      power-of-two boundaries differently per engine; same caveat class
+      as the tfidf ln note). NULL/negative weights clamp to 0.
+    - cell = md5 draw of the key, mod ``n_cells`` — decouples the deal
+      from physical partitioning.
+    - within each (stratum, cell): rank by (draw, key), then
+      ``shard = (rank − 1 + rotation) % n_shards`` where rotation is a
+      per-group md5 draw — without it every group would start its deal
+      at shard 0 and the remainder rows would all pile there.
+
+    Scale shape: stratum/cell/draw are scan-side expressions; the one
+    shuffle is the rank window over (stratum × n_cells) groups — set
+    ``n_cells`` ≳ cluster cores for parallelism; groups are ~uniform by
+    the hash, so no window partition is hot. The rank<=∞ window carries
+    no WindowGroupLimit (every row is kept — this operator labels the
+    corpus, it doesn't filter it), so the shuffle is O(corpus), which a
+    shard writer pays anyway on write.
+
+    Balance guarantee: per (stratum, cell) group, shard counts differ by
+    ≤1; summing over groups, shard g's budget differs from the mean by
+    at most Σ_strata (max row weight in stratum) · n_cells — independent
+    of corpus size, so relative spread → 0 as the corpus grows.
+    """
+    if n_shards < 1 or n_cells < 1:
+        raise ValueError("n_shards and n_cells must be >= 1")
+    from pyspark.sql.window import Window
+
+    w = F.greatest(F.coalesce(F.col(weight_col), F.lit(0)), F.lit(0))
+    stratum = F.length(F.conv((w + 1).cast("string"), 10, 2))
+    cell = _sample_draw(F.col(key_col)) % n_cells
+    rotation = _sample_draw(
+        F.concat(stratum.cast("string"), F.lit("|"), cell.cast("string"))
+    ) % n_shards
+    rank = F.row_number().over(
+        Window.partitionBy(stratum, cell).orderBy(
+            _sample_draw(F.col(key_col)), F.col(key_col)
+        )
+    )
+    return df.withColumn(
+        shard_col, ((rank - 1 + rotation) % n_shards).cast("int")
+    )
+
+
+def reservoir_sample(df: DataFrame, *, key_col: str, k: int) -> DataFrame:
+    """Deterministic uniform GLOBAL k-row sample without replacement:
+    rank every row by its content-derived md5 draw (ties broken by
+    ``key_col``) and keep the k smallest — the whole-corpus analogue of
+    :func:`sample_k_per_group` (same membership stability: adding new
+    rows can only displace, never reshuffle, the sample; a row's draw
+    never changes).
+
+    Scale shape: ``orderBy(draw).limit(k)`` compiles to
+    TakeOrderedAndProject — each task keeps a k-row heap and the driver
+    merges tasks×k rows; there is NO global sort exchange and no
+    single-partition window. The driver merge is the bound: k is capped
+    (1M) with an explicit error, the same misuse contract as the
+    broadcast-queries guard in ``operators/similarity.py``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > 1_000_000:
+        raise ValueError(
+            f"k={k} exceeds the driver-merge cap (1M rows); "
+            "use stratified_sample for rate-based sampling at this size"
+        )
+    return df.orderBy(
+        _sample_draw(F.col(key_col)).asc(), F.col(key_col).asc()
+    ).limit(k)

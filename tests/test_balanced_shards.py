@@ -1,0 +1,172 @@
+"""balanced_shards (budget-balanced deterministic shard assignment):
+DuckDB cross-engine parity on the real corpus, budget-balance quality vs
+plain hashing, partitioning invariance, and the plan gate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from conftest import SF_DIR, SF_DIR_001
+from oracle_utils import assert_parity
+
+from flink_audit_sessions_example_spark.operators.corpus import (
+    balanced_shards,
+)
+from flink_audit_sessions_example_spark.sources import load_table
+
+# mirrors the operator step-for-step: binary-magnitude stratum, md5 cell,
+# per-(stratum,cell) rank deal with md5 rotation. 8 shards, 16 cells.
+SHARDS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         length(bin(greatest(coalesce(n_chars, 0), 0) + 1)) AS stratum,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS draw
+  FROM documents
+), c AS (
+  SELECT *, draw % 16 AS cell FROM t
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY stratum, cell
+                            ORDER BY draw, doc_id) AS rk,
+         CAST(('0x' || substr(md5(stratum || '|' || cell), 1, 8))
+              AS BIGINT) % 8 AS rot
+  FROM c
+)
+SELECT doc_id, n_chars, CAST((rk - 1 + rot) % 8 AS INT) AS shard FROM r
+"""
+
+
+def test_balanced_shards_matches_duckdb(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    got = balanced_shards(
+        docs, key_col="doc_id", weight_col="n_chars",
+        n_shards=8, n_cells=16,
+    )
+    assert_parity(got, SHARDS_ORACLE, SF_DIR)
+    # non-vacuity: all 8 shards used
+    assert got.select("shard").distinct().count() == 8
+
+
+def test_budget_balance_beats_plain_hashing(spark):
+    """The whole point: per-shard weight budgets are tighter than the
+    hash-only assignment on the same heavy-tailed corpus."""
+    docs = load_table(spark, SF_DIR_001, "documents").select(
+        "doc_id", "n_chars"
+    )
+
+    def spread(assigned):
+        sums = [
+            r.s
+            for r in assigned.groupBy("shard")
+            .agg(F.sum("n_chars").alias("s"))
+            .collect()
+        ]
+        assert len(sums) == 8
+        mean = sum(sums) / len(sums)
+        return (max(sums) - min(sums)) / mean
+
+    dealt = spread(
+        balanced_shards(
+            docs, key_col="doc_id", weight_col="n_chars",
+            n_shards=8, n_cells=4,
+        )
+    )
+    hashed = spread(
+        docs.withColumn(
+            "shard", (F.xxhash64("doc_id") % 8 + 8) % 8
+        )
+    )
+    # dealt counts differ by <=1 per (stratum,cell) group and weights
+    # within a stratum agree within 2x, so the spread is structurally
+    # small; hashing is only balanced in expectation
+    assert dealt < hashed, (dealt, hashed)
+    assert dealt < 0.10, dealt
+
+
+def test_assignment_is_partitioning_invariant(spark):
+    """Content-addressed: the same row gets the same shard regardless of
+    input partitioning (no rand(), no partition ids anywhere)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    a = {
+        (r.doc_id, r.shard)
+        for r in balanced_shards(
+            docs, key_col="doc_id", weight_col="n_chars",
+            n_shards=5, n_cells=7,
+        ).collect()
+    }
+    b = {
+        (r.doc_id, r.shard)
+        for r in balanced_shards(
+            docs.repartition(13), key_col="doc_id", weight_col="n_chars",
+            n_shards=5, n_cells=7,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_per_cell_deal_counts_differ_by_at_most_one(spark):
+    """The structural guarantee behind the balance claim, asserted
+    directly: within every (stratum, cell) group, shard counts differ by
+    at most 1."""
+    docs = load_table(spark, SF_DIR_001, "documents").select(
+        "doc_id", "n_chars"
+    )
+    out = balanced_shards(
+        docs, key_col="doc_id", weight_col="n_chars",
+        n_shards=8, n_cells=4,
+    ).withColumn(
+        "stratum",
+        F.length(
+            F.conv(
+                (F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(0))
+                 + 1).cast("string"),
+                10, 2,
+            )
+        ),
+    ).withColumn(
+        "cell",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 4,
+    )
+    bad = (
+        out.groupBy("stratum", "cell", "shard")
+        .count()
+        .groupBy("stratum", "cell")
+        .agg((F.max("count") - F.min("count")).alias("d"))
+        .where("d > 1")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_edge_weights_and_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, None), (2, -5), (3, 0), (4, 10**12)], "k bigint, w bigint"
+    )
+    rows = balanced_shards(
+        df, key_col="k", weight_col="w", n_shards=3, n_cells=2
+    ).collect()
+    assert len(rows) == 4 and all(0 <= r.shard < 3 for r in rows)
+    with pytest.raises(ValueError):
+        balanced_shards(df, key_col="k", weight_col="w", n_shards=0)
+
+
+def test_balanced_shards_plan_single_exchange_scan_side_exprs(spark):
+    """Scale gate: stratum/cell/draw are scan-side codegen expressions;
+    the ONLY exchange is the rank window's hash partitioning over
+    (stratum, cell) — no join, no Python, no second shuffle."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    plan = (
+        balanced_shards(
+            docs, key_col="doc_id", weight_col="n_chars",
+            n_shards=8, n_cells=16,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
