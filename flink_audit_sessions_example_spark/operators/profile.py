@@ -1,0 +1,64 @@
+"""Column profiling — the ingest-gate statistics a pipeline checks before
+accepting a new drop of data (null rates, cardinalities, value ranges).
+
+One declarative aggregation produces the whole profile: Catalyst plans
+the multi-``count(distinct)`` as a single scan with an Expand (each input
+row fans out once per distinct-aggregate), so the cost is one pass over
+the data regardless of how many columns are profiled — never one job per
+column, which is the naive loop a 100 TB table cannot afford. For very
+wide tables the Expand factor itself becomes the cost; ``exact=False``
+switches cardinalities to HyperLogLog++ sketches (``approx_count_distinct``),
+which aggregate map-side WITHOUT Expand — the 100 TB default, with the
+exact mode kept for oracle checking and small tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: "list[str]",
+    *,
+    exact: bool = True,
+) -> DataFrame:
+    """One row per profiled column: ``column``, ``n_rows`` (table-wide),
+    ``n_nulls``, ``n_distinct`` (exact, or HLL++ estimate with
+    ``exact=False`` — NULLs not counted as a distinct value), ``min_val``
+    / ``max_val`` (cast to string for a uniform schema across column
+    types; NULL for all-null columns).
+
+    Shape: ONE wide aggregation (single scan; Expand for exact
+    distincts, plain partial aggregation for approx) followed by a
+    ``stack`` unpivot of the 1-row result — the unpivot touches one row,
+    not the data. Output is O(len(cols)) rows.
+
+    String-cast caveat: min/max are compared in the column's native type
+    BEFORE the cast (``min(cast(x))`` would compare lexically and call
+    "10" < "9"); floats format per-engine — profile floats with a
+    rounded projection if the output feeds a cross-engine hash.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    ndv = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"),
+            ndv(F.col(c)).alias(f"_ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nulls_{c}, _ndv_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

@@ -1,0 +1,115 @@
+"""profile_columns (single-scan ingest profile): DuckDB cross-engine
+parity on the real events table, approx-mode bound check, and the
+one-scan plan gate."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_DIR
+from oracle_utils import assert_parity
+
+from flink_audit_sessions_example_spark.operators.profile import (
+    profile_columns,
+)
+from flink_audit_sessions_example_spark.sources import load_table
+
+PROFILE_ORACLE = """
+WITH n AS (SELECT count(*) AS n_rows FROM events)
+SELECT 'user_id' AS "column", n.n_rows,
+       (SELECT count(*) - count(user_id) FROM events) AS n_nulls,
+       (SELECT count(DISTINCT user_id) FROM events) AS n_distinct,
+       (SELECT CAST(min(user_id) AS VARCHAR) FROM events) AS min_val,
+       (SELECT CAST(max(user_id) AS VARCHAR) FROM events) AS max_val
+FROM n
+UNION ALL
+SELECT 'event_type', n.n_rows,
+       (SELECT count(*) - count(event_type) FROM events),
+       (SELECT count(DISTINCT event_type) FROM events),
+       (SELECT min(event_type) FROM events),
+       (SELECT max(event_type) FROM events)
+FROM n
+UNION ALL
+SELECT 'event_id', n.n_rows,
+       (SELECT count(*) - count(event_id) FROM events),
+       (SELECT count(DISTINCT event_id) FROM events),
+       (SELECT CAST(min(event_id) AS VARCHAR) FROM events),
+       (SELECT CAST(max(event_id) AS VARCHAR) FROM events)
+FROM n
+"""
+
+
+def test_profile_matches_duckdb(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    got = profile_columns(ev, ["user_id", "event_type", "event_id"])
+    assert_parity(got, PROFILE_ORACLE, SF_DIR)
+
+
+def test_profile_approx_within_hll_bound(spark):
+    """approx mode: same schema, exact nulls/min/max, and HLL++
+    cardinalities within the documented 5% default error (events
+    cardinalities are far below the sketch's exact-ish regime limit,
+    so in practice they match tightly)."""
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.column: r
+        for r in profile_columns(
+            ev, ["user_id", "event_type"], exact=True
+        ).collect()
+    }
+    approx = {
+        r.column: r
+        for r in profile_columns(
+            ev, ["user_id", "event_type"], exact=False
+        ).collect()
+    }
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_nulls, a.min_val, a.max_val) == (
+            e.n_nulls, e.min_val, e.max_val
+        )
+        assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.05 * e.n_distinct)
+
+
+def test_profile_edges(spark):
+    df = spark.createDataFrame(
+        [(None, None), (1, None), (2, None), (2, None)],
+        "a int, b string",
+    )
+    rows = {r.column: r for r in profile_columns(df, ["a", "b"]).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_rows, a.n_nulls, a.n_distinct, a.min_val, a.max_val) == (
+        4, 1, 2, "1", "2"
+    )
+    # all-null column: 0 distinct, NULL min/max
+    assert (b.n_nulls, b.n_distinct, b.min_val, b.max_val) == (4, 0, None, None)
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
+
+
+def test_profile_native_type_ordering_not_lexical(spark):
+    """min/max must compare in the native type: bigint 10 > 9 even
+    though '10' < '9' lexically."""
+    df = spark.createDataFrame([(9,), (10,)], "a bigint")
+    r = profile_columns(df, ["a"]).collect()[0]
+    assert (r.min_val, r.max_val) == ("9", "10")
+
+
+def test_profile_plan_single_scan(spark):
+    """Scale gate: profiling N columns is ONE scan of the table (Expand
+    fan-out for the exact distincts, a single FileScan node), never a
+    per-column job; approx mode drops the Expand entirely."""
+    ev = load_table(spark, SF_DIR, "events")
+    exact_plan = (
+        profile_columns(ev, ["user_id", "event_type", "event_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert exact_plan.count("FileScan parquet") == 1
+    assert "Expand" in exact_plan
+    approx_plan = (
+        profile_columns(
+            ev, ["user_id", "event_type", "event_id"], exact=False
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert approx_plan.count("FileScan parquet") == 1
+    assert "Expand" not in approx_plan
