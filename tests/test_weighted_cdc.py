@@ -239,3 +239,62 @@ def test_cdc_apply_edges(spark):
         ).collect()
     }
     assert got == {2: (20, "b"), 3: (None, "s3"), 4: (10, "c")}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    snap=st.lists(
+        st.tuples(st.integers(0, 8), st.text("ab", max_size=2)),
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 8),                    # key
+            st.integers(0, 5),                    # seq (duplicates allowed)
+            st.sampled_from(["I", "U", "D"]),
+            st.one_of(st.none(), st.text("cd", max_size=2)),
+        ),
+        max_size=20,
+    ),
+)
+def test_cdc_apply_matches_python_replay(spark, snap, log):
+    """Property: cdc_apply == a pure-Python per-key replay sorted by the
+    same total order, for ANY op sequence (including delete-then-insert
+    churn and snapshot-only keys). seq duplicates are disambiguated by a
+    synthetic unique id so the order-totality contract holds."""
+    log = [(k, s, i, op, v) for i, (k, s, op, v) in enumerate(log)]
+    snap_df = spark.createDataFrame(snap or [(99, "z")], "k bigint, v string")
+    log_df = spark.createDataFrame(
+        log or [(99, 0, 0, "U", "z2")],
+        "k bigint, seq bigint, uid bigint, op string, v string",
+    )
+    got = {
+        r.k: (r.seq, r.uid, r.v)
+        for r in cdc_apply(
+            snap_df, log_df, key_cols=["k"],
+            order_cols=["seq", "uid"], payload_cols=["v"],
+        ).collect()
+    }
+
+    state = {k: (None, None, "U", v) for k, v in (snap or [(99, "z")])}
+    for k, group in __import__("itertools").groupby(
+        sorted(log or [(99, 0, 0, "U", "z2")], key=lambda t: (t[0], t[1], t[2])),
+        key=lambda t: t[0],
+    ):
+        last = list(group)[-1]
+        state[k] = (last[1], last[2], last[3], last[4])
+    expect = {
+        k: (seq, uid, v)
+        for k, (seq, uid, op, v) in state.items()
+        if op != "D"
+    }
+    assert got == expect
