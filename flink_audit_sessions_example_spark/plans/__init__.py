@@ -57,7 +57,19 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ``corpus_weighted_sample`` (``operators/corpus.py::weighted_sample_k``,
 #: oracle ``tests/test_weighted_cdc.py::WEIGHTED_SAMPLE_ORACLE``),
 #: ``xform_cdc_apply`` (``operators/dedup.py::cdc_apply``,
-#: oracle ``tests/test_weighted_cdc.py::CDC_ORACLE``).
+#: oracle ``tests/test_weighted_cdc.py::CDC_ORACLE``),
+#: ``xform_snapshot_diff`` (``operators/dedup.py::snapshot_diff``,
+#: oracle ``tests/test_snapshot_diff.py::DIFF_ORACLE``),
+#: ``join_interval`` (``operators/asof.py::interval_join``,
+#: oracle ``tests/test_interval_join.py::INTERVAL_ORACLE``),
+#: ``corpus_balanced_shards`` (``operators/corpus.py::balanced_shards``,
+#: oracle ``tests/test_balanced_shards.py::SHARDS_ORACLE``),
+#: ``rel_profile_columns`` (``operators/profile.py::profile_columns``,
+#: oracle ``tests/test_profile.py::PROFILE_ORACLE``),
+#: ``agg_mad_outliers`` (``operators/quantiles.py::mad_outliers``,
+#: oracle ``tests/test_robust_ops.py::MAD_ORACLE``),
+#: ``corpus_reservoir_sample`` (``operators/corpus.py::reservoir_sample``,
+#: oracle ``tests/test_robust_ops.py::RESERVOIR_ORACLE``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

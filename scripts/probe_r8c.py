@@ -103,6 +103,96 @@ def main() -> None:
             snapshot, changelog, key_cols=["user_id"],
             order_cols=["ts", "event_id"], payload_cols=["value"],
         ).count()
+    elif op == "snapshot_diff":
+        from pyspark.sql import functions as F
+
+        from flink_audit_sessions_example_spark.operators.dedup import (
+            snapshot_diff,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        old = docs.where("doc_id % 11 <> 3").withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 1)
+            .otherwise(F.col("n_chars")),
+        )
+        n = snapshot_diff(
+            old, docs.where("doc_id % 13 <> 4"),
+            key_cols=["doc_id"], payload_cols=["source", "n_chars"],
+        ).count()
+    elif op == "interval_join":
+        from pyspark.sql import functions as F
+
+        from flink_audit_sessions_example_spark.operators.asof import (
+            interval_join,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        iv = ev.where("event_type = 'error'").select(
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end_ts"),
+            F.col("event_id").alias("interval_id"),
+        )
+        pt = ev.where("event_type <> 'error'").select(
+            "user_id", "ts", "event_id"
+        )
+        n = interval_join(
+            pt, iv, on=["user_id"], point_ts="ts",
+            start_col="start_ts", end_col="end_ts", bin_width="6 hours",
+        ).count()
+    elif op == "balanced_shards":
+        from flink_audit_sessions_example_spark.operators.corpus import (
+            balanced_shards,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        )
+        n = balanced_shards(
+            docs, key_col="doc_id", weight_col="n_chars",
+            n_shards=64, n_cells=32,
+        ).count()
+    elif op == "profile":
+        from flink_audit_sessions_example_spark.operators.profile import (
+            profile_columns,
+        )
+
+        n = profile_columns(
+            load_table(spark, sf_dir, "events"),
+            ["user_id", "event_type", "event_id", "value"],
+        ).count()
+    elif op == "mad_outliers":
+        from flink_audit_sessions_example_spark.operators.quantiles import (
+            mad_outliers,
+        )
+
+        n = mad_outliers(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            ),
+            group_col="o_orderpriority",
+            value_col="o_totalprice",
+        ).count()
+    elif op == "reservoir":
+        from pyspark.sql import functions as F
+
+        from flink_audit_sessions_example_spark.operators.corpus import (
+            reservoir_sample,
+        )
+
+        n = reservoir_sample(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_extendedprice"
+            ).withColumn(
+                "rid",
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber")),
+            ),
+            key_col="rid",
+            k=1000,
+        ).count()
     else:
         raise SystemExit(f"unknown op {op}")
     dt = time.perf_counter() - t0
