@@ -408,9 +408,13 @@ def weighted_sample_k(
     quality-score- or token-count-weighted corpus subsample, reproducible
     across runs and partitionings like :func:`sample_k_per_group`.
 
-    Rows with NULL or non-positive weight are ineligible (never
-    sampled). Ties on the sampling key (possible only for equal draws,
-    i.e. md5 prefix collisions) break by ``key_col`` for determinism.
+    Rows with NULL, NaN, or non-positive weight are ineligible (never
+    sampled) — NaN needs its own clause because Spark orders NaN LARGER
+    than every number, so a bare ``w > 0`` admits it and ``pow(u, 1/NaN)
+    = NaN`` would then sort ahead of every finite sampling key and
+    hijack the whole sample. Ties on the sampling key (possible only for
+    equal draws, i.e. md5 prefix collisions) break by ``key_col`` for
+    determinism.
 
     Scale shape: identical to :func:`sample_k_per_group` — the
     ``row_number <= k`` filter compiles to WindowGroupLimit with a
@@ -428,12 +432,21 @@ def weighted_sample_k(
     from pyspark.sql.window import Window
 
     u = (_sample_draw(F.col(key_col)) + F.lit(0.5)) / F.lit(float(_DRAW_SPACE))
-    samp_key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    wd = F.col(weight_col).cast("double")
+    samp_key = F.pow(u, F.lit(1.0) / wd)
     w = Window.partitionBy(*group_cols).orderBy(
         samp_key.desc(), F.col(key_col)
     )
+    # null/positive checks on the RAW column (they push to the scan as
+    # IsNotNull/GreaterThan); only the NaN clause needs the double view
+    # and stays a residual filter (false for integral weights anyway)
+    eligible = (
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & ~F.isnan(wd)
+    )
     return (
-        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.where(eligible)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")

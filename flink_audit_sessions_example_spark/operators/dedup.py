@@ -1445,13 +1445,62 @@ def latest_by_key(
     state IS the product, so no watermark/eviction applies
     (tests/test_streaming.py::test_stream_compact_latest_by_key_across_batches).
     """
-    packed = F.struct(
-        *[F.col(c) for c in order_cols], *[F.col(c) for c in payload_cols]
+    return max_struct_state(
+        df, key_cols=key_cols, field_cols=[*order_cols, *payload_cols]
     )
+
+
+def max_struct_state(
+    df: DataFrame, *, key_cols: "list[str]", field_cols: "list[str]"
+) -> DataFrame:
+    """The shared kernel of :func:`latest_by_key`, :func:`cdc_apply`,
+    and the streaming CDC materializer (``streaming/cdc.py``): per-key
+    ``max(struct(field_cols))`` — lexicographic by field order, partial
+    collapse scan-side, shuffle O(distinct keys) — unpacked back to
+    columns. One definition so ordering semantics (NULL fields sort
+    smallest; never a NULL struct) are fixed in exactly one place."""
+    packed = F.struct(*[F.col(c) for c in field_cols])
     agg = df.groupBy(*key_cols).agg(F.max(packed).alias("_latest"))
     return agg.select(
         *key_cols,
-        *[F.col(f"_latest.{c}").alias(c) for c in (*order_cols, *payload_cols)],
+        *[F.col(f"_latest.{c}").alias(c) for c in field_cols],
+    )
+
+
+def cdc_epoch0_rows(
+    snapshot: DataFrame,
+    changelog_schema,
+    *,
+    key_cols: "list[str]",
+    order_cols: "list[str]",
+    payload_cols: "list[str]",
+    op_col: str,
+) -> DataFrame:
+    """Tag snapshot rows as epoch 0 — implicit upserts predating the
+    whole log, with NULL order columns typed from the changelog schema."""
+    return snapshot.select(
+        F.lit(0).alias("_epoch"),
+        *key_cols,
+        *[
+            F.lit(None).cast(changelog_schema[c].dataType).alias(c)
+            for c in order_cols
+        ],
+        F.lit("U").alias(op_col),
+        *payload_cols,
+    )
+
+
+def cdc_epoch1_rows(
+    changelog: DataFrame,
+    *,
+    key_cols: "list[str]",
+    order_cols: "list[str]",
+    payload_cols: "list[str]",
+    op_col: str,
+) -> DataFrame:
+    """Tag changelog rows as epoch 1 (they beat every epoch-0 row)."""
+    return changelog.select(
+        F.lit(1).alias("_epoch"), *key_cols, *order_cols, op_col, *payload_cols
     )
 
 
@@ -1494,30 +1543,21 @@ def cdc_apply(
     snapshot — both are caller invariants, not checked (checking
     requires an extra aggregation pass).
     """
-    snap = snapshot.select(
-        F.lit(0).alias("_epoch"),
-        *key_cols,
-        *[F.lit(None).cast(changelog.schema[c].dataType).alias(c) for c in order_cols],
-        F.lit("U").alias(op_col),
-        *payload_cols,
+    cdc_cols = dict(
+        key_cols=key_cols,
+        order_cols=order_cols,
+        payload_cols=payload_cols,
+        op_col=op_col,
     )
-    log = changelog.select(
-        F.lit(1).alias("_epoch"), *key_cols, *order_cols, op_col, *payload_cols
+    snap = cdc_epoch0_rows(snapshot, changelog.schema, **cdc_cols)
+    log = cdc_epoch1_rows(changelog, **cdc_cols)
+    latest = max_struct_state(
+        snap.unionByName(log),
+        key_cols=key_cols,
+        field_cols=["_epoch", *order_cols, op_col, *payload_cols],
     )
-    packed = F.struct(
-        F.col("_epoch"),
-        *[F.col(c) for c in order_cols],
-        F.col(op_col),
-        *[F.col(c) for c in payload_cols],
-    )
-    latest = (
-        snap.unionByName(log)
-        .groupBy(*key_cols)
-        .agg(F.max(packed).alias("_latest"))
-    )
-    return latest.where(F.col(f"_latest.{op_col}") != "D").select(
-        *key_cols,
-        *[F.col(f"_latest.{c}").alias(c) for c in (*order_cols, *payload_cols)],
+    return latest.where(F.col(op_col) != "D").select(
+        *key_cols, *order_cols, *payload_cols
     )
 
 
@@ -1551,6 +1591,13 @@ def snapshot_diff(
     full-outer shuffle join on the keys, status/coalesce in codegen above
     it. Column pruning reaches both scans (only key + payload columns
     are read), AQE handles size skew between versions.
+
+    Caller invariant (same class as :func:`cdc_apply`'s): ``key_cols``
+    must be unique within EACH snapshot — a duplicated key makes the
+    full-outer join emit that key's cross product, multiplying and
+    misreporting the diff. Not checked (checking costs an extra
+    aggregation pass per side); run the diff's own keys through
+    :func:`distinct_count` first when upstream uniqueness is in doubt.
 
     ``digest_only=True`` is the 100 TB mode for wide payloads (document
     text): each side ships only ``xxhash64(to_json(struct(payload),

@@ -44,16 +44,24 @@ def profile_columns(
         raise ValueError("cols must be non-empty")
     ndv = F.count_distinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
+    # positional internal aliases, original names only as string
+    # literals: profiled columns may contain spaces/quotes/dashes, which
+    # must never reach the stack() expression as raw identifiers
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"),
-            ndv(F.col(c)).alias(f"_ndv_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            # count(when) not sum(cast): SUM over an EMPTY table is
+            # NULL, and an ingest gate comparing n_nulls == 0 on an
+            # empty drop must read 0, not NULL
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nulls_{i}"),
+            ndv(F.col(c)).alias(f"_ndv_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{i}"),
         ]
     wide = df.agg(*aggs)
+    labels = [c.replace("\\", "\\\\").replace("'", "\\'") for c in cols]
     stack_args = ", ".join(
-        f"'{c}', _nulls_{c}, _ndv_{c}, _min_{c}, _max_{c}" for c in cols
+        f"'{label}', _nulls_{i}, _ndv_{i}, _min_{i}, _max_{i}"
+        for i, label in enumerate(labels)
     )
     return wide.select(
         F.expr(

@@ -77,56 +77,62 @@ def make_cdc_batch_applier(
     micro-batch of changelog rows into the versioned target table.
     Exposed separately from :func:`materialize_cdc_stream` so tests can
     drive redelivery (same batch_id twice) without a streaming query."""
+    if "://" in target_dir:
+        # the pointer file and GC use driver-local filesystem calls; a
+        # URI-schemed target (s3a/hdfs/...) would make _read_pointer
+        # return None on EVERY batch — fencing dead, state silently
+        # re-seeded per batch. Fail loudly instead.
+        raise ValueError(
+            f"target_dir must be a local filesystem path, got {target_dir!r}"
+            " (remote stores need transactional-pointer support the plain"
+            "-parquet materializer does not provide; use an ACID table"
+            " format's MERGE INTO there)"
+        )
     os.makedirs(target_dir, exist_ok=True)
+    cdc_cols = dict(
+        key_cols=key_cols,
+        order_cols=order_cols,
+        payload_cols=payload_cols,
+        op_col=op_col,
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        meta = _read_pointer(target_dir)
-        if meta is not None and batch_id <= meta["batch_id"]:
-            return  # fenced: this batch was already applied
-        new = batch_df.select(
-            *key_cols,
-            F.lit(1).alias("_epoch"),
-            *order_cols,
-            op_col,
-            *payload_cols,
+        from ..operators.dedup import (
+            cdc_epoch0_rows,
+            cdc_epoch1_rows,
+            max_struct_state,
         )
+
+        meta = _read_pointer(target_dir)
+        if meta is not None and batch_id < meta["batch_id"]:
+            # a LOWER id than the last applied batch is not a redelivery
+            # — foreachBatch redelivers only the most recent id. It means
+            # the checkpoint was reset against an existing target; a
+            # silent skip here would drop every future batch while the
+            # query reports healthy progress.
+            raise RuntimeError(
+                f"batch_id {batch_id} < last applied {meta['batch_id']} in "
+                f"{target_dir!r}: streaming checkpoint was reset against an "
+                "existing target. Point the query at a fresh target_dir or "
+                "restore the original checkpoint."
+            )
+        if meta is not None and batch_id == meta["batch_id"]:
+            return  # fenced: at-least-once redelivery of the applied batch
+        new = cdc_epoch1_rows(batch_df, **cdc_cols)
         if meta is not None:
             base = spark.read.parquet(
                 os.path.join(target_dir, f"v{meta['version']}")
             )
             union = base.unionByName(new)
         elif snapshot is not None:
-            seed = snapshot.select(
-                *key_cols,
-                F.lit(0).alias("_epoch"),
-                *[
-                    F.lit(None)
-                    .cast(batch_df.schema[c].dataType)
-                    .alias(c)
-                    for c in order_cols
-                ],
-                F.lit("U").alias(op_col),
-                *payload_cols,
-            )
+            seed = cdc_epoch0_rows(snapshot, batch_df.schema, **cdc_cols)
             union = seed.unionByName(new)
         else:
             union = new
-        packed = F.struct(
-            F.col("_epoch"),
-            *[F.col(c) for c in order_cols],
-            F.col(op_col),
-            *[F.col(c) for c in payload_cols],
-        )
-        state = (
-            union.groupBy(*key_cols)
-            .agg(F.max(packed).alias("_latest"))
-            .select(
-                *key_cols,
-                *[
-                    F.col(f"_latest.{c}").alias(c)
-                    for c in ("_epoch", *order_cols, op_col, *payload_cols)
-                ],
-            )
+        state = max_struct_state(
+            union,
+            key_cols=key_cols,
+            field_cols=["_epoch", *order_cols, op_col, *payload_cols],
         )
         version = 0 if meta is None else meta["version"] + 1
         state.write.mode("overwrite").parquet(

@@ -86,6 +86,22 @@ def test_profile_edges(spark):
         profile_columns(df, [])
 
 
+def test_profile_empty_table_and_awkward_names(spark):
+    """An EMPTY drop must profile as zeros, not NULLs (sum-over-nothing
+    is NULL; the gate uses count(when)); column names with spaces,
+    dashes, and quotes must survive the unpivot as literals."""
+    df = spark.createDataFrame(
+        [], "`a b` int, `c-d` string, `e'f` double"
+    )
+    rows = {r.column: r for r in profile_columns(
+        df, ["a b", "c-d", "e'f"]
+    ).collect()}
+    assert set(rows) == {"a b", "c-d", "e'f"}
+    for r in rows.values():
+        assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
+        assert r.min_val is None and r.max_val is None
+
+
 def test_profile_native_type_ordering_not_lexical(spark):
     """min/max must compare in the native type: bigint 10 > 9 even
     though '10' < '9' lexically."""

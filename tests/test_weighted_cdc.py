@@ -93,10 +93,14 @@ def test_weighted_sample_matches_python_reference(spark):
     )
 
     rows = [
-        # (group, id, weight) — includes ineligible rows and a giant
+        # (group, id, weight) — includes ineligible rows (NULL, 0,
+        # negative, NaN — NaN sorts LARGER than any number in Spark and
+        # would hijack the sample if admitted) and a giant
         (g, i, w)
         for g in ("x", "y")
-        for i, w in enumerate([3.0, 0.5, None, 0.0, -1.0, 1e6, 2.0, 7.5])
+        for i, w in enumerate(
+            [3.0, 0.5, None, 0.0, -1.0, 1e6, 2.0, 7.5, float("nan")]
+        )
     ]
     df = spark.createDataFrame(rows, "g string, id bigint, w double")
     got = {
