@@ -183,3 +183,89 @@ def interval_join(
         *[pt[c] for c in points.columns],
         *[iv[c] for c in intervals.columns if c not in on],
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str,
+    left_time: str,
+    right_time: str,
+    value_col: str,
+    out_col: str,
+    tiebreak_col: str,
+    max_distance: "str | None" = None,
+) -> DataFrame:
+    """Nearest-event as-of join: for each left row, the ``value_col`` of
+    the right row (same key) whose time is CLOSEST in either direction —
+    pandas ``merge_asof(direction='nearest', tolerance=...)`` semantics,
+    ties (equidistant before/after) resolved BACKWARD (the past wins:
+    at-or-before beats strictly-after at equal distance, matching
+    pandas). ``max_distance`` (an INTERVAL string, e.g. ``'2 days'``)
+    NULLs matches farther than the horizon in both directions.
+
+    Same sorted-union composition as :func:`asof_join` — one shuffle on
+    the key, one sort, and ONE WindowExec evaluating both directed
+    frames (preceding ``last`` / following ``first`` share the window's
+    partition+order spec, so Catalyst plans them in a single window
+    node): the cost profile of a window aggregation, never a range
+    self-join. Among equal-time right rows the greatest
+    ``tiebreak_col`` wins backward and the smallest wins forward (frame
+    boundary order), keeping results deterministic under a total
+    (time, tiebreak) order.
+    """
+    vtype = right.schema[value_col].dataType
+    payload = F.struct(
+        F.col("_t").alias("t"), F.col("_tb").alias("tb"), F.col("_v").alias("v")
+    )
+    lt = left.select(
+        key_col,
+        F.col(left_time).alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.lit(None).cast(vtype).alias("_v"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+    )
+    rt = right.select(
+        key_col,
+        F.col(right_time).alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).alias("_v"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lt.schema["_row"].dataType).alias("_row"),
+    )
+    unioned = lt.unionByName(rt)
+    base = Window.partitionBy(key_col).orderBy("_t", "_side", "_tb")
+    right_payload = F.when(F.col("_side") == 0, payload)
+    prev_s = F.last(right_payload, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_s = F.first(right_payload, ignorenulls=True).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    with_cands = unioned.select("*", prev_s.alias("_prev"), next_s.alias("_next"))
+
+    d_prev = F.unix_micros(F.col("_t").cast("timestamp")) - F.unix_micros(
+        F.col("_prev.t").cast("timestamp")
+    )
+    d_next = F.unix_micros(F.col("_next.t").cast("timestamp")) - F.unix_micros(
+        F.col("_t").cast("timestamp")
+    )
+    if max_distance is not None:
+        horizon = F.expr(
+            f"unix_micros(timestamp'1970-01-01 00:00:00' + INTERVAL {max_distance})"
+        )
+        d_prev = F.when(d_prev <= horizon, d_prev)
+        d_next = F.when(d_next <= horizon, d_next)
+    prev_ok = F.col("_prev").isNotNull() & d_prev.isNotNull()
+    next_ok = F.col("_next").isNotNull() & d_next.isNotNull()
+    pick = (
+        F.when(prev_ok & (~next_ok | (d_prev <= d_next)), F.col("_prev.v"))
+        .when(next_ok, F.col("_next.v"))
+    )
+    return (
+        with_cands.where(F.col("_side") == 1)
+        .withColumn(out_col, pick)
+        .select("_row.*", out_col)
+    )
