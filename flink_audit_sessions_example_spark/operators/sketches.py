@@ -184,3 +184,103 @@ def heavy_hitters(
         .cast("bigint")
         .alias("err_bound"),
     )
+
+
+def count_min_table(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 42,
+    weight_col: "str | None" = None,
+) -> DataFrame:
+    """Build a Count-Min sketch as a DataFrame — ``(d, bucket, cnt)``,
+    depth × width rows. Point-frequency estimation for ANY value (the
+    complement of Misra-Gries :func:`heavy_hitters`, which only tracks a
+    top set): est(x) = min over rows d of cnt[d, hash_d(x) mod width],
+    with the classic guarantee est ≥ true always and
+    est ≤ true + (e/width)·N with probability ≥ 1 − exp(−depth) per
+    query (Cormode & Muthukrishnan 2005), N = total weight.
+
+    Why a DataFrame and not Spark's builtin ``count_min_sketch``
+    aggregate: the builtin emits an opaque binary whose queries must
+    happen JVM-side per-call; this table IS the sketch — O(d·w) rows,
+    broadcastable, mergeable by plain ``groupBy(d, bucket).sum(cnt)``
+    (the sketch is a counter matrix, merge = elementwise add), and
+    queryable as a join (:func:`cms_estimate`). The build is ONE
+    aggregation: each row explodes to its depth buckets scan-side, the
+    partial agg collapses to ≤ d·w rows per task, and the shuffle
+    carries O(d·w·tasks) regardless of input size — the same
+    summary-bound shape as `heavy_hitters`.
+
+    NULL values are skipped (not a frequency class); ``weight_col``
+    accumulates a weight instead of 1 per row (NULL weight = 0).
+    """
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1; got {width}, {depth}")
+    buckets = F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.col(value_col), F.lit(int(seed) + i)),
+                F.lit(width),
+            )
+            for i in range(depth)
+        ]
+    )
+    w = (
+        F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0))
+        if weight_col
+        else F.lit(1)
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(w.alias("_w"), F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    *,
+    width: int,
+    depth: int,
+    seed: int = 42,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``queries`` against a
+    :func:`count_min_table` sketch (same width/depth/seed — caller
+    contract, not encoded in the table). Returns ``queries``' columns +
+    ``out_col``. Never-seen values estimate 0 or the collision mass of
+    their buckets — still ≥ true (=0) per the CMS guarantee.
+
+    Plan: queries explode to their depth probes scan-side, the sketch
+    side is O(d·w) rows and broadcasts, the min-over-depths is a
+    re-aggregation keyed on the query row — no shuffle ever carries the
+    sketch or more than depth rows per query.
+    """
+    probes = queries.select(
+        F.struct(*[F.col(c) for c in queries.columns]).alias("_q"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(value_col), F.lit(int(seed) + i)),
+                        F.lit(width),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    joined = probes.join(F.broadcast(cms), ["d", "bucket"], "left").select(
+        "_q", F.coalesce(F.col("cnt"), F.lit(0)).alias("_cnt")
+    )
+    return (
+        joined.groupBy("_q")
+        .agg(F.min("_cnt").alias(out_col))
+        .select("_q.*", out_col)
+    )
