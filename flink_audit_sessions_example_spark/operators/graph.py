@@ -1,0 +1,126 @@
+"""Link-graph authority scoring — iterative PageRank on an edge list.
+
+Why it lives in a training-data engine: crawl curation weights documents
+by their host/page centrality (the RefinedWeb/FineWeb lineage uses link
+-graph signals for exactly this), and the near-dup machinery already
+produces graphs (``dedup.py::near_dup_clusters`` runs label propagation
+over candidate-pair edges). PageRank is the canonical "iterative
+algorithm on Spark" shape: a loop of join + aggregate with explicit
+lineage truncation — Catalyst cannot optimize ACROSS iterations, so the
+operator must manage what the optimizer can't see:
+
+- **Lineage truncation.** Each iteration's plan nests the previous
+  one's; after ~20 nested shuffles the plan blows up analysis time and
+  task deserialization. ``localCheckpoint`` every ``checkpoint_every``
+  iterations cuts the lineage (the `near_dup_clusters` pattern).
+- **Dangling mass.** Vertices with no out-edges leak rank; their mass
+  redistributes uniformly each iteration (one scalar aggregate), which
+  keeps the rank vector summing to N — without it, ranks drift toward 0
+  and comparisons across iterations are meaningless.
+- **Bounded driver state.** The driver holds one scalar per iteration
+  (the dangling mass, plus the L1 delta when ``tol`` is set); ranks
+  stay distributed.
+
+Scale: per iteration ONE shuffle join (ranks ⨝ edges on src — ranks is
+keyed O(V), edges O(E)) and one aggregation on dst. Hot destinations
+(every page links to the hub) collapse map-side in the partial sum; hot
+SOURCES are free (the join fans out scan-side). AQE handles src skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: "float | None" = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Ranks over the directed graph ``edges`` (duplicate edges count as
+    parallel links — pre-``distinct()`` them for simple-graph semantics;
+    self-loops are ordinary edges). Returns ``(vertex, rank)`` with
+    ranks summing to the vertex count (the standard "average rank = 1"
+    normalization): rank_i = (1−d) + d·(Σ_{j→i} rank_j/outdeg_j +
+    dangling_mass/N).
+
+    ``tol``: when set, iteration stops once the L1 delta between
+    successive rank vectors drops below it — costs one extra distributed
+    aggregate per iteration (an action); leave None for a fixed
+    ``max_iter`` sweep with no per-iteration driver round-trip beyond
+    the dangling-mass scalar.
+    """
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if max_iter < 1 or checkpoint_every < 1:
+        raise ValueError("max_iter and checkpoint_every must be >= 1")
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = vertices.count()
+    if n == 0:
+        return vertices.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges annotated once with the source out-degree; checkpointed so
+    # every iteration reuses the materialized relation instead of
+    # re-deriving the join
+    ew = e.join(outdeg, "src").localCheckpoint()
+
+    ranks = vertices.withColumn("rank", F.lit(1.0))
+    for i in range(max_iter):
+        # mass parked on vertices with no out-edges, redistributed
+        # uniformly (left anti: ranks of vertices absent from outdeg)
+        dangling = (
+            ranks.join(outdeg, ranks["vertex"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            ranks.join(ew, ranks["vertex"] == ew["src"])
+            .select(
+                F.col("dst").alias("vertex"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = (
+            vertices.join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            new_ranks = new_ranks.localCheckpoint()
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    new_ranks.withColumnRenamed("rank", "_nr"), "vertex"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_nr"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks

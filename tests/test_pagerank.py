@@ -1,0 +1,106 @@
+"""pagerank (iterative authority scoring): exact parity vs a pure-Python
+power iteration with dangling redistribution (same formula, same
+iteration count), structural sanity on known graphs, convergence/tol,
+and mass conservation on a real edge sample. Pytest-gated only —
+iterative fixpoints are the documented non-SQL-expressible class."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+from conftest import SF_DIR
+
+from flink_audit_sessions_example_spark.operators.graph import pagerank
+from flink_audit_sessions_example_spark.sources import load_table
+
+
+def _py_pagerank(edges, d=0.85, iters=20):
+    verts = sorted({u for e in edges for u in e})
+    n = len(verts)
+    out = Counter(s for s, _ in edges)
+    r = {v: 1.0 for v in verts}
+    for _ in range(iters):
+        dang = sum(r[v] for v in verts if out[v] == 0)
+        contrib = defaultdict(float)
+        for s, t in edges:
+            contrib[t] += r[s] / out[s]
+        r = {v: (1 - d) + d * (contrib[v] + dang / n) for v in verts}
+    return r
+
+
+EDGES = [
+    (1, 2), (2, 3), (3, 1),          # cycle
+    (4, 1), (4, 2), (4, 3),          # 4 feeds the cycle, nothing feeds 4
+    (5, 4), (5, 4),                  # parallel edges count twice... to 4
+    (6, 6),                          # self-loop
+    (7, 1),                          # 7 and 8: 8 is dangling (dst only)
+    (7, 8),
+]
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    got = {
+        r.vertex: r.rank
+        for r in pagerank(df, max_iter=12, checkpoint_every=4).collect()
+    }
+    expect = _py_pagerank(EDGES, d=0.85, iters=12)
+    assert set(got) == set(expect)
+    for v, rv in expect.items():
+        assert got[v] == pytest.approx(rv, abs=1e-9), v
+    # mass conservation: ranks sum to N (dangling redistribution works)
+    assert sum(got.values()) == pytest.approx(len(expect), rel=1e-9)
+
+
+def test_pagerank_known_structures(spark):
+    # pure cycle: perfectly symmetric, every rank exactly 1
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src bigint, dst bigint"
+    )
+    ranks = {r.vertex: r.rank for r in pagerank(cyc, max_iter=8).collect()}
+    assert all(v == pytest.approx(1.0) for v in ranks.values())
+    # star: everyone points at the hub; hub outranks all leaves
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    ranks = {r.vertex: r.rank for r in pagerank(star, max_iter=8).collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 3
+
+
+def test_pagerank_tol_early_stop_matches_long_run(spark):
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    converged = {
+        r.vertex: r.rank
+        for r in pagerank(df, max_iter=60, tol=1e-10).collect()
+    }
+    long_run = {
+        r.vertex: r.rank
+        for r in pagerank(df, max_iter=60).collect()
+    }
+    for v in long_run:
+        assert converged[v] == pytest.approx(long_run[v], abs=1e-7)
+
+
+def test_pagerank_real_edge_sample_mass_and_determinism(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_suppkey", "l_partkey"
+    ).limit(500)
+    edges = li.selectExpr("l_suppkey AS src", "l_partkey + 100000 AS dst")
+    ranks = pagerank(edges, max_iter=6).collect()
+    n = len(ranks)
+    assert sum(r.rank for r in ranks) == pytest.approx(n, rel=1e-9)
+    again = pagerank(edges.repartition(7), max_iter=6).collect()
+    assert {r.vertex: pytest.approx(r.rank, abs=1e-9) for r in ranks} == {
+        r.vertex: r.rank for r in again
+    }
+
+
+def test_pagerank_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, max_iter=0)
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(empty).count() == 0
