@@ -69,7 +69,12 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ``agg_mad_outliers`` (``operators/quantiles.py::mad_outliers``,
 #: oracle ``tests/test_robust_ops.py::MAD_ORACLE``),
 #: ``corpus_reservoir_sample`` (``operators/corpus.py::reservoir_sample``,
-#: oracle ``tests/test_robust_ops.py::RESERVOIR_ORACLE``).
+#: oracle ``tests/test_robust_ops.py::RESERVOIR_ORACLE``),
+#: ``join_asof_nearest`` (``operators/asof.py::asof_nearest``,
+#: oracle ``tests/test_asof_nearest.py::NEAREST_ORACLE``),
+#: ``agg_count_min`` (``operators/sketches.py::count_min_table`` +
+#: ``cms_estimate`` bound-check shape,
+#: oracle ``tests/test_count_min.py::CMS_BOUND_ORACLE``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

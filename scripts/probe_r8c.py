@@ -193,6 +193,35 @@ def main() -> None:
             key_col="rid",
             k=1000,
         ).count()
+    elif op == "asof_nearest":
+        from pyspark.sql import functions as F
+
+        from flink_audit_sessions_example_spark.operators.asof import (
+            asof_nearest,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        left = ev.where("event_type = 'purchase'").select(
+            "user_id", "ts", "event_id"
+        )
+        right = ev.where("event_type = 'error'").select(
+            "user_id", "ts", "event_id"
+        )
+        n = asof_nearest(
+            left, right, key_col="user_id", left_time="ts",
+            right_time="ts", value_col="event_id",
+            out_col="nearest_error_id", tiebreak_col="event_id",
+        ).count()
+    elif op == "count_min":
+        from flink_audit_sessions_example_spark.operators.sketches import (
+            cms_estimate,
+            count_min_table,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        cms = count_min_table(ev, "event_type", width=2048, depth=5)
+        q = ev.select("event_type").where("event_type IS NOT NULL").distinct()
+        n = cms_estimate(cms, q, "event_type", width=2048, depth=5).count()
     else:
         raise SystemExit(f"unknown op {op}")
     dt = time.perf_counter() - t0
