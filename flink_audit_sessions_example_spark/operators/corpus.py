@@ -811,3 +811,38 @@ def reservoir_sample(df: DataFrame, *, key_col: str, k: int) -> DataFrame:
     return df.orderBy(
         _sample_draw(F.col(key_col)).asc(), F.col(key_col).asc()
     ).limit(k)
+
+
+def weighted_reservoir_sample(
+    df: DataFrame, *, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weight-proportional GLOBAL k-sample without
+    replacement — :func:`weighted_sample_k`'s whole-corpus analogue and
+    :func:`reservoir_sample`'s weighted one: rank all rows by the A-ES
+    key ``u^(1/w)`` descending (content-derived draw, ``key_col``
+    tiebreak) and keep the top k. Same eligibility contract as the
+    per-group variant (NULL/NaN/non-positive weights never sampled) and
+    the same plan shape as the uniform one: ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject — per-task k-row heaps, driver
+    merge of tasks×k rows, no global sort exchange, k capped at 1M.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > 1_000_000:
+        raise ValueError(
+            f"k={k} exceeds the driver-merge cap (1M rows); "
+            "use stratified_sample for rate-based sampling at this size"
+        )
+    u = (_sample_draw(F.col(key_col)) + F.lit(0.5)) / F.lit(float(_DRAW_SPACE))
+    wd = F.col(weight_col).cast("double")
+    samp_key = F.pow(u, F.lit(1.0) / wd)
+    eligible = (
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & ~F.isnan(wd)
+    )
+    return (
+        df.where(eligible)
+        .orderBy(samp_key.desc(), F.col(key_col).asc())
+        .limit(k)
+    )

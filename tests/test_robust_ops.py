@@ -166,3 +166,41 @@ def test_reservoir_plan_take_ordered_and_validation(spark):
         reservoir_sample(docs, key_col="doc_id", k=0)
     with pytest.raises(ValueError):
         reservoir_sample(docs, key_col="doc_id", k=2_000_000)
+
+
+WEIGHTED_RESERVOIR_ORACLE = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) + 0.5) / 4294967296.0,
+             1.0 / n_chars) AS sk
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+) ORDER BY sk DESC, doc_id LIMIT 40
+"""
+
+
+def test_weighted_reservoir_matches_duckdb(spark):
+    from flink_audit_sessions_example_spark.operators.corpus import (
+        weighted_reservoir_sample,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    got = weighted_reservoir_sample(
+        docs, key_col="doc_id", weight_col="n_chars", k=40
+    )
+    assert_parity(got, WEIGHTED_RESERVOIR_ORACLE, SF_DIR)
+    # weighting is live vs the uniform global sample, and the plan is
+    # still the heap-merge shape
+    uniform = {
+        r.doc_id
+        for r in reservoir_sample(
+            docs, key_col="doc_id", k=40
+        ).collect()
+    }
+    weighted = {r.doc_id for r in got.collect()}
+    assert weighted != uniform
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
