@@ -143,3 +143,51 @@ def test_cms_plan_summary_bound_shuffle(spark):
     )
     assert "BroadcastHashJoin" in est_plan
     assert "SortMergeJoin" not in est_plan
+
+
+def test_cms_builds_as_streaming_aggregation(spark, tmp_path):
+    """The payoff of the sketch-IS-a-DataFrame design: the same build
+    runs as a streaming aggregation in update mode — the state store
+    holds <= d*w counter rows (a-priori bounded regardless of stream
+    length/cardinality), and the latest update per (d,bucket) equals the
+    batch sketch of everything seen."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "vals"
+    os.makedirs(d)
+    schema = pa.schema([("v", pa.string())])
+    for i, vals in enumerate((["a", "b", "a"], ["b", "c", "a", None])):
+        pq.write_table(
+            pa.Table.from_pylist([{"v": x} for x in vals], schema),
+            str(d / f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        count_min_table(stream, "v", width=32, depth=3)
+        .writeStream.format("memory")
+        .queryName("t_stream_cms")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest update per (d,bucket) == the batch sketch over both files
+    updates = spark.table("t_stream_cms").collect()
+    final = {}
+    for r in updates:
+        final[(r.d, r.bucket)] = r.cnt  # memory sink appends in batch order
+    batch = {
+        (r.d, r.bucket): r.cnt
+        for r in count_min_table(
+            spark.read.parquet(str(d)), "v", width=32, depth=3
+        ).collect()
+    }
+    assert final == batch
+    assert len(batch) <= 3 * 32

@@ -1,0 +1,139 @@
+"""KMV/theta sketch (kmv_table / kmv_estimate / kmv_intersect_estimate):
+distinct-count bound check vs exact DuckDB counts, exact-when-unsaturated,
+merge-by-resketching law, corpus-overlap estimation vs exact overlap, and
+the WindowGroupLimit plan gate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from conftest import SF_DIR
+from oracle_utils import assert_parity
+
+from flink_audit_sessions_example_spark.operators.sketches import (
+    kmv_estimate,
+    kmv_intersect_estimate,
+    kmv_table,
+)
+from flink_audit_sessions_example_spark.sources import load_table
+
+K = 256  # relative error ~ 1/sqrt(k-2) ~ 6.3%; 3 sigma ~ 19%
+
+KMV_BOUND_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS true_distinct,
+       TRUE AS within_bound
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def test_kmv_bound_check_matches_duckdb(spark):
+    ev = load_table(spark, SF_DIR, "events").where("event_type IS NOT NULL")
+    sk = kmv_table(ev, "user_id", group_cols=["event_type"], k=K)
+    est = kmv_estimate(sk, k=K, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("true_distinct")
+    )
+    bound = 3.0 / (K - 2) ** 0.5
+    got = est.join(exact, "event_type").select(
+        "event_type",
+        "true_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("true_distinct"))
+            <= F.greatest(F.lit(1.0), F.lit(bound) * F.col("true_distinct"))
+        ).alias("within_bound"),
+    )
+    assert_parity(got, KMV_BOUND_ORACLE, SF_DIR)
+
+
+def test_kmv_exact_when_unsaturated(spark):
+    """Fewer distinct values than k: the sketch IS the distinct set and
+    the estimate is exact."""
+    ev = load_table(spark, SF_DIR, "events")
+    true = ev.select("user_id").distinct().count()
+    if true < K:
+        est = kmv_estimate(kmv_table(ev, "user_id", k=K), k=K).collect()[0][0]
+        assert est == true
+    df = spark.createDataFrame([(i % 37,) for i in range(500)], "v bigint")
+    est = kmv_estimate(kmv_table(df, "v", k=K), k=K).collect()[0][0]
+    assert est == 37
+
+
+def test_kmv_merge_is_resketching_the_union(spark):
+    """Merge law: kmv_table over the unioned sketch rows (treating hv as
+    the value... i.e. take the k smallest of the union of two sketches)
+    equals the sketch of the unioned data."""
+    ev = load_table(spark, SF_DIR, "events")
+    a = ev.where("event_id % 2 = 0")
+    b = ev.where("event_id % 2 <> 0")
+    sa = kmv_table(a, "user_id", k=K)
+    sb = kmv_table(b, "user_id", k=K)
+    from pyspark.sql.window import Window
+
+    merged = set(
+        r.hv
+        for r in sa.unionByName(sb)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(Window.orderBy("hv")))
+        .where(F.col("_rn") <= K)
+        .drop("_rn")
+        .collect()
+    )
+    whole = {r.hv for r in kmv_table(ev, "user_id", k=K).collect()}
+    assert merged == whole
+
+
+def test_kmv_intersection_estimates_corpus_overlap(spark):
+    """The set-operation capability HLL lacks: overlap between two doc-id
+    sets. Unsaturated sketches give the EXACT intersection; saturated
+    sketches estimate within the theta-sketch error."""
+    docs = load_table(spark, SF_DIR, "documents")
+    a = docs.where("doc_id % 2 = 0")      # evens
+    b = docs.where("doc_id % 3 = 0")      # multiples of 3
+    true = docs.where("doc_id % 6 = 0").count()
+    # big k -> unsaturated -> exact
+    big = kmv_intersect_estimate(
+        kmv_table(a, "doc_id", k=4096),
+        kmv_table(b, "doc_id", k=4096),
+        k=4096,
+    ).collect()[0][0]
+    assert big == true
+    # small k -> saturated -> within 3 sigma (deterministic at this seed)
+    small = kmv_intersect_estimate(
+        kmv_table(a, "doc_id", k=64),
+        kmv_table(b, "doc_id", k=64),
+        k=64,
+    ).collect()[0][0]
+    assert abs(small - true) <= max(2.0, 3.0 / (64 - 2) ** 0.5 * true * 2)
+    # disjoint sets -> 0
+    z = kmv_intersect_estimate(
+        kmv_table(docs.where("doc_id % 2 = 0"), "doc_id", k=64),
+        kmv_table(docs.where("doc_id % 2 = 1"), "doc_id", k=64),
+        k=64,
+    ).collect()[0][0]
+    assert z == 0
+
+
+def test_kmv_validation_and_empty(spark):
+    df = spark.createDataFrame([(1,)], "v bigint")
+    with pytest.raises(ValueError):
+        kmv_table(df, "v", k=4)
+    empty = spark.createDataFrame([], "v bigint")
+    e = kmv_intersect_estimate(
+        kmv_table(empty, "v", k=64), kmv_table(df, "v", k=64), k=64
+    ).collect()[0][0]
+    assert e == 0
+
+
+def test_kmv_plan_window_group_limit(spark):
+    """Scale gate: the rank<=k filter compiles to WindowGroupLimit with a
+    PARTIAL pass below the exchange — each task forwards at most k sketch
+    rows per group, never its distinct set."""
+    ev = load_table(spark, SF_DIR, "events")
+    plan = (
+        kmv_table(ev, "user_id", group_cols=["event_type"], k=K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan
