@@ -940,3 +940,101 @@ def tfidf_top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+#: One sentence = a maximal run without terminal punctuation plus its
+#: terminators, OR the unterminated trailing fragment. Deliberately
+#: lookbehind-free: Java regex (Spark) and RE2 (DuckDB) both support
+#: alternation + $, while RE2 has NO lookbehind — the same dialect
+#: constraint class as the tfidf ln / pow notes.
+SENTENCE_PATTERN = "[^.!?]+[.!?]+|[^.!?]+$"
+
+
+def split_sentences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence segmentation: one row per sentence —
+    ``(id_col, sent_idx, sentence, n_chars)``, 0-based index in document
+    order, whitespace-trimmed, empty/NULL docs and whitespace-only
+    fragments emit nothing. The RAG-chunking prerequisite
+    (:func:`chunk_by_sentences` builds on it); abbreviation-blind by
+    design ("Dr. Smith" splits) — a scan-side regex is the 100 TB
+    baseline, and a model-based segmenter would be an Arrow-batched UDF
+    swap-in behind the same output contract.
+
+    Plan: ``regexp_extract_all`` + ``posexplode`` ride the scan — no
+    shuffle, no Python; cost is O(text bytes) in codegen.
+    """
+    sents = F.expr(
+        f"regexp_extract_all({text_col}, '{SENTENCE_PATTERN}', 0)"
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(sents).alias("sent_idx", "sentence"),
+    ).select(
+        id_col,
+        "sent_idx",
+        F.trim(F.col("sentence")).alias("sentence"),
+    )
+    return out.where(F.length("sentence") > 0).withColumn(
+        "n_chars", F.length("sentence")
+    )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_chars: int = 400,
+) -> DataFrame:
+    """Sentence-preserving chunking: consecutive sentences pack into
+    chunks of ~``budget_chars`` without ever splitting a sentence —
+    ``(id_col, chunk_id, chunk_text, n_sentences, n_chars)``. The RAG /
+    context-window preparation step :func:`..operators.corpus.chunk_overlap`
+    does NOT give (it slices at fixed token offsets, mid-sentence).
+
+    Chunk assignment is the :func:`..operators.corpus.pack_sequences`
+    streaming-fill rule: ``chunk_id = floor(chars_before / budget)`` —
+    a sentence that straddles a boundary belongs to the chunk it started
+    in, so chunks overflow by < one sentence (greedy first-fit's cheap
+    deterministic approximation; an oversized single sentence becomes
+    its own oversized chunk rather than being split or dropped).
+
+    Plan: the only exchange is the per-document window for the running
+    character sum + the chunk re-aggregation, both partitioned by
+    ``id_col`` — a document's sentences sort on one task (documents are
+    bounded; corpora are not), then ``concat_ws`` rebuilds chunk text in
+    sentence order.
+    """
+    if budget_chars < 1:
+        raise ValueError(f"budget_chars must be >= 1, got {budget_chars}")
+    from pyspark.sql.window import Window
+
+    sents = split_sentences(df, id_col=id_col, text_col=text_col)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = sents.withColumn(
+        "chunk_id",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+            / F.lit(budget_chars)
+        ).cast("bigint"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("sent_idx", "sentence")))
+                .getField("sentence")
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
