@@ -74,7 +74,20 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: oracle ``tests/test_asof_nearest.py::NEAREST_ORACLE``),
 #: ``agg_count_min`` (``operators/sketches.py::count_min_table`` +
 #: ``cms_estimate`` bound-check shape,
-#: oracle ``tests/test_count_min.py::CMS_BOUND_ORACLE``).
+#: oracle ``tests/test_count_min.py::CMS_BOUND_ORACLE``),
+#: ``corpus_weighted_reservoir``
+#: (``operators/corpus.py::weighted_reservoir_sample``,
+#: oracle ``tests/test_robust_ops.py::WEIGHTED_RESERVOIR_ORACLE``),
+#: ``agg_hll_table`` (``operators/sketches.py::hll_table`` +
+#: ``hll_estimate`` bound-check shape,
+#: oracle ``tests/test_hll.py::HLL_BOUND_ORACLE``),
+#: ``agg_kmv_sketch`` (``operators/sketches.py::kmv_table`` +
+#: ``kmv_estimate`` bound-check shape,
+#: oracle ``tests/test_kmv.py::KMV_BOUND_ORACLE``),
+#: ``text_split_sentences`` (``operators/text.py::split_sentences``,
+#: oracle ``tests/test_sentences.py::SPLIT_ORACLE``),
+#: ``text_chunk_sentences`` (``operators/text.py::chunk_by_sentences``,
+#: oracle ``tests/test_sentences.py::CHUNK_ORACLE``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

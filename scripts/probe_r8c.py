@@ -222,6 +222,44 @@ def main() -> None:
         cms = count_min_table(ev, "event_type", width=2048, depth=5)
         q = ev.select("event_type").where("event_type IS NOT NULL").distinct()
         n = cms_estimate(cms, q, "event_type", width=2048, depth=5).count()
+    elif op == "hll":
+        from flink_audit_sessions_example_spark.operators.sketches import (
+            hll_estimate,
+            hll_table,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        n = hll_estimate(
+            hll_table(ev, "user_id", group_cols=["event_type"], p=12),
+            p=12,
+            group_cols=["event_type"],
+        ).count()
+    elif op == "kmv":
+        from flink_audit_sessions_example_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_table,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        n = kmv_estimate(
+            kmv_table(ev, "user_id", group_cols=["event_type"], k=256),
+            k=256,
+            group_cols=["event_type"],
+        ).count()
+    elif op == "sentences":
+        from pyspark.sql import functions as F
+
+        from flink_audit_sessions_example_spark.operators.text import (
+            chunk_by_sentences,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.regexp_replace(
+                "text", r"(\w+ \w+ \w+ \w+ \w+ \w+) ", "$1. "
+            ).alias("text"),
+        )
+        n = chunk_by_sentences(docs, budget_chars=400).count()
     else:
         raise SystemExit(f"unknown op {op}")
     dt = time.perf_counter() - t0
