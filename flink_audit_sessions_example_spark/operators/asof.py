@@ -202,8 +202,10 @@ def asof_nearest(
     pandas ``merge_asof(direction='nearest', tolerance=...)`` semantics,
     ties (equidistant before/after) resolved BACKWARD (the past wins:
     at-or-before beats strictly-after at equal distance, matching
-    pandas). ``max_distance`` (an INTERVAL string, e.g. ``'2 days'``)
-    NULLs matches farther than the horizon in both directions.
+    pandas). ``max_distance`` (a day-time duration string parsed by
+    ``pandas.Timedelta``, e.g. ``'2 days'`` — calendar units like
+    months have no fixed width and are rejected) NULLs matches farther
+    than the horizon in both directions.
 
     Same sorted-union composition as :func:`asof_join` — one shuffle on
     the key, one sort, and ONE WindowExec evaluating both directed
@@ -253,11 +255,22 @@ def asof_nearest(
         F.col("_t").cast("timestamp")
     )
     if max_distance is not None:
-        horizon = F.expr(
-            f"unix_micros(timestamp'1970-01-01 00:00:00' + INTERVAL {max_distance})"
-        )
-        d_prev = F.when(d_prev <= horizon, d_prev)
-        d_next = F.when(d_next <= horizon, d_next)
+        # duration parsed driver-side (pandas), NOT via a timestamp
+        # literal + INTERVAL: epoch literals parse in the SESSION
+        # timezone, so that formulation skews the horizon by the UTC
+        # offset in any non-UTC session (the repo's standing
+        # session-tz-proof rule). Day-time durations only — a calendar
+        # tolerance ("1 month") has no fixed width and is rejected.
+        import pandas as pd
+
+        horizon_us = int(pd.Timedelta(max_distance).value // 1_000)
+        if horizon_us <= 0:
+            raise ValueError(
+                f"max_distance must be a positive day-time duration, "
+                f"got {max_distance!r}"
+            )
+        d_prev = F.when(d_prev <= horizon_us, d_prev)
+        d_next = F.when(d_next <= horizon_us, d_next)
     prev_ok = F.col("_prev").isNotNull() & d_prev.isNotNull()
     next_ok = F.col("_next").isNotNull() & d_next.isNotNull()
     pick = (

@@ -431,19 +431,9 @@ def weighted_sample_k(
     """
     from pyspark.sql.window import Window
 
-    u = (_sample_draw(F.col(key_col)) + F.lit(0.5)) / F.lit(float(_DRAW_SPACE))
-    wd = F.col(weight_col).cast("double")
-    samp_key = F.pow(u, F.lit(1.0) / wd)
+    samp_key, eligible = _aes_key_and_eligibility(key_col, weight_col)
     w = Window.partitionBy(*group_cols).orderBy(
         samp_key.desc(), F.col(key_col)
-    )
-    # null/positive checks on the RAW column (they push to the scan as
-    # IsNotNull/GreaterThan); only the NaN clause needs the double view
-    # and stays a residual filter (false for integral weights anyway)
-    eligible = (
-        F.col(weight_col).isNotNull()
-        & (F.col(weight_col) > 0)
-        & ~F.isnan(wd)
     )
     return (
         df.where(eligible)
@@ -451,6 +441,25 @@ def weighted_sample_k(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _aes_key_and_eligibility(key_col: str, weight_col: str):
+    """The shared A-ES machinery of :func:`weighted_sample_k` and
+    :func:`weighted_reservoir_sample` — ONE definition of the sampling
+    key ``u^(1/w)`` and of eligibility, so the NaN-hijack clause and the
+    pushdown-preserving predicate shape stay in sync. The null/positive
+    checks are on the RAW column (they push to the scan as
+    IsNotNull/GreaterThan); only the NaN clause needs the double view
+    and stays a residual filter (false for integral weights anyway)."""
+    u = (_sample_draw(F.col(key_col)) + F.lit(0.5)) / F.lit(float(_DRAW_SPACE))
+    wd = F.col(weight_col).cast("double")
+    samp_key = F.pow(u, F.lit(1.0) / wd)
+    eligible = (
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & ~F.isnan(wd)
+    )
+    return samp_key, eligible
 
 
 def chunk_overlap(
@@ -833,14 +842,7 @@ def weighted_reservoir_sample(
             f"k={k} exceeds the driver-merge cap (1M rows); "
             "use stratified_sample for rate-based sampling at this size"
         )
-    u = (_sample_draw(F.col(key_col)) + F.lit(0.5)) / F.lit(float(_DRAW_SPACE))
-    wd = F.col(weight_col).cast("double")
-    samp_key = F.pow(u, F.lit(1.0) / wd)
-    eligible = (
-        F.col(weight_col).isNotNull()
-        & (F.col(weight_col) > 0)
-        & ~F.isnan(wd)
-    )
+    samp_key, eligible = _aes_key_and_eligibility(key_col, weight_col)
     return (
         df.where(eligible)
         .orderBy(samp_key.desc(), F.col(key_col).asc())

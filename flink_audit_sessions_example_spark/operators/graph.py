@@ -10,9 +10,12 @@ lineage truncation — Catalyst cannot optimize ACROSS iterations, so the
 operator must manage what the optimizer can't see:
 
 - **Lineage truncation.** Each iteration's plan nests the previous
-  one's; after ~20 nested shuffles the plan blows up analysis time and
-  task deserialization. ``localCheckpoint`` every ``checkpoint_every``
-  iterations cuts the lineage (the `near_dup_clusters` pattern).
+  one's, and the per-iteration dangling-mass action would RE-EXECUTE
+  every uncheckpointed predecessor (O(iterations^2) redundant work, not
+  just deep plans). ``localCheckpoint`` after EVERY iteration cuts the
+  lineage — the rank relation is O(V), so materializing it per round is
+  the cheap side of that trade (the `near_dup_clusters` pattern, taken
+  one step further because this loop takes an action per iteration).
 - **Dangling mass.** Vertices with no out-edges leak rank; their mass
   redistributes uniformly each iteration (one scalar aggregate), which
   keeps the rank vector summing to N — without it, ranks drift toward 0
@@ -41,7 +44,6 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: "float | None" = None,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Ranks over the directed graph ``edges`` (duplicate edges count as
     parallel links — pre-``distinct()`` them for simple-graph semantics;
@@ -58,8 +60,8 @@ def pagerank(
     """
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
-    if max_iter < 1 or checkpoint_every < 1:
-        raise ValueError("max_iter and checkpoint_every must be >= 1")
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
 
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -78,13 +80,18 @@ def pagerank(
     # every iteration reuses the materialized relation instead of
     # re-deriving the join
     ew = e.join(outdeg, "src").localCheckpoint()
+    # the dangling-VERTEX set is static; compute it once instead of an
+    # anti-join per iteration
+    dangling_verts = vertices.join(
+        outdeg, vertices["vertex"] == outdeg["src"], "left_anti"
+    ).localCheckpoint()
 
-    ranks = vertices.withColumn("rank", F.lit(1.0))
+    ranks = vertices.withColumn("rank", F.lit(1.0)).localCheckpoint()
     for i in range(max_iter):
         # mass parked on vertices with no out-edges, redistributed
-        # uniformly (left anti: ranks of vertices absent from outdeg)
+        # uniformly
         dangling = (
-            ranks.join(outdeg, ranks["vertex"] == outdeg["src"], "left_anti")
+            ranks.join(dangling_verts, "vertex")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )
@@ -108,8 +115,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
-            new_ranks = new_ranks.localCheckpoint()
+        # checkpoint EVERY iteration: the next round's dangling collect
+        # (and the tol delta) are actions — on lazy lineage they would
+        # re-execute every uncheckpointed iteration before them
+        new_ranks = new_ranks.localCheckpoint()
         if tol is not None:
             delta = (
                 ranks.join(

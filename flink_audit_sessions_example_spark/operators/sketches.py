@@ -228,11 +228,25 @@ def count_min_table(
             for i in range(depth)
         ]
     )
-    w = (
-        F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0))
-        if weight_col
-        else F.lit(1)
-    )
+    if weight_col:
+        # double, not a bigint cast (which would truncate fractional
+        # weights to 0 and silently zero the sketch); negative weights
+        # would break the est >= true guarantee, so they fail loudly
+        wd = F.col(weight_col).cast("double")
+        w = F.when(
+            wd < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "count_min_table: negative weight breaks the "
+                        "CMS est>=true guarantee: "
+                    ),
+                    wd.cast("string"),
+                )
+            ),
+        ).otherwise(F.coalesce(wd, F.lit(0.0)))
+    else:
+        w = F.lit(1.0)
     return (
         df.where(F.col(value_col).isNotNull())
         .select(w.alias("_w"), F.posexplode(buckets).alias("d", "bucket"))
@@ -251,24 +265,40 @@ def cms_estimate(
     seed: int = 42,
     out_col: str = "est",
 ) -> DataFrame:
-    """Point-frequency estimates for every row of ``queries`` against a
-    :func:`count_min_table` sketch (same width/depth/seed — caller
-    contract, not encoded in the table). Returns ``queries``' columns +
-    ``out_col``. Never-seen values estimate 0 or the collision mass of
-    their buckets — still ≥ true (=0) per the CMS guarantee.
+    """Point-frequency estimates for EVERY row of ``queries`` (duplicate
+    rows each keep their own output row — the re-aggregation keys on a
+    per-row id, not the row content, which also keeps map-typed query
+    columns legal) against a :func:`count_min_table` sketch (same
+    width/depth/seed — caller contract, not encoded in the table).
+    Returns ``queries``' columns + ``out_col``. Never-seen values
+    estimate 0 or the collision mass of their buckets — still ≥ true
+    (=0) per the CMS guarantee; NULL query values estimate NULL (the
+    build skips NULLs — they are not a frequency class, and hashing one
+    would return arbitrary seed-bucket collision mass).
 
     Plan: queries explode to their depth probes scan-side, the sketch
     side is O(d·w) rows and broadcasts, the min-over-depths is a
-    re-aggregation keyed on the query row — no shuffle ever carries the
-    sketch or more than depth rows per query.
+    re-aggregation keyed on the query-row id — no shuffle ever carries
+    the sketch or more than depth rows per query.
     """
-    probes = queries.select(
+    # the row id is assigned in its OWN projection BELOW the explode —
+    # in the same select, the nondeterministic id would be evaluated per
+    # exploded probe row (measured: depth distinct ids per query row,
+    # which silently disables the min-over-depths)
+    base = queries.select(
+        F.monotonically_increasing_id().alias("_qid"),
         F.struct(*[F.col(c) for c in queries.columns]).alias("_q"),
+    )
+    probes = base.select(
+        "_qid",
+        "_q",
         F.posexplode(
             F.array(
                 *[
                     F.pmod(
-                        F.xxhash64(F.col(value_col), F.lit(int(seed) + i)),
+                        F.xxhash64(
+                            F.col(f"_q.{value_col}"), F.lit(int(seed) + i)
+                        ),
                         F.lit(width),
                     )
                     for i in range(depth)
@@ -277,12 +307,16 @@ def cms_estimate(
         ).alias("d", "bucket"),
     )
     joined = probes.join(F.broadcast(cms), ["d", "bucket"], "left").select(
-        "_q", F.coalesce(F.col("cnt"), F.lit(0)).alias("_cnt")
+        "_qid", "_q", F.coalesce(F.col("cnt"), F.lit(0.0)).alias("_cnt")
     )
-    return (
-        joined.groupBy("_q")
-        .agg(F.min("_cnt").alias(out_col))
-        .select("_q.*", out_col)
+    agg = joined.groupBy("_qid").agg(
+        F.first("_q").alias("_q"), F.min("_cnt").alias("_est")
+    )
+    return agg.select(
+        "_q.*",
+        F.when(
+            F.col(f"_q.{value_col}").isNotNull(), F.col("_est")
+        ).alias(out_col),
     )
 
 
@@ -424,8 +458,11 @@ def kmv_table(
     )
 
 
-def _theta(k: int):
-    """Normalized k-th smallest hash: fraction of hash space below it."""
+def _theta():
+    """Normalized MAX sketch hash — the fraction of hash space the
+    sketch covers. Equals the k-th smallest only when the sketch is
+    saturated (n ≥ k); every caller guards the unsaturated case with
+    its own n-vs-k check before using this as a theta."""
     return (F.max("hv") + F.lit(2.0**63)) / F.lit(2.0**64)
 
 
@@ -441,7 +478,7 @@ def kmv_estimate(
     k distinct values ⇒ the sketch holds all of them)."""
     g = group_cols or []
     agg = sketch.groupBy(*g).agg(
-        F.count(F.lit(1)).alias("_n"), _theta(k).alias("_theta")
+        F.count(F.lit(1)).alias("_n"), _theta().alias("_theta")
     )
     est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
         F.lit(k - 1) / F.col("_theta")
@@ -464,10 +501,10 @@ def kmv_intersect_estimate(
     sketches). One broadcast-scale join between two ≤ k-row relations —
     estimation never touches the original data."""
     ta = a.agg(
-        _theta(k).alias("_t"), F.count(F.lit(1)).alias("_n")
+        _theta().alias("_t"), F.count(F.lit(1)).alias("_n")
     ).collect()[0]
     tb = b.agg(
-        _theta(k).alias("_t"), F.count(F.lit(1)).alias("_n")
+        _theta().alias("_t"), F.count(F.lit(1)).alias("_n")
     ).collect()[0]
     if ta["_n"] == 0 or tb["_n"] == 0:
         spark = a.sparkSession

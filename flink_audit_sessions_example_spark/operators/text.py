@@ -968,8 +968,8 @@ def split_sentences(
     Plan: ``regexp_extract_all`` + ``posexplode`` ride the scan — no
     shuffle, no Python; cost is O(text bytes) in codegen.
     """
-    sents = F.expr(
-        f"regexp_extract_all({text_col}, '{SENTENCE_PATTERN}', 0)"
+    sents = F.regexp_extract_all(
+        F.col(text_col), F.lit(SENTENCE_PATTERN), 0
     )
     out = df.select(
         F.col(id_col),

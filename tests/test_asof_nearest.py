@@ -5,6 +5,7 @@ hand-computed direction/tie/tolerance edges, and the one-window plan gate."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 from conftest import SF_DIR
 from oracle_utils import assert_parity
 
@@ -133,3 +134,22 @@ def test_asof_nearest_plan_one_window_one_exchange(spark):
     assert plan.count("Window ") == 1 or plan.count("Window [") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_max_distance_validation(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1)], "k int, ts string, id int"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "id")
+    with pytest.raises(Exception):
+        # calendar units have no fixed width; pandas rejects them
+        asof_nearest(
+            left, left, key_col="k", left_time="ts", right_time="ts",
+            value_col="id", out_col="near", tiebreak_col="id",
+            max_distance="1 month",
+        )
+    with pytest.raises(ValueError, match="max_distance"):
+        asof_nearest(
+            left, left, key_col="k", left_time="ts", right_time="ts",
+            value_col="id", out_col="near", tiebreak_col="id",
+            max_distance="0 seconds",
+        )

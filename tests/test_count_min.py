@@ -191,3 +191,24 @@ def test_cms_builds_as_streaming_aggregation(spark, tmp_path):
     }
     assert final == batch
     assert len(batch) <= 3 * 32
+
+
+def test_cms_estimate_duplicates_nulls_fractional_negative(spark):
+    """Review-pinned contracts: duplicate query rows each keep a row;
+    NULL query values estimate NULL (never seed-bucket collision mass);
+    fractional weights accumulate (no silent bigint truncation);
+    negative weights fail loudly."""
+    df = spark.createDataFrame(
+        [("x", 0.9), ("x", 0.6), ("y", 2.0)], "v string, w double"
+    )
+    cms = count_min_table(df, "v", width=256, depth=3, weight_col="w")
+    q = spark.createDataFrame(
+        [("x",), ("x",), (None,)], "v string"
+    )
+    rows = [
+        r.est for r in cms_estimate(cms, q, "v", width=256, depth=3).collect()
+    ]
+    assert sorted(rows, key=lambda x: (x is None, x)) == [1.5, 1.5, None]
+    bad = spark.createDataFrame([("x", -1.0)], "v string, w double")
+    with pytest.raises(Exception, match="negative weight"):
+        count_min_table(bad, "v", width=256, depth=3, weight_col="w").collect()

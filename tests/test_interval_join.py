@@ -158,3 +158,68 @@ def test_interval_join_plan_no_nested_loop(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "Cartesian" not in plan
     assert "_ij_bin" in plan  # the equi-key the rewrite introduces
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3_000)),
+        max_size=25,
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(0, 2),       # key
+            st.integers(0, 3_000),   # start offset (seconds)
+            st.integers(-50, 2_000), # length (negative/zero -> empty)
+        ),
+        max_size=15,
+    ),
+    width=st.sampled_from(["1 minute", "7 minutes", "1 hour"]),
+)
+def test_interval_join_matches_python_range_join(
+    spark, points, intervals, width
+):
+    """Property: for ANY point/interval soup (overlaps, empties,
+    inversions, boundary hits) and ANY bin width, the binned join equals
+    the naive O(n*m) range join computed in Python."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    pt_rows = [
+        (k, base + dt.timedelta(seconds=s), i)
+        for i, (k, s) in enumerate(points)
+    ]
+    iv_rows = [
+        (k, base + dt.timedelta(seconds=s),
+         base + dt.timedelta(seconds=s + ln), i)
+        for i, (k, s, ln) in enumerate(intervals)
+    ]
+    pt = spark.createDataFrame(
+        pt_rows or [(99, base, 0)], "k int, ts timestamp, pid int"
+    )
+    iv = spark.createDataFrame(
+        iv_rows or [(99, base, base, 0)],
+        "k int, start_ts timestamp, end_ts timestamp, iid int",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            pt, iv, on=["k"], point_ts="ts",
+            start_col="start_ts", end_col="end_ts", bin_width=width,
+        ).collect()
+    }
+    expect = {
+        (pid, iid)
+        for (pk, pts, pid) in (pt_rows or [(99, base, 0)])
+        for (ik, s, e, iid) in (iv_rows or [(99, base, base, 0)])
+        if pk == ik and s <= pts < e
+    }
+    assert got == expect

@@ -43,7 +43,7 @@ def test_pagerank_matches_python_power_iteration(spark):
     df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
     got = {
         r.vertex: r.rank
-        for r in pagerank(df, max_iter=12, checkpoint_every=4).collect()
+        for r in pagerank(df, max_iter=12).collect()
     }
     expect = _py_pagerank(EDGES, d=0.85, iters=12)
     assert set(got) == set(expect)
