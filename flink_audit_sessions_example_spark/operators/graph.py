@@ -44,6 +44,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: "float | None" = None,
+    init_ranks: "DataFrame | None" = None,
 ) -> DataFrame:
     """Ranks over the directed graph ``edges`` (duplicate edges count as
     parallel links — pre-``distinct()`` them for simple-graph semantics;
@@ -57,6 +58,14 @@ def pagerank(
     aggregate per iteration (an action); leave None for a fixed
     ``max_iter`` sweep with no per-iteration driver round-trip beyond
     the dangling-mass scalar.
+
+    ``init_ranks``: WARM START — a ``(vertex, rank)`` relation from a
+    previous run (e.g. yesterday's crawl graph). Power iteration
+    converges to the same fixpoint from any positive start, so the
+    answer is unchanged; starting near it just needs fewer iterations —
+    the incremental re-rank when the graph grew by a day of edges.
+    Vertices absent from ``init_ranks`` (new pages) start at 1.0;
+    ``init_ranks`` rows for vertices no longer in the graph are ignored.
     """
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
@@ -86,7 +95,23 @@ def pagerank(
         outdeg, vertices["vertex"] == outdeg["src"], "left_anti"
     ).localCheckpoint()
 
-    ranks = vertices.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    if init_ranks is not None:
+        ranks = (
+            vertices.join(
+                init_ranks.select(
+                    "vertex", F.col("rank").alias("_init")
+                ),
+                "vertex",
+                "left",
+            )
+            .select(
+                "vertex",
+                F.coalesce(F.col("_init"), F.lit(1.0)).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        ranks = vertices.withColumn("rank", F.lit(1.0)).localCheckpoint()
     for i in range(max_iter):
         # mass parked on vertices with no out-edges, redistributed
         # uniformly

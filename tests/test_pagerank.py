@@ -104,3 +104,41 @@ def test_pagerank_validation(spark):
         pagerank(df, max_iter=0)
     empty = spark.createDataFrame([], "src bigint, dst bigint")
     assert pagerank(empty).count() == 0
+
+
+def test_pagerank_warm_start_accelerates_and_converges_same(spark):
+    """Warm start from a previous graph's ranks: same fixpoint (power
+    iteration is start-independent), reached closer in fewer iterations
+    — 3 warm iterations beat 3 cold ones in L1 distance to the new
+    graph's converged ranks."""
+    old_edges = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    prev = pagerank(old_edges, max_iter=40, tol=1e-12)
+    # the graph grows: a new page 9 linking into the cycle, 3 links to 9
+    new_edges = spark.createDataFrame(
+        EDGES + [(9, 1), (1, 9), (4, 9)], "src bigint, dst bigint"
+    )
+    target = {
+        r.vertex: r.rank
+        for r in pagerank(new_edges, max_iter=80, tol=1e-12).collect()
+    }
+
+    def l1(df):
+        return sum(
+            abs(r.rank - target[r.vertex]) for r in df.collect()
+        )
+
+    warm = l1(pagerank(new_edges, max_iter=3, init_ranks=prev))
+    cold = l1(pagerank(new_edges, max_iter=3))
+    assert warm < cold
+    # and the warm run converges to the SAME fixpoint
+    warm_full = {
+        r.vertex: r.rank
+        for r in pagerank(
+            new_edges, max_iter=80, tol=1e-12, init_ranks=prev
+        ).collect()
+    }
+    # both runs stop after the same geometric contraction (~0.85^80 of
+    # their different starting distances), so residuals agree to ~1e-6,
+    # not machine precision
+    for v, rv in target.items():
+        assert warm_full[v] == pytest.approx(rv, abs=1e-6)
