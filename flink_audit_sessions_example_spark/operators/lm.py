@@ -1,0 +1,201 @@
+"""N-gram language-model quality filtering — the CCNet-style corpus
+gate: train n-gram counts on a reference corpus, score every document's
+per-token log-probability under stupid backoff, and filter/bucket by
+perplexity. The classic "does this text look like language" signal that
+length/punctuation heuristics (``text.py``'s quality score) cannot give.
+
+Spark-first shape:
+
+- **Training is counting.** All 1..order gram counts come from one scan
+  (scan-side ``transform``/``slice`` build each document's gram arrays;
+  explode + partial sum collapse before the exchange — the same
+  summary-bound aggregation as every sketch here). ``min_count`` prunes
+  the long tail, which is what bounds the model relation at 100 TB
+  (standard practice; a trigram table over a web corpus without a floor
+  is itself corpus-sized).
+- **Scoring is joining.** Each token row carries its trigram, bigram,
+  and context grams (built scan-side, no window/lag shuffle); the model
+  relation joins in by gram key — the lookups a KenLM process does
+  against local mmap become equi-joins Catalyst can shuffle or
+  broadcast (AQE picks; a pruned model under the broadcast threshold
+  makes scoring scan-side). Stupid backoff (Brants et al. 2007):
+  score = c(tri)/c(bi_ctx), else 0.4·c(bi)/c(uni_ctx), else
+  0.4²·c(uni)/N, else an OOV floor 0.4²/(N+1). No normalization — the
+  backoff is "stupid" precisely because unnormalized scores are fine
+  for RANKING documents, which is all a corpus filter does.
+- Per-document aggregation emits ``avg_logprob`` (log10) and
+  ``perplexity`` (10^−avg); lower perplexity = more language-like under
+  the reference corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BACKOFF = 0.4
+
+
+def _words(text_col: str) -> Column:
+    from .text import TOKEN_PATTERN
+
+    return F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+    )
+
+
+def train_ngram_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    order: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """The model relation: ``(n, gram, cnt)`` for every 1..order word
+    n-gram with count ≥ ``min_count`` (grams are space-joined lowercase
+    tokens). One scan; each order's grams are built scan-side and the
+    counts collapse map-side before a single exchange per order."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    ws = _words(text_col)
+    parts = []
+    base = df.where(F.col(text_col).isNotNull()).select(ws.alias("_ws"))
+
+    def _gram_lambda(gram_len: int):
+        # a closure factory, NOT `lambda i, n=n`: F.transform dispatches
+        # on lambda ARITY, and a two-parameter lambda receives
+        # (element, array_index) — the default arg would be silently
+        # overwritten by the index (measured: mixed-length grams)
+        return lambda i: F.concat_ws(
+            " ", F.slice(F.col("_ws"), i + 1, gram_len)
+        )
+
+    for n in range(1, order + 1):
+        grams = F.when(
+            F.size("_ws") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - n),
+                _gram_lambda(n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        parts.append(
+            base.select(F.explode(grams).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(n).alias("n"), "gram", "cnt")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.where(F.col("cnt") >= min_count)
+
+
+def score_documents(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document stupid-backoff score against a
+    :func:`train_ngram_counts` model (order 3): ``(id_col, n_tokens,
+    avg_logprob, perplexity)``. Documents with no tokens are absent.
+
+    Per token at position i: trigram ratio if the trigram was seen,
+    else BACKOFF · bigram ratio, else BACKOFF² · unigram MLE, else the
+    OOV floor BACKOFF²/(N+1). The first two tokens of a document score
+    through the same chain (their higher-order grams simply don't
+    exist). All five gram lookups are LEFT joins on the model relation;
+    a ``min_count``-pruned model broadcasts and the whole score is
+    scan-side."""
+    uni = model.where("n = 1").select(
+        F.col("gram").alias("_g1"), F.col("cnt").alias("_c1")
+    )
+    bi = model.where("n = 2").select(
+        F.col("gram").alias("_g2"), F.col("cnt").alias("_c2")
+    )
+    tri = model.where("n = 3").select(
+        F.col("gram").alias("_g3"), F.col("cnt").alias("_c3")
+    )
+    n_total = model.where("n = 1").agg(
+        F.sum("cnt").alias("_N")
+    )
+
+    ws = _words(text_col)
+    gram_structs = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i + 1).alias("w"),
+            F.when(
+                i >= 1,
+                F.concat_ws(" ", F.slice(ws, i, 2)),
+            ).alias("big"),
+            F.when(i >= 1, F.element_at(ws, i)).alias("uctx"),
+            F.when(
+                i >= 2,
+                F.concat_ws(" ", F.slice(ws, i - 1, 3)),
+            ).alias("trig"),
+            F.when(
+                i >= 2,
+                F.concat_ws(" ", F.slice(ws, i - 1, 2)),
+            ).alias("bctx"),
+        ),
+    )
+    # guard BEFORE building: sequence(0, -1) on an empty token array
+    # generates a DESCENDING range (the interval_join/bpe trap); an
+    # empty gram array simply explodes to no rows
+    guarded = F.when(F.size(ws) > 0, gram_structs).otherwise(
+        F.array().cast(
+            "array<struct<w:string,big:string,uctx:string,"
+            "trig:string,bctx:string>>"
+        )
+    )
+    tok = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(guarded).alias("pos", "g"))
+        .select(id_col, "pos", "g.*")
+    )
+    scored = (
+        tok.join(tri, tok["trig"] == tri["_g3"], "left")
+        .join(bi.alias("_bi1"), F.col("big") == F.col("_bi1._g2"), "left")
+        .join(
+            bi.alias("_bi2").withColumnRenamed("_c2", "_cb")
+            .withColumnRenamed("_g2", "_gb"),
+            F.col("bctx") == F.col("_gb"),
+            "left",
+        )
+        .join(uni.alias("_u1"), tok["w"] == F.col("_u1._g1"), "left")
+        .join(
+            uni.alias("_u2").withColumnRenamed("_c1", "_cu")
+            .withColumnRenamed("_g1", "_gu"),
+            F.col("uctx") == F.col("_gu"),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    score = (
+        F.when(
+            F.col("_c3").isNotNull() & F.col("_cb").isNotNull(),
+            F.col("_c3") / F.col("_cb"),
+        )
+        .when(
+            F.col("_c2").isNotNull() & F.col("_cu").isNotNull(),
+            F.lit(BACKOFF) * F.col("_c2") / F.col("_cu"),
+        )
+        .when(
+            F.col("_c1").isNotNull(),
+            F.lit(BACKOFF**2) * F.col("_c1") / F.col("_N"),
+        )
+        .otherwise(F.lit(BACKOFF**2) / (F.col("_N") + 1))
+    )
+    per_doc = (
+        scored.select(F.col(id_col), F.log10(score).alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("_lp").alias("avg_logprob"),
+        )
+    )
+    return per_doc.withColumn(
+        "perplexity", F.pow(F.lit(10.0), -F.col("avg_logprob"))
+    )
