@@ -848,3 +848,60 @@ def weighted_reservoir_sample(
         .orderBy(samp_key.desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def repeat_epochs(
+    df: DataFrame,
+    *,
+    key_col: str,
+    epochs_col: "str | None" = None,
+    epochs: "float | None" = None,
+    copy_col: str = "epoch_copy",
+    max_epochs: float = 100.0,
+) -> DataFrame:
+    """Fractional-epoch upsampling — the training-mix primitive behind
+    "2.5 epochs of wiki, 0.3 of CommonCrawl" (DoReMi/Pile-style domain
+    weights): every row is emitted ``floor(e)`` times, plus one more
+    with probability ``frac(e)`` decided by the row's content draw — so
+    expected copies = e exactly, membership of the fractional copy is
+    deterministic/reproducible (same md5 draw as every sampler here),
+    and e < 1 degrades to plain downsampling. Pass a constant
+    ``epochs`` or a per-row ``epochs_col`` (the usual shape: a domain
+    weight joined on beforehand). NULL/negative epochs emit nothing.
+
+    Output: input columns + ``copy_col`` (0-based copy index) — distinct
+    (key, copy) rows so downstream shuffles/dedup treat copies as
+    distinct records.
+
+    Scale shape: one scan-side ``explode(sequence(0, n_copies-1))`` —
+    no shuffle, no join; output volume is Σe rows, which is the product
+    being built. ``max_epochs`` fails loudly on a runaway weight (a
+    1e6-epoch row is a config bug amplifying one document into a
+    corpus).
+    """
+    if (epochs is None) == (epochs_col is None):
+        raise ValueError("pass exactly one of epochs / epochs_col")
+    e = F.lit(float(epochs)) if epochs is not None else F.col(epochs_col)
+    e = e.cast("double")
+    guard = F.when(
+        e > max_epochs,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"repeat_epochs: epochs exceeds max_epochs="
+                    f"{max_epochs}: "
+                ),
+                e.cast("string"),
+            )
+        ),
+    ).otherwise(e)
+    frac = guard - F.floor(guard)
+    extra = (
+        _sample_draw(F.col(key_col)) < (frac * _DRAW_SPACE).cast("bigint")
+    ).cast("int")
+    n_copies = (F.floor(guard) + extra).cast("int")
+    copies = F.when(
+        e.isNotNull() & (e > 0) & (n_copies > 0),
+        F.sequence(F.lit(0), n_copies - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))
