@@ -87,7 +87,9 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ``text_split_sentences`` (``operators/text.py::split_sentences``,
 #: oracle ``tests/test_sentences.py::SPLIT_ORACLE``),
 #: ``text_chunk_sentences`` (``operators/text.py::chunk_by_sentences``,
-#: oracle ``tests/test_sentences.py::CHUNK_ORACLE``).
+#: oracle ``tests/test_sentences.py::CHUNK_ORACLE``),
+#: ``corpus_repeat_epochs`` (``operators/corpus.py::repeat_epochs``,
+#: oracle ``tests/test_repeat_epochs.py::EPOCHS_ORACLE``).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

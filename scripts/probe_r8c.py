@@ -260,6 +260,27 @@ def main() -> None:
             ).alias("text"),
         )
         n = chunk_by_sentences(docs, budget_chars=400).count()
+    elif op == "bpe":
+        from flink_audit_sessions_example_spark.operators.bpe import (
+            learn_bpe_merges,
+            word_freq_table,
+        )
+
+        vocab = word_freq_table(
+            load_table(spark, sf_dir, "documents").select("text")
+        )
+        n = len(learn_bpe_merges(vocab, n_merges=10))
+    elif op == "lm":
+        from flink_audit_sessions_example_spark.operators.lm import (
+            score_documents,
+            train_ngram_counts,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        model = train_ngram_counts(docs.select("text"), min_count=2)
+        n = score_documents(docs, model).count()
     else:
         raise SystemExit(f"unknown op {op}")
     dt = time.perf_counter() - t0

@@ -170,3 +170,58 @@ def test_balanced_shards_plan_single_exchange_scan_side_exprs(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 200),  # key
+            st.one_of(st.none(), st.integers(-5, 10**9)),  # weight
+        ),
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    n_shards=st.integers(1, 7),
+    n_cells=st.integers(1, 5),
+)
+def test_deal_guarantee_holds_for_any_weights(spark, rows, n_shards, n_cells):
+    """Property: for ANY weight distribution (NULLs, negatives, giants),
+    every row is assigned exactly one shard in range, assignment is a
+    function of content only, and within every (stratum, cell) group the
+    per-shard counts differ by at most 1."""
+    df = spark.createDataFrame(rows or [(0, 1)], "k bigint, w bigint")
+    out = balanced_shards(
+        df, key_col="k", weight_col="w", n_shards=n_shards, n_cells=n_cells
+    ).collect()
+    assert len(out) == len(rows or [(0, 1)])
+    assert all(0 <= r.shard < n_shards for r in out)
+    # recompute stratum/cell in python and check the <=1 deal per group
+    import hashlib
+    from collections import Counter
+
+    def draw(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    groups = Counter()
+    per_shard = Counter()
+    for r in out:
+        w = max(r.w or 0, 0)
+        stratum = len(bin(w + 1)) - 2
+        cell = draw(r.k) % n_cells
+        per_shard[(stratum, cell, r.shard)] += 1
+        groups[(stratum, cell)] += 1
+    for (stratum, cell), total in groups.items():
+        counts = [
+            per_shard.get((stratum, cell, s), 0) for s in range(n_shards)
+        ]
+        present = [c for c in counts]
+        assert max(present) - min(present) <= 1, (stratum, cell, counts)
