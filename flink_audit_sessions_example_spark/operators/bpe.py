@@ -47,11 +47,14 @@ def word_freq_table(
 ) -> DataFrame:
     """``(word, freq)`` over the corpus — the bounded relation BPE
     learning actually consumes. One scan + one aggregation."""
-    from .text import TOKEN_PATTERN
+    from .text import TOKEN_PATTERN, pattern_tokens
 
-    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     words = F.explode(
-        F.regexp_extract_all(txt, F.lit(TOKEN_PATTERN), 0)
+        pattern_tokens(F.col(text_col))
+        if lowercase
+        else F.regexp_extract_all(
+            F.col(text_col), F.lit(TOKEN_PATTERN), 0
+        )
     ).alias("word")
     return (
         df.where(F.col(text_col).isNotNull())

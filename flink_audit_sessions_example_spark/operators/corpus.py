@@ -867,7 +867,9 @@ def repeat_epochs(
     deterministic/reproducible (same md5 draw as every sampler here),
     and e < 1 degrades to plain downsampling. Pass a constant
     ``epochs`` or a per-row ``epochs_col`` (the usual shape: a domain
-    weight joined on beforehand). NULL/negative epochs emit nothing.
+    weight joined on beforehand). NULL/negative epochs emit nothing; a
+    NULL ``key_col`` still gets its floor(e) integer copies but never
+    wins the fractional one (no content to draw from).
 
     Output: input columns + ``copy_col`` (0-based copy index) — distinct
     (key, copy) rows so downstream shuffles/dedup treat copies as
@@ -896,9 +898,17 @@ def repeat_epochs(
         ),
     ).otherwise(e)
     frac = guard - F.floor(guard)
-    extra = (
-        _sample_draw(F.col(key_col)) < (frac * _DRAW_SPACE).cast("bigint")
-    ).cast("int")
+    # coalesce: a NULL key draws NULL, and NULL extra would NULL the
+    # whole copy count — silently dropping a row whose INTEGER epochs
+    # need no draw at all (measured); NULL-key rows simply never win
+    # the fractional copy
+    extra = F.coalesce(
+        (
+            _sample_draw(F.col(key_col))
+            < (frac * _DRAW_SPACE).cast("bigint")
+        ).cast("int"),
+        F.lit(0),
+    )
     n_copies = (F.floor(guard) + extra).cast("int")
     copies = F.when(
         e.isNotNull() & (e > 0) & (n_copies > 0),

@@ -37,11 +37,9 @@ BACKOFF = 0.4
 
 
 def _words(text_col: str) -> Column:
-    from .text import TOKEN_PATTERN
+    from .text import pattern_tokens
 
-    return F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
-    )
+    return pattern_tokens(F.col(text_col))
 
 
 def train_ngram_counts(
@@ -53,41 +51,44 @@ def train_ngram_counts(
 ) -> DataFrame:
     """The model relation: ``(n, gram, cnt)`` for every 1..order word
     n-gram with count ≥ ``min_count`` (grams are space-joined lowercase
-    tokens). One scan; each order's grams are built scan-side and the
-    counts collapse map-side before a single exchange per order."""
+    tokens). Genuinely ONE scan: every order's grams flatten into a
+    single ``(n, gram)`` struct array in one projection, one explode,
+    one aggregation — a per-order union of groupBys would re-scan (and
+    re-tokenize) the corpus once per order, since Catalyst does not
+    dedup scans across union branches (measured: 3 scan nodes); the
+    plan gate counts scans to keep it that way."""
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")
     ws = _words(text_col)
-    parts = []
     base = df.where(F.col(text_col).isNotNull()).select(ws.alias("_ws"))
 
-    def _gram_lambda(gram_len: int):
+    def _order_grams(gram_len: int):
         # a closure factory, NOT `lambda i, n=n`: F.transform dispatches
         # on lambda ARITY, and a two-parameter lambda receives
         # (element, array_index) — the default arg would be silently
         # overwritten by the index (measured: mixed-length grams)
-        return lambda i: F.concat_ws(
-            " ", F.slice(F.col("_ws"), i + 1, gram_len)
-        )
-
-    for n in range(1, order + 1):
-        grams = F.when(
-            F.size("_ws") >= n,
+        return F.when(
+            F.size("_ws") >= gram_len,
             F.transform(
-                F.sequence(F.lit(0), F.size("_ws") - n),
-                _gram_lambda(n),
+                F.sequence(F.lit(0), F.size("_ws") - gram_len),
+                lambda i: F.struct(
+                    F.lit(gram_len).alias("n"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("_ws"), i + 1, gram_len)
+                    ).alias("gram"),
+                ),
             ),
-        ).otherwise(F.array().cast("array<string>"))
-        parts.append(
-            base.select(F.explode(grams).alias("gram"))
-            .groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(n).alias("n"), "gram", "cnt")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.where(F.col("cnt") >= min_count)
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    all_grams = F.flatten(
+        F.array(*[_order_grams(n) for n in range(1, order + 1)])
+    )
+    return (
+        base.select(F.explode(all_grams).alias("g"))
+        .groupBy("g.n", "g.gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
 
 
 def score_documents(
@@ -150,10 +151,13 @@ def score_documents(
             "trig:string,bctx:string>>"
         )
     )
+    # plain explode, no position column: the per-doc aggregation is an
+    # average, so token order is irrelevant — a pos column would ride
+    # the widest relation of the job (the 5-way gram join) unused
     tok = (
         docs.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.posexplode(guarded).alias("pos", "g"))
-        .select(id_col, "pos", "g.*")
+        .select(F.col(id_col), F.explode(guarded).alias("g"))
+        .select(id_col, "g.*")
     )
     scored = (
         tok.join(tri, tok["trig"] == tri["_g3"], "left")

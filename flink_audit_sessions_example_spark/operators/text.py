@@ -63,6 +63,15 @@ def _words(text: Column) -> Column:
     ).otherwise(F.split(trimmed, r"\s+"))
 
 
+def pattern_tokens(text: Column) -> Column:
+    """Lowercased ``TOKEN_PATTERN`` tokens as an array — ONE definition
+    for every consumer that tokenizes by the engine's token classes
+    (BPE vocabulary, LM grams, token counting); duplicated inline
+    copies would let the tokenizations silently drift apart (the
+    ``_sample_draw``/``md5_draw`` single-definition convention)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
 #: Name of the staged token-array column added by :func:`_with_words`.
 _WORDS = "__words"
 

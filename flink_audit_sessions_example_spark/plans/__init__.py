@@ -90,6 +90,17 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: oracle ``tests/test_sentences.py::CHUNK_ORACLE``),
 #: ``corpus_repeat_epochs`` (``operators/corpus.py::repeat_epochs``,
 #: oracle ``tests/test_repeat_epochs.py::EPOCHS_ORACLE``).
+#: Queue priority when slots free up (breadth of user-facing capability
+#: first, sketch bound-checks last — their pytest gates already pin the
+#: contract): (1) xform_cdc_apply / xform_snapshot_diff / join_interval /
+#: corpus_balanced_shards / text_chunk_sentences — capabilities a
+#: pipeline user reaches for directly; (2) the sampling family
+#: (corpus_weighted_sample / corpus_reservoir_sample /
+#: corpus_weighted_reservoir / corpus_repeat_epochs) and
+#: join_asof_nearest / rel_profile_columns / win_gapfill / join_bloom /
+#: xform_winsorize / agg_mad_outliers / dedup_spans / layout_zorder;
+#: (3) bound-check sketches (agg_heavy_hitters / agg_count_min /
+#: agg_hll_table / agg_kmv_sketch).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).

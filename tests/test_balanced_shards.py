@@ -223,5 +223,4 @@ def test_deal_guarantee_holds_for_any_weights(spark, rows, n_shards, n_cells):
         counts = [
             per_shard.get((stratum, cell, s), 0) for s in range(n_shards)
         ]
-        present = [c for c in counts]
-        assert max(present) - min(present) <= 1, (stratum, cell, counts)
+        assert max(counts) - min(counts) <= 1, (stratum, cell, counts)

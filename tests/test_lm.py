@@ -154,6 +154,12 @@ def test_lm_plan_gates(spark):
     train_plan = model._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in train_plan
     assert "BatchEvalPython" not in train_plan
+    # genuinely ONE scan and ONE exchange: the flattened (n, gram)
+    # projection replaced the per-order union (which re-scanned and
+    # re-tokenized the corpus once per order — Catalyst does not dedup
+    # scans across union branches)
+    assert train_plan.count("FileScan parquet") == 1
+    assert train_plan.count("Exchange hashpartitioning") == 1
     score_plan = (
         score_documents(docs, model)
         ._jdf.queryExecution().executedPlan().toString()

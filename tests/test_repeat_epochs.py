@@ -81,6 +81,15 @@ def test_repeat_epochs_edges(spark):
     big = spark.createDataFrame([(1, 1e7)], "k bigint, e double")
     with pytest.raises(Exception, match="max_epochs"):
         repeat_epochs(big, key_col="k", epochs_col="e").collect()
+    # a NULL key still gets its INTEGER copies (the draw only decides
+    # the fractional one) — a NULL draw must not null the whole count
+    nk = spark.createDataFrame([(None, 2.9), (8, 2.0)], "k bigint, e double")
+    got = sorted(
+        ((r.k, r.epoch_copy) for r in
+         repeat_epochs(nk, key_col="k", epochs_col="e").collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [(8, 0), (8, 1), (None, 0), (None, 1)]
 
 
 def test_fractional_copy_is_content_deterministic(spark):
