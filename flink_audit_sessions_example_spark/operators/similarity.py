@@ -987,3 +987,70 @@ def ivf_topk(
     return _exact_topk_on_candidates(
         cands, corpus, queries, id_col=id_col, vec_col=vec_col, k=k
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+) -> DataFrame:
+    """Embedding-space decontamination — flag training items whose
+    vector is cosine-≥-``threshold`` close to ANY evaluation item: the
+    semantic sibling of ``corpus.decontaminate`` (which catches verbatim
+    k-gram overlap but not paraphrases/translations of benchmark items).
+    Output: one row per contaminated training item —
+    ``(id_col, max_sim, n_eval_hits)`` with ``max_sim`` the highest
+    eval cosine and ``n_eval_hits`` the number of eval items at or
+    above the threshold.
+
+    Same asymmetric broadcast regime as :func:`brute_force_topk`: the
+    (small) eval matrix is collected once under the
+    ``MAX_COLLECTED_QUERIES`` misuse guard, unit-normalized, and shipped
+    to every task; the training corpus streams through ONE Arrow pass
+    computing a dense BLAS product per batch — no shuffle at all, the
+    output filter rides the scan. Zero vectors (train or eval) have no
+    direction and never match. At 100 TB the train side is
+    embarrassingly parallel; the eval side is bounded by construction
+    (benchmarks are small — that asymmetry IS the design).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    rows = _collect_queries(evals, [id_col, vec_col])
+    if not rows:
+        spark = train.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} long, max_sim double, n_eval_hits long"
+        )
+    em = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(em, axis=1, keepdims=True)
+    norms[norms == 0] = np.inf  # zero eval vectors match nothing
+    em = em / norms
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = np.inf
+            sims = (m / n) @ em.T
+            mx = sims.max(axis=1)
+            hits = (sims >= threshold).sum(axis=1)
+            keep = mx >= threshold
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"].to_numpy()[keep],
+                    "max_sim": mx[keep],
+                    "n_eval_hits": hits[keep].astype("int64"),
+                }
+            )
+
+    return train.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(gen, f"{id_col} long, max_sim double, n_eval_hits long")

@@ -89,7 +89,10 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ``text_chunk_sentences`` (``operators/text.py::chunk_by_sentences``,
 #: oracle ``tests/test_sentences.py::CHUNK_ORACLE``),
 #: ``corpus_repeat_epochs`` (``operators/corpus.py::repeat_epochs``,
-#: oracle ``tests/test_repeat_epochs.py::EPOCHS_ORACLE``).
+#: oracle ``tests/test_repeat_epochs.py::EPOCHS_ORACLE``),
+#: ``decontaminate_semantic``
+#: (``operators/similarity.py::semantic_decontaminate``,
+#: oracle ``tests/test_semantic_decon.py::DECON_ORACLE``).
 #: Queue priority when slots free up (breadth of user-facing capability
 #: first, sketch bound-checks last — their pytest gates already pin the
 #: contract): (1) xform_cdc_apply / xform_snapshot_diff / join_interval /

@@ -281,6 +281,17 @@ def main() -> None:
         )
         model = train_ngram_counts(docs.select("text"), min_count=2)
         n = score_documents(docs, model).count()
+    elif op == "semantic_decon":
+        from flink_audit_sessions_example_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        n = semantic_decontaminate(
+            emb, emb.where("vec_id % 17 = 0"), threshold=0.98
+        ).count()
     else:
         raise SystemExit(f"unknown op {op}")
     dt = time.perf_counter() - t0

@@ -1,0 +1,100 @@
+"""semantic_decontaminate (embedding-space benchmark overlap): DuckDB
+cross-engine parity via list_cosine_similarity on the real embeddings,
+planted paraphrase/near-copy detection, zero-vector edges, and the
+no-shuffle plan gate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from conftest import SF_DIR
+from oracle_utils import assert_parity
+
+from flink_audit_sessions_example_spark.operators.similarity import (
+    semantic_decontaminate,
+)
+from flink_audit_sessions_example_spark.sources import load_table
+
+TAU = 0.98
+
+# evals = every 17th vector; train = the WHOLE corpus (the realistic
+# leak: the benchmark is a subset of the crawl), so every eval's
+# identical twin fires at cosine 1.0 and the check is non-vacuous.
+# max_sim rounded to 5dp (dot products run in float64 on both engines;
+# only summation order differs) — n_eval_hits counts >= tau eval items.
+DECON_ORACLE = f"""
+WITH ev AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
+), tr AS (
+  SELECT vec_id, embedding FROM embeddings
+), sims AS (
+  SELECT tr.vec_id,
+         list_cosine_similarity(tr.embedding, ev.embedding) AS sim
+  FROM tr CROSS JOIN ev
+)
+SELECT vec_id, round(max(sim), 5) AS max_sim,
+       count(*) FILTER (WHERE sim >= {TAU}) AS n_eval_hits
+FROM sims GROUP BY vec_id HAVING max(sim) >= {TAU}
+"""
+
+
+def _sides(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return emb, emb.where("vec_id % 17 = 0")
+
+
+def test_semantic_decon_matches_duckdb(spark):
+    train, evals = _sides(spark)
+    got = semantic_decontaminate(train, evals, threshold=TAU).select(
+        "vec_id", F.round("max_sim", 5).alias("max_sim"), "n_eval_hits"
+    )
+    assert_parity(got, DECON_ORACLE, SF_DIR)
+    # non-vacuity: the embedding fixture plants near-duplicates, so the
+    # semantic gate actually fires
+    assert got.count() > 0
+
+
+def test_planted_paraphrase_and_edges(spark):
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0]), (102, [0.0] * 3)],
+        "vec_id bigint, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [0.999, 0.04, 0.0]),   # near-copy of eval 100
+            (2, [0.5, 0.0, 0.866]),    # 60 deg away -> clean at 0.9
+            (3, [2.0, 0.0, 0.0]),      # same DIRECTION as 100, scaled
+            (4, [0.0, 0.0, 0.0]),      # zero vector -> never matches
+            (5, [0.7071, 0.7071, 0.0]),# 45 deg to BOTH -> clean at 0.9
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (round(r.max_sim, 4), r.n_eval_hits)
+        for r in semantic_decontaminate(
+            train, evals, threshold=0.9
+        ).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[3] == (1.0, 1)      # cosine is scale-invariant
+    assert got[1][0] > 0.998 and got[1][1] == 1
+    # empty eval side -> nothing flagged; bad threshold validated
+    empty = evals.where("vec_id < 0")
+    assert semantic_decontaminate(train, empty, threshold=0.9).count() == 0
+    with pytest.raises(ValueError):
+        semantic_decontaminate(train, evals, threshold=0.0)
+
+
+def test_semantic_decon_plan_no_shuffle(spark):
+    """Scale gate: ONE Arrow pass riding the train scan — no exchange,
+    no join; the eval matrix travels in the task closure."""
+    train, evals = _sides(spark)
+    plan = (
+        semantic_decontaminate(train, evals, threshold=TAU)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 1
