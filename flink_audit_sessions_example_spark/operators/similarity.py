@@ -49,6 +49,18 @@ def _collect_queries(queries: DataFrame, cols: list[str]) -> list:
     return rows
 
 
+def _unit_rows(m):
+    """Row-wise unit normalization with the zero-vector guard — ONE
+    definition (cosine_pairs_above, semantic_decontaminate): a zero
+    vector has no direction, so its norm is replaced with inf and every
+    cosine involving it becomes 0 instead of a silent NaN row."""
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = np.inf
+    return m / n
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a sequential double fold (deterministic order)."""
     return F.aggregate(
@@ -254,8 +266,7 @@ def cosine_pairs_above(
     ).select("id", "v", "m.ga", "m.gb", "m.side")
 
     def _unit(rows: "pd.Series") -> "np.ndarray":
-        m = np.array(rows.tolist(), dtype=np.float64)
-        return m / np.linalg.norm(m, axis=1, keepdims=True)
+        return _unit_rows(np.array(rows.tolist(), dtype=np.float64))
 
     def pairs(key, pdf):
         ga, gb = key
@@ -1021,25 +1032,30 @@ def semantic_decontaminate(
 
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    rows = _collect_queries(evals, [id_col, vec_col])
+    # NULL embeddings carry no geometry on either side — filtered, not
+    # crashed (one NULL row would otherwise abort the whole job inside
+    # numpy with an opaque executor traceback)
+    rows = _collect_queries(
+        evals.where(F.col(vec_col).isNotNull()), [id_col, vec_col]
+    )
     if not rows:
         spark = train.sparkSession
         return spark.createDataFrame(
             [], f"{id_col} long, max_sim double, n_eval_hits long"
         )
-    em = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(em, axis=1, keepdims=True)
-    norms[norms == 0] = np.inf  # zero eval vectors match nothing
-    em = em / norms
+    em = _unit_rows(np.array([r[1] for r in rows], dtype=np.float64))
+    # torrent-broadcast once per executor (the brute_force_topk
+    # pattern), NOT closure capture — a closure ships the matrix with
+    # every task launch of the 100 TB train scan
+    bem = train.sparkSession.sparkContext.broadcast(em)
 
     def gen(batches):
+        emat = bem.value
         for pdf in batches:
             if pdf.empty:
                 continue
             m = np.array(pdf["_v"].tolist(), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1, keepdims=True)
-            n[n == 0] = np.inf
-            sims = (m / n) @ em.T
+            sims = _unit_rows(m) @ emat.T
             mx = sims.max(axis=1)
             hits = (sims >= threshold).sum(axis=1)
             keep = mx >= threshold
@@ -1051,6 +1067,8 @@ def semantic_decontaminate(
                 }
             )
 
-    return train.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).mapInPandas(gen, f"{id_col} long, max_sim double, n_eval_hits long")
+    return (
+        train.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(gen, f"{id_col} long, max_sim double, n_eval_hits long")
+    )

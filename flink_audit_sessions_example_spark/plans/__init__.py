@@ -96,7 +96,8 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: Queue priority when slots free up (breadth of user-facing capability
 #: first, sketch bound-checks last — their pytest gates already pin the
 #: contract): (1) xform_cdc_apply / xform_snapshot_diff / join_interval /
-#: corpus_balanced_shards / text_chunk_sentences — capabilities a
+#: corpus_balanced_shards / text_chunk_sentences /
+#: decontaminate_semantic — capabilities a
 #: pipeline user reaches for directly; (2) the sampling family
 #: (corpus_weighted_sample / corpus_reservoir_sample /
 #: corpus_weighted_reservoir / corpus_repeat_epochs) and

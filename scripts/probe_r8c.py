@@ -289,8 +289,13 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
+        # eval side PINNED to a fixed size: benchmarks don't grow with
+        # the corpus, and a %-split eval would make the probe measure
+        # O(train x eval) ~ sf^2 instead of the train-side slope
         n = semantic_decontaminate(
-            emb, emb.where("vec_id % 17 = 0"), threshold=0.98
+            emb,
+            emb.where("vec_id % 17 = 0").orderBy("vec_id").limit(120),
+            threshold=0.98,
         ).count()
     else:
         raise SystemExit(f"unknown op {op}")

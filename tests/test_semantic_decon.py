@@ -20,8 +20,10 @@ TAU = 0.98
 # evals = every 17th vector; train = the WHOLE corpus (the realistic
 # leak: the benchmark is a subset of the crawl), so every eval's
 # identical twin fires at cosine 1.0 and the check is non-vacuous.
-# max_sim rounded to 5dp (dot products run in float64 on both engines;
-# only summation order differs) — n_eval_hits counts >= tau eval items.
+# max_sim rounded to 5dp; the oracle casts to DOUBLE[] because DuckDB's
+# list_cosine_similarity on FLOAT[] computes in float32 (measured ~2.5e-8
+# off the float64 value) while Spark runs float64 BLAS — without the
+# cast the threshold comparisons are a latent cross-engine flake.
 DECON_ORACLE = f"""
 WITH ev AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
@@ -29,7 +31,8 @@ WITH ev AS (
   SELECT vec_id, embedding FROM embeddings
 ), sims AS (
   SELECT tr.vec_id,
-         list_cosine_similarity(tr.embedding, ev.embedding) AS sim
+         list_cosine_similarity(tr.embedding::DOUBLE[],
+                                ev.embedding::DOUBLE[]) AS sim
   FROM tr CROSS JOIN ev
 )
 SELECT vec_id, round(max(sim), 5) AS max_sim,
@@ -38,8 +41,8 @@ FROM sims GROUP BY vec_id HAVING max(sim) >= {TAU}
 """
 
 
-def _sides(spark):
-    emb = load_table(spark, SF_DIR, "embeddings").select(
+def _sides(spark, spread=None):
+    emb = load_table(spark, SF_DIR, "embeddings", spread=spread).select(
         "vec_id", "embedding"
     )
     return emb, emb.where("vec_id % 17 = 0")
@@ -88,13 +91,15 @@ def test_planted_paraphrase_and_edges(spark):
 
 
 def test_semantic_decon_plan_no_shuffle(spark):
-    """Scale gate: ONE Arrow pass riding the train scan — no exchange,
-    no join; the eval matrix travels in the task closure."""
-    train, evals = _sides(spark)
+    """Scale gate: ONE Arrow pass riding the train scan — NO exchange
+    of any kind (spread=False per load_table's plan-shape contract, so
+    the loader's round-robin can't mask an operator regression), no
+    join; the eval matrix arrives via broadcast variable."""
+    train, evals = _sides(spark, spread=False)
     plan = (
         semantic_decontaminate(train, evals, threshold=TAU)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.count("MapInPandas") == 1
