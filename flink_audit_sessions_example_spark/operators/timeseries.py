@@ -120,3 +120,97 @@ def gapfill_resample(
         F.last("v_sum", ignorenulls=True).over(w).alias("v_ffill"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+def pattern_match_topk(
+    df: DataFrame,
+    query: "list[float]",
+    *,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    k: int = 10,
+    tiebreak_col: "str | None" = None,
+) -> DataFrame:
+    """Z-normalized subsequence pattern matching (the UCR-suite primitive):
+    find the ``k`` windows, across ALL keys' time-ordered value series,
+    whose SHAPE is closest to ``query`` — shape meaning the z-normalized
+    Euclidean distance, so a sawtooth matches a sawtooth at any offset
+    and amplitude (raw Euclidean would only match at the same scale).
+    Output: ``(key_col, time_col, dist)`` — the window's starting row —
+    ordered by distance; the anomaly/motif search a monitoring or
+    feature-mining pipeline runs over event series.
+
+    Spark-first shape: each row's window is assembled by ``len(query)``
+    ``lead()`` calls sharing ONE window spec — a single hash exchange on
+    the key and one sort, never a self-join on time offsets; the
+    distance is a CLOSED-FORM expression over those leads (whole-stage
+    codegen), and the top-k compiles to TakeOrderedAndProject (per-task
+    heaps, no global sort). Cross-engine determinism: mean/variance/
+    distance are built as explicit LEFT-FOLD sums over the lead columns,
+    so the oracle can replicate the exact IEEE operation order and the
+    doubles match bit-for-bit — no rounding tolerance needed.
+
+    Windows shorter than the query (series tail) and CONSTANT windows
+    (zero variance — z-normalization is undefined; UCR practice skips
+    them) are excluded. The query itself must not be constant.
+    """
+    import math
+
+    w = len(query)
+    if w < 2:
+        raise ValueError(f"query must have >= 2 points, got {w}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qm = sum(query) / w
+    qsd = math.sqrt(sum((x - qm) ** 2 for x in query) / w)
+    if qsd == 0:
+        raise ValueError("query is constant; its shape is undefined")
+    qz = [(x - qm) / qsd for x in query]
+
+    order = [time_col] + ([tiebreak_col] if tiebreak_col else [])
+    spec = Window.partitionBy(key_col).orderBy(*order)
+    leads = [
+        F.lead(F.col(value_col).cast("double"), j).over(spec)
+        for j in range(w)
+    ]
+    cols = [F.col(f"_l{j}") for j in range(w)]
+
+    def fold(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    staged = df.select(
+        key_col,
+        time_col,
+        *[ld.alias(f"_l{j}") for j, ld in enumerate(leads)],
+    )
+    mu = fold(cols) / F.lit(float(w))
+    var = fold([c * c for c in cols]) / F.lit(float(w)) - mu * mu
+    sd = F.sqrt(var)
+    # squared via explicit multiply, never pow(x, 2): pow is not
+    # required to be correctly rounded and would break the bit-identical
+    # cross-engine contract (the repo's standing ln/pow caveat)
+    def sq(t):
+        return t * t
+
+    dist2 = fold(
+        [
+            sq((c - mu) / sd - F.lit(float(qz[j])))
+            for j, c in enumerate(cols)
+        ]
+    )
+    complete = fold([c.isNotNull().cast("int") for c in cols]) == w
+    return (
+        staged.where(complete)
+        .where(var > 0)
+        .select(
+            key_col,
+            time_col,
+            F.sqrt(dist2).alias("dist"),
+        )
+        .orderBy("dist", key_col, time_col)
+        .limit(k)
+    )

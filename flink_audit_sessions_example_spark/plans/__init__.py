@@ -92,7 +92,10 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: oracle ``tests/test_repeat_epochs.py::EPOCHS_ORACLE``),
 #: ``decontaminate_semantic``
 #: (``operators/similarity.py::semantic_decontaminate``,
-#: oracle ``tests/test_semantic_decon.py::DECON_ORACLE``).
+#: oracle ``tests/test_semantic_decon.py::DECON_ORACLE``),
+#: ``win_pattern_match`` (``operators/timeseries.py::pattern_match_topk``,
+#: oracle ``tests/test_pattern_match.py::_oracle()`` — bit-identical,
+#: no rounding).
 #: Queue priority when slots free up (breadth of user-facing capability
 #: first, sketch bound-checks last — their pytest gates already pin the
 #: contract): (1) xform_cdc_apply / xform_snapshot_diff / join_interval /

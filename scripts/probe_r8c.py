@@ -297,6 +297,19 @@ def main() -> None:
             emb.where("vec_id % 17 = 0").orderBy("vec_id").limit(120),
             threshold=0.98,
         ).count()
+    elif op == "pattern_match":
+        from flink_audit_sessions_example_spark.operators.timeseries import (
+            pattern_match_topk,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        n = pattern_match_topk(
+            ev, [1.0, 1.0, 3.0, 3.0, 2.0, 2.0, 4.0, 4.0],
+            key_col="user_id", time_col="ts", value_col="value",
+            k=20, tiebreak_col="event_id",
+        ).count()
     else:
         raise SystemExit(f"unknown op {op}")
     dt = time.perf_counter() - t0
