@@ -151,9 +151,18 @@ def pattern_match_topk(
     so the oracle can replicate the exact IEEE operation order and the
     doubles match bit-for-bit — no rounding tolerance needed.
 
-    Windows shorter than the query (series tail) and CONSTANT windows
+    Excluded windows: shorter than the query (series tail), CONSTANT
     (zero variance — z-normalization is undefined; UCR practice skips
-    them) are excluded. The query itself must not be constant.
+    them), and any window overlapping a NULL value (a NULL has no
+    magnitude to normalize — sparse NULLs therefore remove up to
+    len(query) candidate windows each; gap-fill first if those
+    positions must be scorable). The query itself must not be constant.
+
+    Determinism contract: (``time_col``, ``tiebreak_col``) must totally
+    order each key's rows — with ties and no tiebreak, ``lead()``
+    assembles partition-layout-dependent windows and the top-k varies
+    run to run. Pass a unique id as ``tiebreak_col`` whenever
+    timestamps can collide (the same contract as ``latest_by_key``).
     """
     import math
 
@@ -188,7 +197,12 @@ def pattern_match_topk(
         *[ld.alias(f"_l{j}") for j, ld in enumerate(leads)],
     )
     mu = fold(cols) / F.lit(float(w))
-    var = fold([c * c for c in cols]) / F.lit(float(w)) - mu * mu
+    # two-pass variance fold(sq(c - mu))/w, NOT E[x^2] - mu^2: the
+    # one-pass form catastrophically cancels for windows with large
+    # means (values ~1e8 oscillating by 0.1 compute var <= 0 and the
+    # genuine match is dropped as "constant"); same explicit fold
+    # order, so the oracle still replicates it bit-for-bit
+    var = fold([(c - mu) * (c - mu) for c in cols]) / F.lit(float(w))
     sd = F.sqrt(var)
     # squared via explicit multiply, never pow(x, 2): pow is not
     # required to be correctly rounded and would break the bit-identical

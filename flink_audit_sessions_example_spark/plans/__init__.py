@@ -105,7 +105,8 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: (corpus_weighted_sample / corpus_reservoir_sample /
 #: corpus_weighted_reservoir / corpus_repeat_epochs) and
 #: join_asof_nearest / rel_profile_columns / win_gapfill / join_bloom /
-#: xform_winsorize / agg_mad_outliers / dedup_spans / layout_zorder;
+#: xform_winsorize / agg_mad_outliers / dedup_spans / layout_zorder /
+#: win_pattern_match;
 #: (3) bound-check sketches (agg_heavy_hitters / agg_count_min /
 #: agg_hll_table / agg_kmv_sketch).
 #: Every name here MUST resolve in _ALL_QUERIES — enforced below; add

@@ -30,10 +30,11 @@ def _qz():
 
 def _oracle():
     q = _qz()
-    # EXACT left-fold order mirroring the operator: ((l0+l1)+l2)+l3
+    # EXACT left-fold order mirroring the operator: ((l0+l1)+l2)+l3,
+    # and the same STABLE two-pass variance fold(sq(l - mu))/w
     mu = "((((l0 + l1) + l2) + l3) / 4.0)"
-    msq = "((((l0*l0 + l1*l1) + l2*l2) + l3*l3) / 4.0)"
-    var = f"({msq} - {mu} * {mu})"
+    devs = [f"((l{j} - {mu}) * (l{j} - {mu}))" for j in range(4)]
+    var = f"(((({devs[0]} + {devs[1]}) + {devs[2]}) + {devs[3]}) / 4.0)"
     sd = f"sqrt({var})"
     terms = [
         f"((l{j} - {mu}) / {sd} - ({q[j]!r}))" for j in range(4)
@@ -69,11 +70,25 @@ def test_pattern_match_matches_duckdb_bit_for_bit(spark):
         ev, QUERY, key_col="user_id", time_col="ts",
         value_col="value", k=15, tiebreak_col="event_id",
     )
-    # no rounding anywhere: the fold order is identical, so the doubles
-    # are bit-identical across engines
+    # driver-shape check (assert_parity rounds floats to 6dp, so it
+    # alone would NOT back the bit-identical claim)...
     assert_parity(got, _oracle(), SF_DIR)
     rows = got.collect()
     assert len(rows) == 15 and rows[0].dist < rows[-1].dist
+    # ...so enforce the claim directly: RAW doubles, exact equality,
+    # no tolerance — the fold order is identical, so the IEEE results
+    # must be bit-for-bit the same
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_DIR}/events.parquet'"
+    )
+    duck = {
+        (r[0], r[1]): r[2] for r in con.execute(_oracle()).fetchall()
+    }
+    assert {(r.user_id, r.ts): r.dist for r in rows} == duck
 
 
 def test_planted_shape_matches_at_any_scale_and_offset(spark):
