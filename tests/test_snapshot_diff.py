@@ -140,3 +140,59 @@ def test_snapshot_diff_plan_prunes_and_single_join(spark):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "text" not in line and "lang" not in line, line
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 15), st.one_of(st.none(), st.text("ab", max_size=2))),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 15), st.one_of(st.none(), st.text("ab", max_size=2))),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_snapshot_diff_matches_python_dict_diff(spark, old, new):
+    """Property: for ANY pair of keyed versions (NULL payloads included,
+    in both payload and digest modes) the diff equals the dict diff."""
+    o = spark.createDataFrame(old or [(99, "z")], "k bigint, v string")
+    n = spark.createDataFrame(new or [(99, "z")], "k bigint, v string")
+    od = dict(old or [(99, "z")])
+    nd = dict(new or [(99, "z")])
+    expect = {}
+    for k in od.keys() | nd.keys():
+        if k not in od:
+            expect[k] = ("added", nd[k])
+        elif k not in nd:
+            expect[k] = ("removed", od[k])
+        elif od[k] == nd[k]:
+            expect[k] = ("unchanged", nd[k])
+        else:
+            expect[k] = ("changed", nd[k])
+    got = {
+        r.k: (r.status, r.v)
+        for r in snapshot_diff(
+            o, n, key_cols=["k"], payload_cols=["v"],
+            include_unchanged=True,
+        ).collect()
+    }
+    assert got == expect
+    dig = {
+        r.k: r.status
+        for r in snapshot_diff(
+            o, n, key_cols=["k"], payload_cols=["v"],
+            include_unchanged=True, digest_only=True,
+        ).collect()
+    }
+    assert dig == {k: s for k, (s, _) in expect.items()}
