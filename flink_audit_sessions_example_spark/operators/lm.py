@@ -106,17 +106,24 @@ def score_documents(
     else BACKOFF · bigram ratio, else BACKOFF² · unigram MLE, else the
     OOV floor BACKOFF²/(N+1). The first two tokens of a document score
     through the same chain (their higher-order grams simply don't
-    exist). All five gram lookups are LEFT joins on the model relation;
-    a ``min_count``-pruned model broadcasts and the whole score is
-    scan-side."""
+    exist). All five gram lookups are LEFT joins on the model relation,
+    keyed by ``xxhash64(gram)`` — the dedup_ngram lesson: the token-side
+    relation is the widest in the job (five gram columns per token), so
+    shipping 8-byte hash keys instead of up-to-trigram STRINGS cuts its
+    shuffle volume ~20× (measured: the string formulation, not the model
+    size, dominated the sf1 probe). A hash collision mis-counts one
+    lookup with probability ~(tokens·model)/2^64 — the same accepted
+    odds as every hashed join key in the engine. A ``min_count``-pruned
+    model broadcasts and the whole score is scan-side."""
+    hg = F.xxhash64(F.col("gram"))
     uni = model.where("n = 1").select(
-        F.col("gram").alias("_g1"), F.col("cnt").alias("_c1")
+        hg.alias("_g1"), F.col("cnt").alias("_c1")
     )
     bi = model.where("n = 2").select(
-        F.col("gram").alias("_g2"), F.col("cnt").alias("_c2")
+        hg.alias("_g2"), F.col("cnt").alias("_c2")
     )
     tri = model.where("n = 3").select(
-        F.col("gram").alias("_g3"), F.col("cnt").alias("_c3")
+        hg.alias("_g3"), F.col("cnt").alias("_c3")
     )
     n_total = model.where("n = 1").agg(
         F.sum("cnt").alias("_N")
@@ -126,19 +133,19 @@ def score_documents(
     gram_structs = F.transform(
         F.sequence(F.lit(0), F.size(ws) - 1),
         lambda i: F.struct(
-            F.element_at(ws, i + 1).alias("w"),
+            F.xxhash64(F.element_at(ws, i + 1)).alias("w"),
             F.when(
                 i >= 1,
-                F.concat_ws(" ", F.slice(ws, i, 2)),
+                F.xxhash64(F.concat_ws(" ", F.slice(ws, i, 2))),
             ).alias("big"),
-            F.when(i >= 1, F.element_at(ws, i)).alias("uctx"),
+            F.when(i >= 1, F.xxhash64(F.element_at(ws, i))).alias("uctx"),
             F.when(
                 i >= 2,
-                F.concat_ws(" ", F.slice(ws, i - 1, 3)),
+                F.xxhash64(F.concat_ws(" ", F.slice(ws, i - 1, 3))),
             ).alias("trig"),
             F.when(
                 i >= 2,
-                F.concat_ws(" ", F.slice(ws, i - 1, 2)),
+                F.xxhash64(F.concat_ws(" ", F.slice(ws, i - 1, 2))),
             ).alias("bctx"),
         ),
     )
@@ -147,8 +154,8 @@ def score_documents(
     # empty gram array simply explodes to no rows
     guarded = F.when(F.size(ws) > 0, gram_structs).otherwise(
         F.array().cast(
-            "array<struct<w:string,big:string,uctx:string,"
-            "trig:string,bctx:string>>"
+            "array<struct<w:bigint,big:bigint,uctx:bigint,"
+            "trig:bigint,bctx:bigint>>"
         )
     )
     # plain explode, no position column: the per-doc aggregation is an

@@ -34,9 +34,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from flink_audit_sessions_example_spark.sources import load_table
 
-    # warm-up: JVM codegen paths + parquet footers, off the clock
-    load_table(spark, sf_dir, "orders").count()
-    load_table(spark, sf_dir, "events").count()
+    # warm-up: JVM codegen paths + parquet footers, off the clock (the
+    # generated .scaling/sf1 dir carries only the doc/embedding tables)
+    for warm in ("orders", "events", "documents"):
+        try:
+            load_table(spark, sf_dir, warm).count()
+        except Exception:
+            pass
 
     t0 = time.perf_counter()
     if op == "gapfill":
@@ -270,7 +274,7 @@ def main() -> None:
             load_table(spark, sf_dir, "documents").select("text")
         )
         n = len(learn_bpe_merges(vocab, n_merges=10))
-    elif op == "lm":
+    elif op in ("lm", "lm_pruned"):
         from flink_audit_sessions_example_spark.operators.lm import (
             score_documents,
             train_ngram_counts,
@@ -279,7 +283,10 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
-        model = train_ngram_counts(docs.select("text"), min_count=2)
+        # the pruned arm scales the floor with the corpus — the design
+        # knob that keeps the model relation broadcastable at any size
+        mc = 2 if op == "lm" else 25
+        model = train_ngram_counts(docs.select("text"), min_count=mc)
         n = score_documents(docs, model).count()
     elif op == "semantic_decon":
         from flink_audit_sessions_example_spark.operators.similarity import (
