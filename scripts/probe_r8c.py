@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Per-arm scaling probe for the r8-session-3 ops (SCALING.md ledger).
+"""Per-arm scaling probe for the r8 session-3/4 ops (SCALING.md ledger).
 
 One process per invocation (the in-session A/B degradation documented in
 SCALING.md r8 makes shared-JVM arms unusable): ``python scripts/probe_r8c.py
