@@ -780,7 +780,12 @@ def balanced_shards(
     from pyspark.sql.window import Window
 
     w = F.greatest(F.coalesce(F.col(weight_col), F.lit(0)), F.lit(0))
-    stratum = F.length(F.conv((w + 1).cast("string"), 10, 2))
+    # bigint BEFORE the string cast: a DOUBLE weight >= 1e7 renders as
+    # scientific notation ('1.0E7'), conv() truncates at the '.', and
+    # every large weight would silently collapse into stratum 1 —
+    # defeating the size stratification the balance guarantee rests on
+    # (ADVICE r8). Fractional weights floor to their integer magnitude.
+    stratum = F.length(F.conv((w + 1).cast("bigint").cast("string"), 10, 2))
     cell = _sample_draw(F.col(key_col)) % n_cells
     rotation = _sample_draw(
         F.concat(stratum.cast("string"), F.lit("|"), cell.cast("string"))

@@ -1032,6 +1032,11 @@ def semantic_decontaminate(
 
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # the output id keeps the TRAIN id column's type — a hardcoded
+    # 'long' breaks string/int ids at runtime with an opaque Arrow
+    # type mismatch (ADVICE r8; near_dup_clusters derives it the same way)
+    id_type = train.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, max_sim double, n_eval_hits long"
     # NULL embeddings carry no geometry on either side — filtered, not
     # crashed (one NULL row would otherwise abort the whole job inside
     # numpy with an opaque executor traceback)
@@ -1040,9 +1045,7 @@ def semantic_decontaminate(
     )
     if not rows:
         spark = train.sparkSession
-        return spark.createDataFrame(
-            [], f"{id_col} long, max_sim double, n_eval_hits long"
-        )
+        return spark.createDataFrame([], out_schema)
     em = _unit_rows(np.array([r[1] for r in rows], dtype=np.float64))
     # torrent-broadcast once per executor (the brute_force_topk
     # pattern), NOT closure capture — a closure ships the matrix with
@@ -1070,5 +1073,5 @@ def semantic_decontaminate(
     return (
         train.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .mapInPandas(gen, f"{id_col} long, max_sim double, n_eval_hits long")
+        .mapInPandas(gen, out_schema)
     )

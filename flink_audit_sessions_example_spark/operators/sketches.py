@@ -85,6 +85,78 @@ def approx_quantiles_by(
     )
 
 
+def approx_quantiles_rank_check(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    probabilities: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Self-verifying twin of :func:`approx_quantiles_by`: per group, a
+    boolean per percentile asserting the sketch honored its RANK
+    guarantee — making the sketch's error contract itself a cross-engine
+    hash-checkable row (any correct engine's answer is ``TRUE``).
+
+    The guarantee ``approx_percentile`` documents is on RANK, not value:
+    the returned element's rank must be within ``n/accuracy`` of the
+    target rank ``p·n``. So the check counts, per group, the values
+    strictly below (``lt``) and at-or-below (``le``) the sketch's answer
+    and asserts ``lt ≤ p·n + slack`` and ``le ≥ p·n − slack`` with
+    ``slack = ceil(n/accuracy) + 1`` (one extra position for the
+    boundary-interpolation convention). A VALUE band against the
+    interpolating exact percentile is the wrong formulation: at small n
+    the sketch legitimately returns an element farther from the
+    interpolated value than one inter-element gap (measured — p50 of an
+    sf0.001 group fails it; ``tests/test_r8_ops.py``).
+
+    All-integer counts and integer-rational bounds, so the booleans are
+    deterministic on any engine and partitioning. Plan shape: the sketch
+    agg produces one tiny row per group, broadcast back onto the corpus
+    for ONE counting pass — two scans, no corpus-sized shuffle beyond
+    the two hash aggs; at 100 TB the check costs one extra pass over
+    the data, which is exactly what "verify the sketch" must cost.
+    """
+    probs = ", ".join(f"{p}D" for p in probabilities)
+    quoted = value_col.replace("`", "``")
+    ap = df.groupBy(*key_cols).agg(
+        F.expr(
+            f"approx_percentile(`{quoted}`, array({probs}), {accuracy})"
+        ).alias("_ap")
+    )
+    j = df.join(F.broadcast(ap), key_cols)
+    counted = j.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            agg
+            for i in range(len(probabilities))
+            for agg in (
+                F.sum(
+                    (F.col(value_col) < F.element_at("_ap", i + 1)).cast(
+                        "long"
+                    )
+                ).alias(f"_lt{i}"),
+                F.sum(
+                    (F.col(value_col) <= F.element_at("_ap", i + 1)).cast(
+                        "long"
+                    )
+                ).alias(f"_le{i}"),
+            )
+        ],
+    )
+    slack = F.ceil(F.col("_n") / accuracy) + 1
+    return counted.select(
+        *key_cols,
+        *[
+            (
+                (F.col(f"_lt{i}") <= probabilities[i] * F.col("_n") + slack)
+                & (F.col(f"_le{i}") >= probabilities[i] * F.col("_n") - slack)
+            ).alias(f"p{int(probabilities[i] * 100)}_ok")
+            for i in range(len(probabilities))
+        ],
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -284,11 +356,15 @@ def cms_estimate(
     # the row id is assigned in its OWN projection BELOW the explode —
     # in the same select, the nondeterministic id would be evaluated per
     # exploded probe row (measured: depth distinct ids per query row,
-    # which silently disables the min-over-depths)
+    # which silently disables the min-over-depths) — AND the projection
+    # is pinned (lazy localCheckpoint, the heavy_hitters pin): a task
+    # retry or speculative re-execution of the probe stage after partial
+    # shuffle consumption would otherwise reassign ids and split/merge
+    # query groups, corrupting estimates (ADVICE r8)
     base = queries.select(
         F.monotonically_increasing_id().alias("_qid"),
         F.struct(*[F.col(c) for c in queries.columns]).alias("_q"),
-    )
+    ).localCheckpoint(eager=False)
     probes = base.select(
         "_qid",
         "_q",

@@ -22,27 +22,32 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: ROTATION PROTOCOL (no key goes two consecutive rounds unverified): at
 #: the start of round N, front-load (a) every key new or plan-changed in
 #: round N, then (b) every key whose last driver row is round N-2 (i.e.
-#: the keys rotated OUT of the N-1 window). With 98 keys and a 50-row
-#: window the cycle is 50 front + 48 tail, alternating each round.
-#: The r8 front below = the 4 keys
-#: new or registration-changed in r8 (``embed_quantize`` red-row retry,
-#: ``agg_approx_distinct`` bound-check re-registration,
-#: ``text_hashed_features`` / ``multimodal_phash_pairs`` first
-#: registrations) + the 46 keys NOT in the r7 driver window (computed
-#: from CORRECTNESS_r07.json keys — the ground truth, not registry
-#: order), = exactly 50. For r9: front = keys OUT of this r8 window
-#: (the 48-key tail) + r9 new/changed keys — NEW-key budget 2: the
-#: ``rel_quantiles_approx`` bound-check re-registration (same trick as
-#: r8's ``agg_approx_distinct``) and ``text_ngram_novelty``
-#: (``operators/text.py::ngram_novelty_score``, pytest-gated since r8
-#: with its DuckDB twin already parity-proven in
-#: ``tests/test_r8_ops.py::test_ngram_novelty_matches_duckdb``). r10
-#: candidates, same footing: ``tfidf_top_terms`` and
-#: ``funnel_stages`` (both parity-proven in ``tests/test_r8_ops.py``).
-#: r11+ queue (parity-proven in their own test files, registration
-#: budget permitting — the registry crosses 100 keys there, so the
-#: rotation stretches past strict 2-round coverage for the oldest
-#: stable keys; front-load by staleness order when that happens):
+#: the keys rotated OUT of the N-1 window), computed from
+#: CORRECTNESS_r{N-1}.json keys — the ground truth, not registry order.
+#:
+#: The r9 front below = the 48 keys NOT in the r8 driver window
+#: (including ``rel_quantiles_approx``, re-registered this round as its
+#: RANK bound check — the last rows-only row becomes hash-checked, r8
+#: verdict #2) + the 2 r9 new/changed keys: ``text_ngram_novelty``
+#: (first registration; twin parity-proven since r8 in
+#: ``tests/test_r8_ops.py::test_ngram_novelty_matches_duckdb``) and
+#: ``multimodal_phash_pairs`` (re-registered over the twin-payload
+#: relation so the row is NON-VACUOUS — the r8 row was 0/0, r8 verdict
+#: #1). 48 + 2 = exactly 50; registry = 99 keys, 99 oracles.
+#:
+#: DRAIN PLAN (r10+, the registry exceeds 2×window so strict 2-round
+#: rotation is arithmetically impossible — r8 verdict #4): §2 /
+#: reference-surface keys KEEP the 2-round invariant; extended keys
+#: hash-green in ≥3 historical driver windows stretch to a 3-round
+#: cycle. With 99 keys (~95 of them 3×-green by r10) that frees ≥5
+#: slots/round for first registrations from the queue below, taken in
+#: the stated priority order. Per-round recipe stays mechanical:
+#: front = (new/changed) + (keys whose last row is round N-2 AND not
+#: 3×-green) + (3×-green keys at their 3-round deadline, oldest first);
+#: fill remaining slots with queue registrations.
+#: r10 registration candidates, first in line: ``tfidf_top_terms`` and
+#: ``funnel_stages`` (both parity-proven in ``tests/test_r8_ops.py``),
+#: then the queue below (parity-proven in their own test files):
 #: ``dedup_spans`` (``duplicated_spans``, ``tests/test_span_dedup.py``),
 #: ``agg_heavy_hitters`` (bound-check shape,
 #: ``tests/test_heavy_hitters.py::test_corpus_words_vs_duckdb_exact``),
@@ -113,61 +118,61 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: keys only after their q_/oracle entries land (r6 lesson: phantom
 #: names silently lose their slot).
 _FRONT_KEYS = [
-    # r8 NEW / registration-changed keys — need first (or repaired)
+    # r9 NEW / registration-changed keys — need first (or repaired)
     # driver rows this round
-    "embed_quantize",
-    "agg_approx_distinct",
-    "text_hashed_features",
+    "text_ngram_novelty",
     "multimodal_phash_pairs",
-    # the 46 keys whose last driver CORRECTNESS row is r6 (everything
-    # not in the r7 window) — no key goes two consecutive rounds
-    # unverified
-    "agg_denied_sum",
-    "cluster_profile",
-    "decontaminate",
-    "dedup_chunk",
-    "dedup_embed",
-    "flt_nonzero",
-    "flt_valid_user",
-    "join_salted",
-    "join_semi",
-    "key_by_user",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_meta",
-    "multimodal_resize",
-    "pack_sequences",
-    "pipeline_clean_corpus",
-    "rel_above_avg",
-    "rel_cube",
-    "rel_histogram_bins",
-    "rel_pivot",
-    "rel_pricing_summary",
-    "rel_quantiles",
-    "rel_rollup",
-    "rel_stats_corr",
-    "rel_window_share",
-    "sim_topk",
-    "sim_topk_lsh",
-    "src_file_datefilter",
-    "src_file_monitor",
-    "text_corpus_freq",
-    "text_fingerprint",
-    "text_word_histogram",
-    "time_watermark",
-    "win_moving_avg",
-    "win_ntile",
-    "win_range_frame",
-    "win_retention",
-    "win_session",
-    "win_sliding",
-    "win_tumbling",
-    "win_wrap_result",
-    "xform_compact",
-    "xform_format_string",
-    "xform_json_extract",
-    "xform_parse_json",
+    "rel_quantiles_approx",
+    # the 47 remaining keys whose last driver CORRECTNESS row is r7
+    # (everything not in the r8 window; rel_quantiles_approx above is
+    # the 48th) — no key goes two consecutive rounds unverified
+    "agg_exact_distinct",
+    "agg_mode",
+    "agg_multi_distinct",
+    "dedup_cluster",
+    "dedup_count",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram",
+    "dedup_simhash",
+    "domain_mix",
+    "join_anti",
+    "join_asof",
+    "join_fuzzy",
+    "join_range",
+    "multimodal_phash",
+    "rel_copurchase",
+    "rel_customer_orders_dist",
+    "rel_filtered_scan",
+    "rel_global_sales_prospects",
+    "rel_large_orders",
+    "rel_min_cost_supplier",
+    "rel_order_priority_series",
+    "rel_promo_share",
+    "rel_quantiles_dist",
+    "rel_revenue_by_nation",
+    "rel_shipping_priority",
+    "rel_top_customers",
+    "rel_top_suppliers",
+    "rel_yearly_growth",
+    "sample_per_group",
+    "sample_stratified",
+    "set_except",
+    "set_intersect",
+    "sim_topk_ivf",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality",
+    "text_quality_tiers",
+    "text_repetition",
+    "text_stats",
+    "text_token_count",
+    "win_cumulative",
+    "win_first_touch",
+    "win_rank_sessions",
+    "win_user_gaps",
+    "xform_chunk_overlap",
+    "xform_split",
 ]
 
 _ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES}

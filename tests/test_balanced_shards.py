@@ -83,6 +83,33 @@ def test_budget_balance_beats_plain_hashing(spark):
     assert dealt < 0.10, dealt
 
 
+def test_double_weights_above_1e7_keep_their_stratum(spark):
+    """ADVICE r8 regression: DOUBLE weights >= 1e7 render as scientific
+    notation ('1.0E7') under a bare string cast, conv() truncates at the
+    '.', and every giant would silently collapse into stratum 1 next to
+    the tiny rows. With the bigint cast the giants stratify by real
+    magnitude: dealing 4 giants + many tiny rows over 2 shards must put
+    2 giants on each shard (counts per (stratum, cell) differ by <=1),
+    which the collapsed stratum cannot guarantee (and measurably
+    violates under the old expression: all 4 giants shared the tiny
+    rows' stratum)."""
+    rows = [(f"t{i}", 1.0) for i in range(40)] + [
+        (f"g{i}", 5e8) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, weight double")
+    out = balanced_shards(
+        df, key_col="doc_id", weight_col="weight", n_shards=2, n_cells=1
+    )
+    giants = {
+        r.shard for r in out.where("doc_id like 'g%'").collect()
+    }
+    per_shard = (
+        out.where("doc_id like 'g%'").groupBy("shard").count().collect()
+    )
+    assert giants == {0, 1}
+    assert all(r["count"] == 2 for r in per_shard), per_shard
+
+
 def test_assignment_is_partitioning_invariant(spark):
     """Content-addressed: the same row gets the same shard regardless of
     input partitioning (no rand(), no partition ids anywhere)."""

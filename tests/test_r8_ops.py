@@ -710,19 +710,28 @@ def test_stream_funnel_matches_batch_twin(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
     )
+    # foreachBatch accumulator + ASSERTED termination (not the memory
+    # sink): under concurrent JVM load the old awaitTermination(120)
+    # could lapse with the final micro-batch unflushed, and the test
+    # then failed on silently-partial results — the documented r8 flake
+    # (r8 verdict #7). A timeout now fails loudly as a timeout.
+    collected = []
     q = (
         stream_funnel_stages(
             stream, ("view", "click", "purchase"), within="1 day"
         )
-        .writeStream.format("memory")
-        .queryName("t_funnel_stream")
+        .writeStream.foreachBatch(
+            lambda df, _id: collected.extend(df.collect())
+        )
         .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    terminated = q.awaitTermination(600)
+    assert terminated, "funnel stream did not drain within 600s"
     latest = {}
-    for r in spark.table("t_funnel_stream").collect():
+    for r in collected:
         cur = latest.get(r.user_id)
         if cur is None or r.stages_completed > cur.stages_completed:
             latest[r.user_id] = r
@@ -747,6 +756,33 @@ def test_stream_funnel_matches_batch_twin(spark, tmp_path):
                 uid,
                 i,
             )
+
+
+def test_stream_funnel_rejects_calendar_intervals(spark):
+    """ADVICE r8 regression: the streaming funnel evaluates ONE fixed
+    microsecond width for the whole stream, so calendar units ('1
+    month' -> 31 days always) would silently diverge from the batch
+    twin's per-row INTERVAL arithmetic — they must be rejected up
+    front (the asof_nearest max_distance contract), as must
+    non-positive widths."""
+    import pytest
+
+    from flink_audit_sessions_example_spark.streaming import (
+        stream_funnel_stages,
+    )
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string",
+    )
+    for bad in ("1 month", "2 years"):
+        with pytest.raises(ValueError, match="day-time"):
+            stream_funnel_stages(ev, ("a", "b"), within=bad)
+    with pytest.raises(ValueError, match="positive"):
+        stream_funnel_stages(ev, ("a", "b"), within="-1 day")
+    # fixed-width duration parses fine on a (batch) frame: the
+    # validation path is independent of streaming-ness
+    assert stream_funnel_stages(ev, ("a", "b"), within="36 hours") is not None
 
 
 def test_ngram_novelty_pin_plan_shape(spark):

@@ -90,6 +90,30 @@ def test_planted_paraphrase_and_edges(spark):
         semantic_decontaminate(train, evals, threshold=0.0)
 
 
+def test_string_ids_keep_their_type(spark):
+    """ADVICE r8 regression: the output id schema is derived from the
+    TRAIN id column (near_dup_clusters pattern), so string ids survive —
+    the old hardcoded '{id} long' failed at runtime with an Arrow type
+    mismatch. Also covers the empty-eval early return's schema."""
+    evals = spark.createDataFrame(
+        [("e1", [1.0, 0.0])], "doc string, embedding array<float>"
+    )
+    train = spark.createDataFrame(
+        [("a", [1.0, 0.01]), ("b", [0.0, 1.0])],
+        "doc string, embedding array<float>",
+    )
+    out = semantic_decontaminate(
+        train, evals, id_col="doc", threshold=0.9
+    )
+    assert out.schema["doc"].dataType.simpleString() == "string"
+    assert [r.doc for r in out.collect()] == ["a"]
+    empty = semantic_decontaminate(
+        train, evals.where("doc = 'nope'"), id_col="doc", threshold=0.9
+    )
+    assert empty.schema["doc"].dataType.simpleString() == "string"
+    assert empty.count() == 0
+
+
 def test_semantic_decon_plan_no_shuffle(spark):
     """Scale gate: ONE Arrow pass riding the train scan — NO exchange
     of any kind (spread=False per load_table's plan-shape contract, so

@@ -70,21 +70,26 @@ def test_approx_quantiles_rank_error(spark):
 
 
 def test_registered_quantiles_twin_tracks_exact(spark):
-    """The REGISTERED sketch twin (rel_quantiles_approx) stays within the
-    documented rank-error envelope of the REGISTERED exact plan
-    (rel_quantiles) — the pair the docstrings point users at."""
+    """The production sketch path (approx_quantiles_by — the twin the
+    docstrings point users at) stays within the documented rank-error
+    envelope of the REGISTERED exact plan (rel_quantiles). Since r9 the
+    registered ``rel_quantiles_approx`` key is the RANK bound check
+    itself, asserted all-TRUE below (the driver hash-checks the same
+    booleans against a TRUE-emitting oracle)."""
     from flink_audit_sessions_example_spark.plans import QUERIES
 
     exact = {
         r.l_returnflag: (r.p25, r.p50, r.p75)
         for r in QUERIES["rel_quantiles"](spark, SF_DIR_001).collect()
     }
+    li = load_table(spark, SF_DIR_001, "lineitem")
     approx = {
         r.l_returnflag: (r.p_25, r.p_50, r.p_75)
-        for r in QUERIES["rel_quantiles_approx"](spark, SF_DIR_001).collect()
+        for r in K.approx_quantiles_by(
+            li, ["l_returnflag"], "l_extendedprice", accuracy=10_000
+        ).collect()
     }
     assert set(exact) == set(approx)
-    li = load_table(spark, SF_DIR_001, "lineitem")
     spreads = {
         r.l_returnflag: r.mx - r.mn
         for r in li.groupBy("l_returnflag")
@@ -94,6 +99,10 @@ def test_registered_quantiles_twin_tracks_exact(spark):
     for flag, ex in exact.items():
         for a, e in zip(approx[flag], ex):
             assert abs(a - e) <= 0.01 * spreads[flag] + 1e-6, (flag, a, e)
+    checks = QUERIES["rel_quantiles_approx"](spark, SF_DIR_001).collect()
+    assert len(checks) == len(exact)
+    for r in checks:
+        assert r.p25_ok and r.p50_ok and r.p75_ok, r
 
 
 def test_approx_quantiles_quoted_identifier(spark):
