@@ -48,6 +48,10 @@ def train_ngram_counts(
     text_col: str = "text",
     order: int = 3,
     min_count: int = 1,
+    cms_prefilter: bool = False,
+    cms_width: int = 1 << 20,
+    cms_depth: int = 2,
+    cms_seed: int = 42,
 ) -> DataFrame:
     """The model relation: ``(n, gram, cnt)`` for every 1..order word
     n-gram with count ≥ ``min_count`` (grams are space-joined lowercase
@@ -56,7 +60,77 @@ def train_ngram_counts(
     one aggregation — a per-order union of groupBys would re-scan (and
     re-tokenize) the corpus once per order, since Catalyst does not
     dedup scans across union branches (measured: 3 scan nodes); the
-    plan gate counts scans to keep it that way."""
+    plan gate counts scans to keep it that way.
+
+    ``cms_prefilter=True`` (opt-in; requires ``min_count > 1``) is the
+    escape hatch for ADVERSARIAL vocabularies (near-unique grams — the
+    exact-distinct-count shape, SCALING.md r8-session-4d): exact
+    counting's map-side partial agg collapses nothing there, so the
+    exchange carries ~every gram occurrence. The prefilter makes a
+    first summary-bound pass building a Count-Min sketch over the grams
+    (:func:`~.sketches.count_min_table`; shuffle ≤ depth·width·tasks
+    rows regardless of corpus size), then drops grams with
+    ``est < min_count`` BEFORE the counting exchange. Count-Min NEVER
+    underestimates, so ``est < min_count`` PROVES the true count is
+    below the floor — the pruned model is IDENTICAL to the exact model,
+    row for row (pinned by ``tests/test_lm.py``). The estimate itself
+    is evaluated map-side: one broadcast LEFT join per depth against
+    that depth's ≤ ``cms_width`` sketch rows, ``least()`` over the
+    coalesced counts — no shuffle touches the gram relation until only
+    the survivors remain.
+
+    REGIME ARITHMETIC (measured, scripts/probe_lm_cms.py + SCALING.md
+    r9): pruning power requires ``min_count > N/cms_width`` (N = total
+    gram occurrences) — below that every bucket's collision mass alone
+    clears the floor and NOTHING prunes (measured: min_count=2 at
+    width 2^16 on 8M grams pruned 0 rows). Costs: a second
+    tokenize/scan of the corpus (deliberately NOT pinned —
+    materializing a corpus-sized relation to save a re-scan is the
+    anti-pattern the mad_outliers ledger measured) and the sketch
+    build's own exchange of ~min(occurrences, width·partitions)·depth
+    rows — which is why ``cms_depth`` defaults LOW (2): depth only
+    tightens estimates (the min over fewer rows is ≥ the min over
+    more), so a shallow sketch stays SOUND for pruning and halves the
+    build exchange vs depth 4. Win: the counting exchange drops to the
+    survivors (measured 4.3× fewer exchange rows at the generated-sf1
+    adversarial vocab, min_count=20). At local[32] the wall-clock
+    LOSES (~2×: local shuffle is nearly free while the second scan is
+    real CPU) — the hatch pays off only where the counting exchange is
+    the network/memory bottleneck, i.e. the 100 TB cluster regime it
+    exists for. Zipf-shaped corpora don't need it — their partial aggs
+    collapse map-side already."""
+    grams = _gram_rows(
+        df,
+        text_col=text_col,
+        order=order,
+        min_count=min_count,
+        cms_prefilter=cms_prefilter,
+        cms_width=cms_width,
+        cms_depth=cms_depth,
+        cms_seed=cms_seed,
+    )
+    return (
+        grams.groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
+def _gram_rows(
+    df: DataFrame,
+    *,
+    text_col: str,
+    order: int,
+    min_count: int,
+    cms_prefilter: bool,
+    cms_width: int,
+    cms_depth: int,
+    cms_seed: int,
+) -> DataFrame:
+    """The pre-aggregation ``(n, gram)`` occurrence relation feeding the
+    counting exchange — factored out so the scale probe
+    (``scripts/probe_lm_cms.py``) can measure exactly what each arm
+    ships through the shuffle."""
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")
     ws = _words(text_col)
@@ -83,12 +157,49 @@ def train_ngram_counts(
     all_grams = F.flatten(
         F.array(*[_order_grams(n) for n in range(1, order + 1)])
     )
-    return (
-        base.select(F.explode(all_grams).alias("g"))
-        .groupBy("g.n", "g.gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= min_count)
+    grams = base.select(F.explode(all_grams).alias("g")).select(
+        "g.n", "g.gram"
     )
+    if cms_prefilter:
+        if min_count <= 1:
+            raise ValueError(
+                "cms_prefilter requires min_count > 1 — with no floor "
+                "there is nothing a sketch could prove droppable"
+            )
+        from .sketches import count_min_table
+
+        # gram strings are space-joined tokens, so (n, gram) needs n in
+        # the sketch key only defensively (a token can't contain the
+        # separator, but n is free and removes the ambiguity class)
+        key = F.concat_ws("\x1f", F.col("n").cast("string"), F.col("gram"))
+        cms = count_min_table(
+            grams.select(key.alias("_k")),
+            "_k",
+            width=cms_width,
+            depth=cms_depth,
+            seed=cms_seed,
+        )
+        pruned = grams
+        ests = []
+        for d in range(cms_depth):
+            side = cms.where(F.col("d") == d).select(
+                F.col("bucket").alias(f"_b{d}"),
+                F.col("cnt").alias(f"_c{d}"),
+            )
+            pruned = pruned.join(
+                F.broadcast(side),
+                F.pmod(
+                    F.xxhash64(key, F.lit(cms_seed + d)), F.lit(cms_width)
+                )
+                == F.col(f"_b{d}"),
+                "left",
+            )
+            # a missing bucket row means count 0 in that depth
+            ests.append(F.coalesce(F.col(f"_c{d}"), F.lit(0.0)))
+        grams = pruned.where(F.least(*ests) >= min_count).select(
+            "n", "gram"
+        )
+    return grams
 
 
 def score_documents(

@@ -143,6 +143,48 @@ def test_min_count_prunes_model(spark):
         train_ngram_counts(docs, order=0)
 
 
+def test_cms_prefilter_model_identical_to_exact(spark):
+    """The exactness gate for the CMS-prefiltered training path (r8
+    verdict #5): Count-Min never underestimates, so est < min_count
+    PROVES a gram's true count is below the floor — the pruned model
+    must equal the exact model ROW FOR ROW. Checked on the real corpus
+    at two floors, plus a deliberately tiny sketch (width 64, heavy
+    collisions) where overestimates may retain extra pre-filter grams
+    but the final HAVING must still yield the identical model."""
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    for mc, width in ((2, 1 << 16), (3, 1 << 16), (2, 64)):
+        exact = {
+            (r.n, r.gram): r.cnt
+            for r in train_ngram_counts(docs, min_count=mc).collect()
+        }
+        pruned = {
+            (r.n, r.gram): r.cnt
+            for r in train_ngram_counts(
+                docs, min_count=mc, cms_prefilter=True, cms_width=width
+            ).collect()
+        }
+        assert pruned == exact, (mc, width, len(pruned), len(exact))
+    # no floor -> nothing provable -> explicit misuse error
+    with pytest.raises(ValueError, match="min_count"):
+        train_ngram_counts(docs, min_count=1, cms_prefilter=True)
+
+
+def test_cms_prefilter_plan_shape(spark):
+    """Scale gate for the prefilter: the gram relation reaches the
+    counting exchange only AFTER the sketch filter, and the per-depth
+    estimate joins are all BROADCAST (map-side) — a sort-merge join
+    there would shuffle the corpus-sized gram relation and defeat the
+    whole point. The sketch build itself is the only extra exchange."""
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    plan = (
+        train_ngram_counts(docs, min_count=2, cms_prefilter=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_lm_plan_gates(spark):
     """Scale gates: training aggregations collapse map-side (partial_sum
     below each exchange); scoring has NO cartesian product beyond the
