@@ -3949,12 +3949,22 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=False).select(
         "doc_id", "text"
     )
-    twins = docs.where(
-        F.col("doc_id") % PHASH_PAIRS_TWIN_MOD == 0
-    ).withColumn(
-        "pair_id", F.col("doc_id") + F.lit(PHASH_PAIRS_TWIN_OFFSET)
+    # ONE scan, not a self-union (Catalyst does not dedup scans across
+    # union branches): each doc explodes to its pair ids — itself, plus
+    # the shifted twin id for every TWIN_MOD-th doc
+    rel = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.when(
+                F.col("doc_id") % PHASH_PAIRS_TWIN_MOD == 0,
+                F.array(
+                    F.col("doc_id"),
+                    F.col("doc_id") + F.lit(PHASH_PAIRS_TWIN_OFFSET),
+                ),
+            ).otherwise(F.array(F.col("doc_id")))
+        ).alias("pair_id"),
     )
-    rel = docs.withColumn("pair_id", F.col("doc_id")).unionByName(twins)
     # payload keyed on the ORIGINAL doc_id → twin rows are byte-identical
     imgs = M.with_pgm_payload(rel)
     hashes = M.perceptual_hash(
