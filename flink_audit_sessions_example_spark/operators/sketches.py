@@ -602,3 +602,132 @@ def kmv_intersect_estimate(
     return spark.createDataFrame(
         [(int(round(common / theta)),)], f"{out_col} bigint"
     )
+
+
+# -- bottom-k quantile sketch (mergeable sample) ----------------------------
+
+#: quantile_sketch row cap — the per-group sample size. 1024 gives
+#: ~±1.6% rank error at 1σ (sqrt(p(1-p)/k) at p=0.5), ±6% at 4σ.
+QUANTILE_SKETCH_K = 1024
+
+
+def quantile_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_col: str,
+    group_cols: "list[str] | None" = None,
+    k: int = QUANTILE_SKETCH_K,
+) -> DataFrame:
+    """Mergeable quantile sketch as a DataFrame — ``(group_cols…,
+    qs_key, qs_value)``, the ≤ ``k`` rows per group with the SMALLEST
+    content-derived md5 draws of ``key_col`` (a uniform bottom-k row
+    sample). Completes the sketch-IS-a-DataFrame family
+    (:func:`hll_table` / :func:`kmv_table` / :func:`count_min_table`)
+    for percentiles: Spark's ``approx_percentile`` sketch lives and
+    dies inside one aggregation call, so quantiles over a NEW grouping
+    (daily partials → monthly rollup) must rescan the data — this
+    table re-aggregates instead (:func:`quantile_sketch_merge`).
+
+    Why bottom-k: the minimum-draw property makes merge EXACT —
+    ``bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B))`` — and the
+    draw is content-addressed (md5 of the row key, no RNG), so the
+    sketch is deterministic under any partitioning, re-run, or merge
+    order, which also makes it the one percentile sketch in the engine
+    whose VALUES can be cross-engine hash-checked row-for-row (the
+    HLL/GK register layouts cannot). Sample quantiles over k uniform
+    draws carry rank error ~``n·sqrt(p(1-p)/k)`` whp — the bound
+    :func:`quantile_sketch_estimate`'s tests pin.
+
+    Scale shape: grouped = ``row_number`` over (draw, key) compiling to
+    the WindowGroupLimit partial pushdown (each map task forwards ≤ k
+    rows per group — shuffle O(k·groups·tasks), never the corpus);
+    global (``group_cols=None``) = TakeOrderedAndProject (per-task
+    k-heaps, driver merge, no global sort). NULL measurements are
+    skipped (not a value class); NULL keys are rejected — the draw of
+    NULL sorts first under asc and would hijack every sample.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .text import md5_draw
+
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        *(group_cols or []),
+        F.col(key_col).alias("qs_key"),
+        F.col(value_col).alias("qs_value"),
+    )
+    draw = md5_draw(F.col("qs_key"))
+    if not group_cols:
+        return base.orderBy(draw.asc(), F.col("qs_key").asc()).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        draw.asc(), F.col("qs_key").asc()
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_merge(
+    parts: DataFrame,
+    *,
+    group_cols: "list[str] | None" = None,
+    k: int = QUANTILE_SKETCH_K,
+) -> DataFrame:
+    """Merge pre-aggregated :func:`quantile_sketch_table` relations
+    (pass their UNION, possibly under a coarser grouping than they were
+    built with): re-take the bottom k per group. Because draws are
+    content-derived, the merge is EXACT — identical, row for row, to a
+    sketch built directly over the union of the original data (pinned
+    in tests). Cost: a ≤ k·groups-row relation through one group-limit
+    — the original data is never touched."""
+    return quantile_sketch_table(
+        parts,
+        "qs_value",
+        key_col="qs_key",
+        group_cols=group_cols,
+        k=k,
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    *,
+    group_cols: "list[str] | None" = None,
+    probabilities: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Quantile estimates from a (possibly merged)
+    :func:`quantile_sketch_table`: per group, the type-1 sample order
+    statistic ``sorted(values)[max(1, ceil(p·m))]`` per requested
+    probability — one ``p_<percent>`` double column each. Deterministic
+    integer rank math on a deterministic sample, so the output is
+    hash-checkable cross-engine (unlike every register-based sketch).
+    The per-group buffer is the ≤ k-row sample (``collect_list`` over
+    the SKETCH, never the data) — bounded by construction."""
+    for p in probabilities:
+        if not 0 < p <= 1:
+            raise ValueError(f"probabilities must be in (0, 1], got {p}")
+    vals = F.array_sort(
+        F.collect_list(F.col("qs_value").cast("double"))
+    )
+    agg = (
+        sketch.groupBy(*(group_cols or []))
+        .agg(vals.alias("_v"), F.count(F.lit(1)).alias("_m"))
+    )
+    return agg.select(
+        *(group_cols or []),
+        *[
+            F.element_at(
+                "_v",
+                F.greatest(
+                    F.lit(1), F.ceil(F.lit(float(p)) * F.col("_m"))
+                ).cast("int"),
+            ).alias(f"p_{int(p * 100)}")
+            for p in probabilities
+        ],
+    )

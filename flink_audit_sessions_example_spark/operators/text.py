@@ -1047,3 +1047,87 @@ def chunk_by_sentences(
             F.sum("n_chars").alias("n_chars"),
         )
     )
+
+
+#: clean_text character-folding tables (1:1, applied via ``translate`` —
+#: identical semantics in Spark and DuckDB). Curly quotes → ASCII,
+#: en/em/horizontal-bar dashes → '-', NBSP/narrow-NBSP → ' '. Explicit
+#: ``\\u`` escapes so no invisible character hides in the source.
+_CLEAN_FROM = (
+    "\u2018\u2019\u201a"  # curly single quotes + low-9
+    "\u201c\u201d\u201e"  # curly double quotes + low-9
+    "\u2013\u2014\u2015"  # en dash, em dash, horizontal bar
+    "\u00a0\u202f"          # NBSP, narrow NBSP
+)
+_CLEAN_TO = '\'\'\'"""---  '
+
+#: Invisible junk stripped by clean_text: C0 controls except tab/newline
+#: (CR is canonicalized away first), DEL + C1, zero-widths, BOM, soft
+#: hyphen. Explicit code points — Java's intersection classes
+#: (``&&`` inside ``[...]``) do not exist in RE2, so the portable form
+#: is the enumerated class (same dialect rule as split_sentences).
+_CLEAN_STRIP_RE = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
+    "\u200b\u200c\u200d\ufeff\u00ad]"
+)
+
+
+def clean_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    nfc: bool = True,
+) -> DataFrame:
+    """``text_clean`` — the corpus-normalization step every pretraining
+    pipeline runs before stats/dedup/filtering (CCNet/Gopher lineage):
+
+    1. **NFC unicode normalization** (opt-out): composes decomposed
+       sequences (``e + U+0301`` → ``é``) so downstream fingerprints,
+       shingles and language ID see one canonical byte form. The ONE
+       Python boundary (Arrow-vectorized ``pandas_udf`` over
+       ``unicodedata.normalize``; Spark has no builtin normalizer) —
+       with ``nfc=False`` the operator is pure Catalyst.
+    2. **Line-ending canonicalization**: CRLF / bare CR → LF.
+    3. **Control/format-char strip** (``_CLEAN_STRIP_RE``): C0 controls
+       except tab/newline, DEL+C1, zero-widths (ZWSP/ZWNJ/ZWJ), BOM,
+       soft hyphen — the invisible junk that splits tokens and breaks
+       exact dedup.
+    4. **Punctuation folding** (``translate``, 1:1): curly quotes →
+       ASCII quotes, en/em dashes → ``-``, NBSP variants → space.
+    5. **Whitespace canonicalization**: space/tab runs → one space,
+       spaces adjacent to newlines dropped, 3+ newlines → 2 (paragraph
+       breaks survive; single newlines survive), strip leading/trailing
+       whitespace.
+
+    NULL text stays NULL. Scale shape: a narrow map riding the scan —
+    zero shuffle, whole-stage codegen except the optional NFC Arrow
+    stage. Every step is expressed identically in the DuckDB oracle
+    (``nfc_normalize`` + the same regex/translate chain), so the full
+    composition is hash-checkable cross-engine
+    (``tests/test_clean_text.py``).
+    """
+    col: Column = F.col(text_col)
+    if nfc:
+
+        @F.pandas_udf("string")
+        def _nfc(s):  # type: ignore[no-untyped-def]
+            import unicodedata
+
+            return s.map(
+                lambda x: None
+                if x is None
+                else unicodedata.normalize("NFC", x)
+            )
+
+        col = _nfc(col)
+    # replacement args are REAL newline chars, not "\\n" escapes: Java's
+    # replacement processing turns backslash-n into a literal 'n'
+    col = F.regexp_replace(col, "\\r\\n|\\r", "\n")
+    col = F.regexp_replace(col, _CLEAN_STRIP_RE, "")
+    col = F.translate(col, _CLEAN_FROM, _CLEAN_TO)
+    col = F.regexp_replace(col, "[ \\t]+", " ")
+    col = F.regexp_replace(col, " ?\\n ?", "\n")
+    col = F.regexp_replace(col, "\\n{3,}", "\n\n")
+    col = F.regexp_replace(col, "^[ \\n]+|[ \\n]+$", "")
+    return df.withColumn(out_col, col)

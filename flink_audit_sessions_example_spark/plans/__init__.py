@@ -100,7 +100,16 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: oracle ``tests/test_semantic_decon.py::DECON_ORACLE``),
 #: ``win_pattern_match`` (``operators/timeseries.py::pattern_match_topk``,
 #: oracle ``tests/test_pattern_match.py::_oracle()`` — bit-identical,
-#: no rounding).
+#: no rounding),
+#: ``text_clean`` (``operators/text.py::clean_text``, oracle
+#: ``tests/test_clean_text.py::test_clean_text_matches_duckdb_on_real_corpus``),
+#: ``agg_quantile_sketch`` (``operators/sketches.py::quantile_sketch_table``
+#: + ``quantile_sketch_estimate`` — a REAL value oracle, not a bound
+#: check: the bottom-k sample is content-addressed, oracle
+#: ``tests/test_quantile_sketch.py::test_estimate_matches_duckdb``).
+#: ``incremental_minhash_pairs`` stays pytest-gated (its production
+#: xxhash64 band keys are not DuckDB-reproducible; the batch operator's
+#: md5 family already carries the family's oracle).
 #: Queue priority when slots free up (breadth of user-facing capability
 #: first, sketch bound-checks last — their pytest gates already pin the
 #: contract): (1) xform_cdc_apply / xform_snapshot_diff / join_interval /
