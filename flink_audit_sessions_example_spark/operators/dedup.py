@@ -1705,9 +1705,12 @@ def incremental_minhash_pairs(
     before signing, which is what keeps such buckets small in the
     first place.
     """
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     if num_hashes % bands != 0:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide into bands ({bands})"
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes})"
         )
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1759,23 +1762,43 @@ def incremental_minhash_pairs(
         return nn
 
     # (new, old): history scans once, joins the broadcast increment
-    # map-side; old ids take the id_a slot for a stable output contract
+    # map-side; old ids take the id_a slot for a stable output contract.
+    # Only (bkey, id) is broadcast — carrying the sig payload on every
+    # exploded band row would amplify the broadcast bands× (~16× at
+    # defaults; review r9). The candidate set (pair-sized, already
+    # bucket-matched) re-attaches the new side's signatures from the
+    # un-exploded table in a second small broadcast.
     old_b = banded(old_sigs)
-    no = (
+    new_keys = new_b.select(
+        "bkey", F.col("pay.id").alias("_nid")
+    ).distinct()
+    cand = (
         old_b.withColumnRenamed("pay", "op")
-        .join(
-            F.broadcast(new_b.withColumnRenamed("pay", "np")),
-            "bkey",
-        )
-        .where(F.col("op.id") != F.col("np.id"))
+        .join(F.broadcast(new_keys), "bkey")
+        .where(F.col("op.id") != F.col("_nid"))
         .select(
             F.col("op.id").alias("id_a"),
-            F.col("np.id").alias("id_b"),
-            est_jaccard(F.col("op.sig"), F.col("np.sig")).alias(
+            F.col("op.sig").alias("_osig"),
+            "_nid",
+        )
+        .dropDuplicates(["id_a", "_nid"])
+    )
+    no = (
+        cand.join(
+            F.broadcast(
+                new_sigs.select(
+                    F.col("id").alias("_nid"), F.col("sig").alias("_nsig")
+                )
+            ),
+            "_nid",
+        )
+        .select(
+            "id_a",
+            F.col("_nid").alias("id_b"),
+            est_jaccard(F.col("_osig"), F.col("_nsig")).alias(
                 "est_jaccard"
             ),
         )
         .where(F.col("est_jaccard") >= threshold)
-        .distinct()
     )
     return nn.unionByName(no)

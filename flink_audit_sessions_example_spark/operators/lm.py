@@ -92,7 +92,7 @@ def train_ngram_counts(
     tightens estimates (the min over fewer rows is ≥ the min over
     more), so a shallow sketch stays SOUND for pruning and halves the
     build exchange vs depth 4. Win: the counting exchange drops to the
-    survivors (measured 4.3× fewer exchange rows at the generated-sf1
+    survivors (measured 4.2× fewer exchange rows at the generated-sf1
     adversarial vocab, min_count=20). At local[32] the wall-clock
     LOSES (~2×: local shuffle is nearly free while the second scan is
     real CPU) — the hatch pays off only where the counting exchange is
@@ -196,9 +196,10 @@ def _gram_rows(
             )
             # a missing bucket row means count 0 in that depth
             ests.append(F.coalesce(F.col(f"_c{d}"), F.lit(0.0)))
-        grams = pruned.where(F.least(*ests) >= min_count).select(
-            "n", "gram"
-        )
+        # F.least asserts >= 2 columns — depth 1 (a single hash row,
+        # still never-underestimating, hence still sound) is legal
+        est = ests[0] if len(ests) == 1 else F.least(*ests)
+        grams = pruned.where(est >= min_count).select("n", "gram")
     return grams
 
 

@@ -124,9 +124,25 @@ def approx_quantiles_rank_check(
             f"approx_percentile(`{quoted}`, array({probs}), {accuracy})"
         ).alias("_ap")
     )
-    j = df.join(F.broadcast(ap), key_cols)
+    # eqNullSafe join keys: a NULL group would otherwise vanish from the
+    # check entirely (null-unsafe equality never matches), silently
+    # un-verifying it (review r9)
+    apk = ap.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols], "_ap"
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+        cond = eq if cond is None else cond & eq
+    j = df.join(F.broadcast(apk), cond).drop(
+        *[f"_k_{c}" for c in key_cols]
+    )
     counted = j.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("_n"),
+        # count the VALUE column, not rows: approx_percentile and the
+        # lt/le sums both ignore NULL values, so counting NULL-bearing
+        # rows into n would inflate the rank target p·n and falsely
+        # fail the lower bound on sparse columns (review r9)
+        F.count(F.col(value_col)).alias("_n"),
         *[
             agg
             for i in range(len(probabilities))
@@ -658,14 +674,18 @@ def quantile_sketch_table(
         F.col(key_col).alias("qs_key"),
         F.col(value_col).alias("qs_value"),
     )
+    # qs_value joins the ordering as the final tiebreak: duplicate keys
+    # draw identically, and without it the kept row at the k boundary
+    # would be partition-order dependent — breaking the documented
+    # determinism and exact-merge guarantees (review r9). Rows tied on
+    # (draw, key, value) are interchangeable by construction.
     draw = md5_draw(F.col("qs_key"))
+    order = [draw.asc(), F.col("qs_key").asc(), F.col("qs_value").asc()]
     if not group_cols:
-        return base.orderBy(draw.asc(), F.col("qs_key").asc()).limit(k)
+        return base.orderBy(*order).limit(k)
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*group_cols).orderBy(
-        draw.asc(), F.col("qs_key").asc()
-    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         base.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)

@@ -92,10 +92,10 @@ def stream_funnel_stages(
     """Continuously-maintained ordered funnel per user (update mode;
     see module docstring for the O(1)-state and in-order-exactness
     contracts). ``within`` is the conversion window as a FIXED-WIDTH
-    day-time duration, e.g. ``"1 day"`` / ``"36 hours"`` — for these the
-    semantics match the batch twin exactly; calendar units (months,
-    years) are rejected because this operator evaluates one fixed
-    microsecond width for the whole stream while the batch twin's
+    duration, e.g. ``"1 day"`` / ``"36 hours"`` / ``"1 week"`` — for
+    these the semantics match the batch twin exactly; calendar units
+    (months, years) are rejected because this operator evaluates one
+    fixed microsecond width for the whole stream while the batch twin's
     per-row INTERVAL arithmetic gives them variable width."""
     if len(stages) < 2:
         raise ValueError(f"need at least 2 stages, got {len(stages)!r}")
@@ -103,24 +103,32 @@ def stream_funnel_stages(
         raise ValueError(f"stages must be distinct, got {stages!r}")
     within_us = None
     if within is not None:
-        # day-time durations ONLY, parsed driver-side (pandas — the
-        # asof_nearest max_distance contract): this operator holds ONE
-        # fixed microsecond count for the whole stream, so a calendar
-        # unit ("1 month" → 31 days always) would silently diverge from
-        # the batch twin funnel_stages, which applies INTERVAL per-row
-        # with variable month lengths (ADVICE r8). pandas Timedelta
-        # rejects month/year units by construction.
-        import pandas as pd
+        # fixed-width durations ONLY: this operator holds ONE
+        # microsecond count for the whole stream, so a calendar unit
+        # ("1 month" → 31 days always) would silently diverge from the
+        # batch twin funnel_stages, which applies INTERVAL per-row with
+        # variable month lengths (ADVICE r8). Rejection is by unit
+        # token, NOT by pandas Timedelta parsing — pandas also rejects
+        # "1 week", which Spark parses as a fixed 7-day width and the
+        # batch twin accepts (review r9: a false rejection). Everything
+        # Spark's own parser accepts below month granularity is fixed.
+        import re
 
-        try:
-            within_us = int(pd.Timedelta(within).value // 1_000)
-        except ValueError as e:
+        if re.search(r"\b(month|months|year|years)\b", within, re.I):
             raise ValueError(
                 f"within must be a fixed-width day-time duration "
-                f"(e.g. '1 day', '36 hours'); calendar units diverge "
-                f"from the batch twin: {within!r}"
-            ) from e
-        if within_us <= 0:
+                f"(e.g. '1 day', '36 hours', '1 week'); calendar units "
+                f"diverge from the batch twin: {within!r}"
+            )
+        # Spark's interval parser, epoch-difference form so a non-UTC
+        # session timezone cancels out (a bare CAST(INTERVAL AS BIGINT)
+        # returns the count in the interval's own unit, not micros)
+        sess = events.sparkSession
+        within_us = sess.sql(
+            f"SELECT unix_micros(t + INTERVAL {within}) - unix_micros(t) "
+            "FROM (SELECT CAST('1970-01-01 00:00:00' AS TIMESTAMP) AS t)"
+        ).collect()[0][0]
+        if not within_us or within_us <= 0:
             raise ValueError(f"not a positive interval: {within!r}")
     out_schema = (
         "user_id bigint, stages_completed int, "

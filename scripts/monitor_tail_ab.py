@@ -24,12 +24,13 @@ change is indicated.
 Run: python scripts/monitor_tail_ab.py
 """
 
+import os
 import sys
 import time
 
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.1"
 REPS = 9

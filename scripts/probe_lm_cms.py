@@ -70,7 +70,10 @@ def main() -> None:
             min_count=min_count,
             cms_prefilter=(arm == "cms_vol"),
             cms_width=width,
-            cms_depth=4,
+            # match train_ngram_counts' default (and the SCALING.md
+            # ledger label): the volume numbers must be reproducible at
+            # the shipped configuration (review r9)
+            cms_depth=2,
             cms_seed=42,
         )
         occurrences = grams.count()

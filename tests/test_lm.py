@@ -209,3 +209,21 @@ def test_lm_plan_gates(spark):
     assert "CartesianProduct" not in score_plan
     assert "Window" not in score_plan
     assert "BatchEvalPython" not in score_plan and "MapInPandas" not in score_plan
+
+
+def test_cms_prefilter_depth_one_is_sound(spark):
+    """Review r9: depth=1 (a single hash row — still never
+    underestimating, hence still a sound pruning proof) must work, not
+    crash in F.least."""
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    exact = {
+        (r.n, r.gram): r.cnt
+        for r in train_ngram_counts(docs, min_count=3).collect()
+    }
+    pruned = {
+        (r.n, r.gram): r.cnt
+        for r in train_ngram_counts(
+            docs, min_count=3, cms_prefilter=True, cms_depth=1
+        ).collect()
+    }
+    assert pruned == exact

@@ -780,9 +780,12 @@ def test_stream_funnel_rejects_calendar_intervals(spark):
             stream_funnel_stages(ev, ("a", "b"), within=bad)
     with pytest.raises(ValueError, match="positive"):
         stream_funnel_stages(ev, ("a", "b"), within="-1 day")
-    # fixed-width duration parses fine on a (batch) frame: the
-    # validation path is independent of streaming-ness
+    # fixed-width durations parse fine on a (batch) frame: the
+    # validation path is independent of streaming-ness — and "1 week"
+    # is FIXED width (Spark: exactly 604800s), so it must be accepted
+    # (review r9: pandas Timedelta falsely rejects it)
     assert stream_funnel_stages(ev, ("a", "b"), within="36 hours") is not None
+    assert stream_funnel_stages(ev, ("a", "b"), within="1 week") is not None
 
 
 def test_ngram_novelty_pin_plan_shape(spark):

@@ -116,3 +116,50 @@ def test_approx_quantiles_quoted_identifier(spark):
     ).collect()
     assert len(out) == 1
     assert abs(out[0].p_50 - 50.0) <= 1.0
+
+
+def test_rank_check_ignores_null_values_and_keeps_null_groups(spark):
+    """Review r9 regressions: (a) n must count VALUES, not rows — the
+    sketch and the lt/le sums ignore NULLs, so NULL-bearing rows would
+    inflate the rank target and falsely fail the lower bound; (b) a
+    NULL group key must stay in the output (eqNullSafe join), not
+    silently vanish un-verified."""
+    rows = (
+        [("a", float(v)) for v in range(1, 101)]
+        + [("a", None)] * 500                      # NULL values
+        + [(None, float(v)) for v in range(1, 51)]  # NULL group
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: (r.p25_ok, r.p50_ok, r.p75_ok)
+        for r in K.approx_quantiles_rank_check(df, ["k"], "v").collect()
+    }
+    assert set(got) == {"a", None}
+    assert got["a"] == (True, True, True)
+    assert got[None] == (True, True, True)
+
+
+def test_quantile_sketch_duplicate_keys_deterministic(spark):
+    """Review r9: duplicate key values draw identically; the qs_value
+    tiebreak keeps the sketch partition-invariant and merge-exact even
+    when the tie set straddles the k boundary."""
+    rows = [(5, float(v)) for v in range(100)] + [
+        (i, float(i)) for i in range(1000, 1050)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    sk = lambda d: {  # noqa: E731
+        tuple(r)
+        for r in K.quantile_sketch_table(
+            d, "v", key_col="k", k=64
+        ).collect()
+    }
+    assert sk(df) == sk(df.repartition(13))
+    halves = K.quantile_sketch_table(
+        df.where("v < 50"), "v", key_col="k", k=64
+    ).unionByName(
+        K.quantile_sketch_table(df.where("v >= 50"), "v", key_col="k", k=64)
+    )
+    assert {
+        tuple(r)
+        for r in K.quantile_sketch_merge(halves, k=64).collect()
+    } == sk(df)
