@@ -45,9 +45,14 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: front = (new/changed) + (keys whose last row is round N-2 AND not
 #: 3×-green) + (3×-green keys at their 3-round deadline, oldest first);
 #: fill remaining slots with queue registrations.
-#: r10 registration candidates, first in line: ``tfidf_top_terms`` and
-#: ``funnel_stages`` (both parity-proven in ``tests/test_r8_ops.py``),
-#: then the queue below (parity-proven in their own test files):
+#: r10 registration candidates are PRE-BUILT in ``plans/staged.py``
+#: (STAGED_QUERIES/STAGED_ORACLES, 10 complete driver registrations —
+#: cdc_apply, snapshot_diff, interval_join, balanced_shards,
+#: chunk_sentences, decontaminate_semantic, tfidf, funnel, text_clean,
+#: agg_quantile_sketch — each replayed against DuckDB with a
+#: non-vacuity check in ``tests/test_staged_registrations.py`` every
+#: suite run): draining a slot = move the entry here + front-load the
+#: key. Older queue notes (parity twins living in their test files):
 #: ``dedup_spans`` (``duplicated_spans``, ``tests/test_span_dedup.py``),
 #: ``agg_heavy_hitters`` (bound-check shape,
 #: ``tests/test_heavy_hitters.py::test_corpus_words_vs_duckdb_exact``),

@@ -19,8 +19,10 @@ from .pipeline import (
     write_kafka,
     write_memory,
 )
+from .quantile_sketch import stream_quantile_sketch
 
 __all__ = [
+    "stream_quantile_sketch",
     "audit_denied_sessions_custom_state",
     "stream_first_touch",
     "stream_minhash_candidates",

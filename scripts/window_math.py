@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Rotation/window arithmetic for the driver's 50-row correctness gate.
+
+Implements the drain plan documented in ``plans/__init__.py`` so the
+next round's ``_FRONT_KEYS`` is computed, not hand-derived:
+
+- §2 / reference-surface keys keep the strict 2-round invariant
+  (re-verify every key whose last driver row is round N−2).
+- Extended keys hash-green in ≥ ``STRETCH_AFTER`` historical windows may
+  stretch to a 3-round cycle; they re-enter the front at their
+  3-round deadline instead.
+- Slots left over go to first registrations from the queue (printed as
+  a count — the queue order lives in ``plans/__init__.py``).
+
+Usage: ``python scripts/window_math.py <next_round>`` from the repo
+root, with ``CORRECTNESS_r0*.json`` present. New/changed keys for the
+next round are not knowable here — subtract them from the free-slot
+count by hand.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW = 50
+STRETCH_AFTER = 3  # green windows before a key may stretch to 3 rounds
+
+#: reference-surface (§2) keys — never stretched past 2 rounds
+CORE_KEYS = frozenset(
+    "src_file_monitor src_file_datefilter xform_parse_json flt_valid_user "
+    "time_watermark key_by_user win_session agg_denied_sum win_wrap_result "
+    "flt_nonzero xform_format_string".split()
+)
+
+
+def main() -> None:
+    next_round = int(sys.argv[1])
+    from __spark_entry__ import queries
+
+    registry = list(queries())
+    history: dict[int, dict] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        history[int(m.group(1))] = json.load(open(path))
+
+    last_row: dict[str, int] = {}
+    green_windows: dict[str, int] = {}
+    for rnd, rows in history.items():
+        for k, v in rows.items():
+            if k not in registry:
+                continue
+            last_row[k] = max(last_row.get(k, 0), rnd)
+            if v.get("hash_match"):
+                green_windows[k] = green_windows.get(k, 0) + 1
+
+    must = []   # strict 2-round keys due this round
+    may3 = []   # stretchable keys at their 3-round deadline
+    for k in registry:
+        lr = last_row.get(k, 0)
+        stretchable = (
+            k not in CORE_KEYS and green_windows.get(k, 0) >= STRETCH_AFTER
+        )
+        if not stretchable and lr <= next_round - 2:
+            must.append((lr, k))
+        elif stretchable and lr <= next_round - 3:
+            may3.append((lr, k))
+
+    must.sort()
+    may3.sort()
+    front = [k for _, k in must] + [k for _, k in may3]
+    free = WINDOW - len(front)
+    print(f"# r{next_round} window (size {WINDOW})")
+    print(f"strict 2-round keys due: {len(must)}")
+    print(f"3-round-deadline stretched keys due: {len(may3)}")
+    print(f"free slots for new/changed + queue registrations: {free}")
+    never = [k for k in registry if k not in last_row]
+    if never:
+        print(f"never-verified keys (MUST front-load): {never}")
+    print("\n# proposed _FRONT_KEYS prefix (oldest first):")
+    for k in front[:WINDOW]:
+        print(f'    "{k}",')
+    if len(front) > WINDOW:
+        print(
+            f"# OVERFLOW: {len(front) - WINDOW} due keys beyond the "
+            "window — tighten by staleness order above"
+        )
+
+
+if __name__ == "__main__":
+    main()
