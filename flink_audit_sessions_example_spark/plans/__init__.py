@@ -45,92 +45,35 @@ from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
 #: front = (new/changed) + (keys whose last row is round N-2 AND not
 #: 3×-green) + (3×-green keys at their 3-round deadline, oldest first);
 #: fill remaining slots with queue registrations.
-#: r10 registration candidates are PRE-BUILT in ``plans/staged.py``
-#: (STAGED_QUERIES/STAGED_ORACLES, 10 complete driver registrations —
-#: cdc_apply, snapshot_diff, interval_join, balanced_shards,
-#: chunk_sentences, decontaminate_semantic, tfidf, funnel, text_clean,
-#: agg_quantile_sketch — each replayed against DuckDB with a
-#: non-vacuity check in ``tests/test_staged_registrations.py`` every
-#: suite run): draining a slot = move the entry here + front-load the
-#: key. Older queue notes (parity twins living in their test files):
-#: ``dedup_spans`` (``duplicated_spans``, ``tests/test_span_dedup.py``),
-#: ``agg_heavy_hitters`` (bound-check shape,
-#: ``tests/test_heavy_hitters.py::test_corpus_words_vs_duckdb_exact``),
-#: ``layout_zorder`` (exact mode,
-#: ``tests/test_zorder.py::test_exact_boundaries_match_duckdb``),
-#: ``win_gapfill`` (``operators/timeseries.py::gapfill_resample``,
-#: oracle ``tests/test_timeseries.py::GAPFILL_ORACLE``),
-#: ``join_bloom`` (``operators/runtime_filters.py::bloom_pruned_join``,
-#: oracle ``tests/test_runtime_filters.py::PRUNED_JOIN_ORACLE``),
-#: ``xform_winsorize`` (``operators/quantiles.py::winsorize``,
-#: oracle ``tests/test_winsorize.py::WINSORIZE_ORACLE``),
-#: ``corpus_weighted_sample`` (``operators/corpus.py::weighted_sample_k``,
-#: oracle ``tests/test_weighted_cdc.py::WEIGHTED_SAMPLE_ORACLE``),
-#: ``xform_cdc_apply`` (``operators/dedup.py::cdc_apply``,
-#: oracle ``tests/test_weighted_cdc.py::CDC_ORACLE``),
-#: ``xform_snapshot_diff`` (``operators/dedup.py::snapshot_diff``,
-#: oracle ``tests/test_snapshot_diff.py::DIFF_ORACLE``),
-#: ``join_interval`` (``operators/asof.py::interval_join``,
-#: oracle ``tests/test_interval_join.py::INTERVAL_ORACLE``),
-#: ``corpus_balanced_shards`` (``operators/corpus.py::balanced_shards``,
-#: oracle ``tests/test_balanced_shards.py::SHARDS_ORACLE``),
-#: ``rel_profile_columns`` (``operators/profile.py::profile_columns``,
-#: oracle ``tests/test_profile.py::PROFILE_ORACLE``),
-#: ``agg_mad_outliers`` (``operators/quantiles.py::mad_outliers``,
-#: oracle ``tests/test_robust_ops.py::MAD_ORACLE``),
-#: ``corpus_reservoir_sample`` (``operators/corpus.py::reservoir_sample``,
-#: oracle ``tests/test_robust_ops.py::RESERVOIR_ORACLE``),
-#: ``join_asof_nearest`` (``operators/asof.py::asof_nearest``,
-#: oracle ``tests/test_asof_nearest.py::NEAREST_ORACLE``),
-#: ``agg_count_min`` (``operators/sketches.py::count_min_table`` +
-#: ``cms_estimate`` bound-check shape,
-#: oracle ``tests/test_count_min.py::CMS_BOUND_ORACLE``),
-#: ``corpus_weighted_reservoir``
-#: (``operators/corpus.py::weighted_reservoir_sample``,
-#: oracle ``tests/test_robust_ops.py::WEIGHTED_RESERVOIR_ORACLE``),
-#: ``agg_hll_table`` (``operators/sketches.py::hll_table`` +
-#: ``hll_estimate`` bound-check shape,
-#: oracle ``tests/test_hll.py::HLL_BOUND_ORACLE``),
-#: ``agg_kmv_sketch`` (``operators/sketches.py::kmv_table`` +
-#: ``kmv_estimate`` bound-check shape,
-#: oracle ``tests/test_kmv.py::KMV_BOUND_ORACLE``),
-#: ``text_split_sentences`` (``operators/text.py::split_sentences``,
-#: oracle ``tests/test_sentences.py::SPLIT_ORACLE``),
-#: ``text_chunk_sentences`` (``operators/text.py::chunk_by_sentences``,
-#: oracle ``tests/test_sentences.py::CHUNK_ORACLE``),
-#: ``corpus_repeat_epochs`` (``operators/corpus.py::repeat_epochs``,
-#: oracle ``tests/test_repeat_epochs.py::EPOCHS_ORACLE``),
-#: ``decontaminate_semantic``
-#: (``operators/similarity.py::semantic_decontaminate``,
-#: oracle ``tests/test_semantic_decon.py::DECON_ORACLE``),
-#: ``win_pattern_match`` (``operators/timeseries.py::pattern_match_topk``,
-#: oracle ``tests/test_pattern_match.py::_oracle()`` — bit-identical,
-#: no rounding),
-#: ``text_clean`` (``operators/text.py::clean_text``, oracle
-#: ``tests/test_clean_text.py::test_clean_text_matches_duckdb_on_real_corpus``),
-#: ``agg_quantile_sketch`` (``operators/sketches.py::quantile_sketch_table``
-#: + ``quantile_sketch_estimate`` — a REAL value oracle, not a bound
-#: check: the bottom-k sample is content-addressed, oracle
-#: ``tests/test_quantile_sketch.py::test_estimate_matches_duckdb``).
+#: The ENTIRE registration queue is PRE-BUILT in ``plans/staged.py``
+#: (STAGED_QUERIES / STAGED_ORACLES, 28 complete driver registrations —
+#: query callable + DuckDB oracle + registered parameters), each
+#: replayed against DuckDB with a non-vacuity check on every suite run
+#: by ``tests/test_staged_registrations.py``, so the queue cannot rot
+#: while it waits for window slots. Draining a slot = move the entry
+#: into EXTENDED_* (or merge STAGED_* here) + front-load the key.
+#: Queue priority (breadth of user-facing capability first, sketch
+#: bound-checks last — their pytest gates already pin the contract):
+#: (1) xform_cdc_apply / xform_snapshot_diff / join_interval /
+#: corpus_balanced_shards / text_chunk_sentences /
+#: decontaminate_semantic / text_tfidf_topk / win_funnel_stages /
+#: text_clean / agg_quantile_sketch;
+#: (2) the sampling family (corpus_weighted_sample /
+#: corpus_reservoir_sample / corpus_weighted_reservoir /
+#: corpus_repeat_epochs) and join_asof_nearest / rel_profile_columns /
+#: win_gapfill / join_bloom / xform_winsorize / agg_mad_outliers /
+#: dedup_spans / layout_zorder / win_pattern_match /
+#: text_split_sentences;
+#: (3) bound-check sketches (agg_heavy_hitters / agg_count_min /
+#: agg_hll_table / agg_kmv_sketch).
 #: ``incremental_minhash_pairs`` stays pytest-gated (its production
 #: xxhash64 band keys are not DuckDB-reproducible; the batch operator's
 #: md5 family already carries the family's oracle).
-#: Queue priority when slots free up (breadth of user-facing capability
-#: first, sketch bound-checks last — their pytest gates already pin the
-#: contract): (1) xform_cdc_apply / xform_snapshot_diff / join_interval /
-#: corpus_balanced_shards / text_chunk_sentences /
-#: decontaminate_semantic — capabilities a
-#: pipeline user reaches for directly; (2) the sampling family
-#: (corpus_weighted_sample / corpus_reservoir_sample /
-#: corpus_weighted_reservoir / corpus_repeat_epochs) and
-#: join_asof_nearest / rel_profile_columns / win_gapfill / join_bloom /
-#: xform_winsorize / agg_mad_outliers / dedup_spans / layout_zorder /
-#: win_pattern_match;
-#: (3) bound-check sketches (agg_heavy_hitters / agg_count_min /
-#: agg_hll_table / agg_kmv_sketch).
-#: Every name here MUST resolve in _ALL_QUERIES — enforced below; add
-#: keys only after their q_/oracle entries land (r6 lesson: phantom
-#: names silently lose their slot).
+#: Every name in _FRONT_KEYS MUST resolve in _ALL_QUERIES — enforced
+#: below; add keys only after their q_/oracle entries land (r6 lesson:
+#: phantom names silently lose their slot). test_staged_registrations
+#: enforces the complementary invariant: staged keys never shadow live
+#: ones.
 _FRONT_KEYS = [
     # r9 NEW / registration-changed keys — need first (or repaired)
     # driver rows this round
