@@ -208,3 +208,77 @@ def bpe_encode_words(
             yield pdf
 
     return words.mapInPandas(gen, out_schema)
+
+
+def tokenize_documents(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "pieces",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """End-to-end corpus tokenization with a learned merge list —
+    ``(id_col, out_col array<string>, n_pieces)``, the composite that
+    turns :func:`learn_bpe_merges` + :func:`bpe_encode_words` into the
+    operation a training pipeline actually runs ("tokenize the corpus").
+
+    The load-bearing design point: the sequential BPE loop runs once
+    per DISTINCT word, never per occurrence — the corpus tokenizes as
+
+    1. one scan exploding ``(doc, position, word)`` rows
+       (``pattern_tokens``, the same tokenizer BPE learned over);
+    2. the Arrow encode pass over the distinct-word VOCAB relation
+       (bounded: millions of rows where the corpus is trillions);
+    3. a join of occurrences against the encoded vocab —
+       ``broadcast_vocab=True`` (default) ships the encoded vocab to
+       every task, so the join is map-side and NOTHING corpus-sized
+       shuffles for it (set False for giant vocabs: AQE picks, and the
+       occurrence relation shuffles once on the word key);
+    4. per-document reassembly in token order: one exchange on
+       ``id_col``, ``array_sort(collect_list(struct(pos, pieces)))`` →
+       flatten. The agg buffers ONE document's pieces (documents are
+       bounded; corpora are not — the chunk_by_sentences contract).
+
+    Docs with NULL/empty text keep their row with an empty array (a
+    tokenized corpus must stay row-aligned with its source for joins
+    back to metadata). A 10-word document re-using one word 10× pays
+    the encode loop once — on Zipf corpora the vocab relation is
+    orders of magnitude smaller than the token stream, which is the
+    whole reason tokenizer services cache word→pieces maps; here the
+    cache IS a relation.
+    """
+    from .text import pattern_tokens
+
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(pattern_tokens(F.col(text_col))).alias("_pos", "word"),
+    )
+    vocab = toks.select("word").distinct()
+    enc = bpe_encode_words(vocab, merges, word_col="word", out_col="_pc")
+    enc_side = F.broadcast(enc) if broadcast_vocab else enc
+    per_doc = (
+        toks.join(enc_side, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_pc"))
+                ).getField("_pc")
+            ).alias(out_col)
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col(out_col), F.array().cast("array<string>")
+            ).alias(out_col),
+            F.coalesce(F.size(out_col), F.lit(0))
+            .cast("int")
+            .alias("n_pieces"),
+        )
+    )

@@ -11,11 +11,17 @@ state. Both are JVM aggregates inside whole-stage codegen — the plan
 shape (partial → merge → final) is identical to any other hash agg, so
 every scale property of the exact plans carries over with O(1) state.
 
-These are NOT in the DuckDB-oracle registry: HLL/t-digest register
-layouts are engine-specific, so cross-engine value-hashing is impossible
-by construction. The correctness gate is the documented ERROR BOUND,
-pinned by pytest against the exact twins (`tests/test_sketches.py`) —
-the same contract a production pipeline relies on.
+Register-based sketches (HLL, GK percentiles, Count-Min, Misra-Gries)
+cannot be cross-engine VALUE-hashed — their layouts are engine-specific
+by construction. Their driver-oracle rows therefore register the ERROR
+CONTRACT itself as hash-checked booleans (``agg_approx_distinct`` since
+r8, ``rel_quantiles_approx``'s rank check since r9, the
+``agg_*`` bound checks staged in ``plans/staged.py``), with the bounds
+additionally pinned by pytest against exact twins
+(`tests/test_sketches.py`). The ONE exception is the bottom-k quantile
+sketch at the end of this module: its sample is content-addressed
+(md5 draws), so its values DO hash cross-engine — and its merge is
+exact, not approximate.
 """
 
 from __future__ import annotations

@@ -66,6 +66,20 @@ def main() -> None:
         quantile_sketch_estimate(sk, group_cols=["lang"]).write.format(
             "noop"
         ).mode("overwrite").save()
+    elif op == "tokenize":
+        from flink_audit_sessions_example_spark.operators.bpe import (
+            learn_bpe_merges,
+            tokenize_documents,
+            word_freq_table,
+        )
+
+        merges = learn_bpe_merges(
+            word_freq_table(docs.select("text")), n_merges=10
+        )
+        t0 = time.perf_counter()  # restart clock: probe the ENCODE path
+        tokenize_documents(docs.select("doc_id", "text"), merges).write.format(
+            "noop"
+        ).mode("overwrite").save()
     elif op == "incr_minhash":
         from flink_audit_sessions_example_spark.operators.dedup import (
             incremental_minhash_pairs,
