@@ -227,8 +227,15 @@ def tokenize_documents(
     The load-bearing design point: the sequential BPE loop runs once
     per DISTINCT word, never per occurrence — the corpus tokenizes as
 
-    1. one scan exploding ``(doc, position, word)`` rows
-       (``pattern_tokens``, the same tokenizer BPE learned over);
+    1. ONE text scan exploding ``(doc, position, word)`` rows
+       (``pattern_tokens``, the same tokenizer BPE learned over),
+       pinned with a lazy ``localCheckpoint``: the relation has two
+       consumers (the vocab derivation and the occurrence side of the
+       join), and without the pin each would re-scan and re-tokenize
+       the full text column (measured: 3 FileScans → 2, and the
+       remaining second scan reads ONLY the id column for the
+       row-alignment join below — the usual pin fault-tolerance trade,
+       SCALING.md r7);
     2. the Arrow encode pass over the distinct-word VOCAB relation
        (bounded: millions of rows where the corpus is trillions);
     3. a join of occurrences against the encoded vocab —
@@ -251,9 +258,15 @@ def tokenize_documents(
     """
     from .text import pattern_tokens
 
-    toks = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.posexplode(pattern_tokens(F.col(text_col))).alias("_pos", "word"),
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(pattern_tokens(F.col(text_col))).alias(
+                "_pos", "word"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     vocab = toks.select("word").distinct()
     enc = bpe_encode_words(vocab, merges, word_col="word", out_col="_pc")

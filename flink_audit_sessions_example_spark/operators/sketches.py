@@ -665,16 +665,32 @@ def quantile_sketch_table(
     the WindowGroupLimit partial pushdown (each map task forwards ≤ k
     rows per group — shuffle O(k·groups·tasks), never the corpus);
     global (``group_cols=None``) = TakeOrderedAndProject (per-task
-    k-heaps, driver merge, no global sort). NULL measurements are
+    k-heaps, driver merge, no global sort). NULL/NaN measurements are
     skipped (not a value class); NULL keys are rejected — the draw of
     NULL sorts first under asc and would hijack every sample.
+
+    CALLER CONTRACT: ``key_col`` uniquely identifies each row (it is
+    the row's content address — the whole sampling family's contract).
+    Violations stay deterministic here (duplicate keys draw identically
+    and tie-break by value, so repeated rows can occupy several sample
+    slots), but the STREAMING twin resolves a duplicate key to its
+    smallest value instead (it cannot distinguish a genuine duplicate
+    from an at-least-once re-delivery), so the stream-equals-batch
+    guarantee holds only under the contract.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from .text import md5_draw
 
+    # NULL and NaN measurements are both excluded (a NaN would sort
+    # last and poison high percentiles; the double cast turns any
+    # non-numeric junk into NULL) — the same value filter the streaming
+    # twin applies, keeping the stream-equals-batch contract exact
+    vcast = F.col(value_col).cast("double")
     base = df.where(
-        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+        vcast.isNotNull()
+        & ~F.isnan(vcast)
+        & F.col(key_col).isNotNull()
     ).select(
         *(group_cols or []),
         F.col(key_col).alias("qs_key"),

@@ -1130,15 +1130,27 @@ def q_agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
     )
-    n = ev.where("event_type IS NOT NULL").count()
-    bound = math.e / CMS_W * n
-    return est.join(exact, "event_type").select(
-        "event_type",
-        "true_cnt",
-        (
-            (F.col("est") >= F.col("true_cnt"))
-            & (F.col("est") <= F.col("true_cnt") + F.lit(bound))
-        ).alias("within_bound"),
+    # N arrives as a broadcast 1-row aggregate — NO driver action during
+    # construction (the registration callable stays pure; review r9)
+    n_rel = (
+        ev.where("event_type IS NOT NULL")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "event_type",
+            "true_cnt",
+            (
+                (F.col("est") >= F.col("true_cnt"))
+                & (
+                    F.col("est")
+                    <= F.col("true_cnt")
+                    + F.lit(math.e / CMS_W) * F.col("_n")
+                )
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -1218,6 +1230,31 @@ FROM events WHERE event_type IS NOT NULL
 GROUP BY event_type
 """
 
+_REL_PROFILE_COLUMNS_ORACLE = """
+WITH n AS (SELECT count(*) AS n_rows FROM events)
+SELECT 'user_id' AS "column", n.n_rows,
+       (SELECT count(*) - count(user_id) FROM events) AS n_nulls,
+       (SELECT count(DISTINCT user_id) FROM events) AS n_distinct,
+       (SELECT CAST(min(user_id) AS VARCHAR) FROM events) AS min_val,
+       (SELECT CAST(max(user_id) AS VARCHAR) FROM events) AS max_val
+FROM n
+UNION ALL
+SELECT 'event_type', n.n_rows,
+       (SELECT count(*) - count(event_type) FROM events),
+       (SELECT count(DISTINCT event_type) FROM events),
+       (SELECT min(event_type) FROM events),
+       (SELECT max(event_type) FROM events)
+FROM n
+UNION ALL
+SELECT 'event_id', n.n_rows,
+       (SELECT count(*) - count(event_id) FROM events),
+       (SELECT count(DISTINCT event_id) FROM events),
+       (SELECT CAST(min(event_id) AS VARCHAR) FROM events),
+       (SELECT CAST(max(event_id) AS VARCHAR) FROM events)
+FROM n
+"""
+
+
 STAGED_QUERIES.update(
     {
         "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -1259,29 +1296,8 @@ STAGED_ORACLES.update(
         "layout_zorder": _layout_zorder_oracle(ZORDER_BITS),
         "win_pattern_match": _win_pattern_match_oracle(),
         "text_split_sentences": _TEXT_SPLIT_SENTENCES_ORACLE,
-        "rel_profile_columns": """
-WITH n AS (SELECT count(*) AS n_rows FROM events)
-SELECT 'user_id' AS "column", n.n_rows,
-       (SELECT count(*) - count(user_id) FROM events) AS n_nulls,
-       (SELECT count(DISTINCT user_id) FROM events) AS n_distinct,
-       (SELECT CAST(min(user_id) AS VARCHAR) FROM events) AS min_val,
-       (SELECT CAST(max(user_id) AS VARCHAR) FROM events) AS max_val
-FROM n
-UNION ALL
-SELECT 'event_type', n.n_rows,
-       (SELECT count(*) - count(event_type) FROM events),
-       (SELECT count(DISTINCT event_type) FROM events),
-       (SELECT min(event_type) FROM events),
-       (SELECT max(event_type) FROM events)
-FROM n
-UNION ALL
-SELECT 'event_id', n.n_rows,
-       (SELECT count(*) - count(event_id) FROM events),
-       (SELECT count(DISTINCT event_id) FROM events),
-       (SELECT CAST(min(event_id) AS VARCHAR) FROM events),
-       (SELECT CAST(max(event_id) AS VARCHAR) FROM events)
-FROM n
-""",
+        "rel_profile_columns": _REL_PROFILE_COLUMNS_ORACLE,
+
         "agg_heavy_hitters": _AGG_HEAVY_HITTERS_ORACLE,
         "agg_count_min": _AGG_COUNT_MIN_ORACLE,
         "agg_hll_table": _AGG_HLL_TABLE_ORACLE,

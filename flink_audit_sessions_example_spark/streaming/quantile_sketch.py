@@ -16,9 +16,13 @@ order yields byte-identical state to a batch build over the union
 (pinned in tests). Two properties fall out for free:
 
 - **Exactly-once effect under at-least-once delivery**: a re-delivered
-  row carries the same key, and the fold admits each key at most once
-  — duplicates change nothing (the batch twin's unique-key contract,
-  enforced here instead of assumed).
+  row carries the same key, and the fold keeps ONE entry per key —
+  exact duplicates change nothing. A duplicate key arriving with a
+  DIFFERENT value (a violation of the family's unique-key caller
+  contract — the stream cannot distinguish it from a re-delivery)
+  resolves order-freely to the smallest value; the batch twin instead
+  keeps both rows, so the stream-equals-batch guarantee below is
+  scoped to the contract.
 - **Restart-stable**: state rebuilt from the checkpoint continues the
   same deterministic fold; there is no RNG to re-seed.
 
@@ -82,8 +86,14 @@ def _make_qs_fn(k: int, probabilities: tuple[float, ...], numeric_key: bool):
                     continue
                 touched = True
                 n += 1
-                if ks not in sample:  # admit each key once (idempotent)
+                prev = sample.get(ks)
+                if prev is None:
                     sample[ks] = (_py_draw(ks), float(v))
+                elif float(v) < prev[1]:
+                    # duplicate key, different value (contract
+                    # violation): resolve ORDER-FREELY to the smallest
+                    # value — arrival order must never decide state
+                    sample[ks] = (prev[0], float(v))
             if len(sample) > k:
                 order = sorted(
                     sample.items(),
@@ -126,11 +136,12 @@ def stream_quantile_sketch(
     the module docstring for the bounded-state / idempotence /
     latest-wins contracts). Output: ``(group, p_<percent>…, m, ver)``.
 
-    The estimates equal
+    Under the family's unique-key caller contract, the estimates equal
     ``quantile_sketch_estimate(quantile_sketch_table(all rows so far))``
     with the same ``k`` — byte-identical, not approximately (pinned in
     tests): the sketch definition is order-free, so batch and stream
-    are two folds of the same function.
+    are two folds of the same function. (Contract violations diverge
+    deterministically — see the module docstring.)
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

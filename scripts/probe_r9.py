@@ -6,7 +6,7 @@ One process per invocation (the in-session A/B degradation rule):
 wall seconds. Wrapper loop over {op} x {sf0.01, sf0.1} x repeats gives
 the 10x data exponent. Warmup off the clock, as in probe_r8c.py.
 
-Ops: clean_text, quantile_sketch, incr_minhash
+Ops: clean_text, quantile_sketch, incr_minhash, tokenize
 """
 
 from __future__ import annotations

@@ -50,21 +50,40 @@ def main() -> None:
         history[int(m.group(1))] = json.load(open(path))
 
     last_row: dict[str, int] = {}
-    green_windows: dict[str, int] = {}
-    for rnd, rows in history.items():
+    rows_by_key: dict[str, list[tuple[int, bool]]] = {}
+    failed_last: set[str] = set()
+    for rnd, rows in sorted(history.items()):
         for k, v in rows.items():
             if k not in registry:
                 continue
             last_row[k] = max(last_row.get(k, 0), rnd)
-            if v.get("hash_match"):
-                green_windows[k] = green_windows.get(k, 0) + 1
+            rows_by_key.setdefault(k, []).append(
+                (rnd, bool(v.get("hash_match")))
+            )
+    # stretch eligibility = CURRENT green STREAK (most recent rows
+    # backwards), not lifetime green count: a key that just went RED
+    # must not be rewarded with a lazier cadence — it goes to the
+    # FRONT of the next window instead.
+    green_streak: dict[str, int] = {}
+    for k, rows in rows_by_key.items():
+        streak = 0
+        for _, green in reversed(sorted(rows)):
+            if not green:
+                break
+            streak += 1
+        green_streak[k] = streak
+        if rows and not sorted(rows)[-1][1]:
+            failed_last.add(k)
 
-    must = []   # strict 2-round keys due this round
+    must = []   # strict 2-round keys due this round (+ fresh failures)
     may3 = []   # stretchable keys at their 3-round deadline
     for k in registry:
         lr = last_row.get(k, 0)
+        if k in failed_last:
+            must.append((0, k))  # red row: re-verify FIRST, never later
+            continue
         stretchable = (
-            k not in CORE_KEYS and green_windows.get(k, 0) >= STRETCH_AFTER
+            k not in CORE_KEYS and green_streak.get(k, 0) >= STRETCH_AFTER
         )
         if not stretchable and lr <= next_round - 2:
             must.append((lr, k))
@@ -76,7 +95,9 @@ def main() -> None:
     front = [k for _, k in must] + [k for _, k in may3]
     free = WINDOW - len(front)
     print(f"# r{next_round} window (size {WINDOW})")
-    print(f"strict 2-round keys due: {len(must)}")
+    if failed_last:
+        print(f"RED in their latest row (front-loaded): {sorted(failed_last)}")
+    print(f"strict 2-round keys due (incl. red): {len(must)}")
     print(f"3-round-deadline stretched keys due: {len(may3)}")
     print(f"free slots for new/changed + queue registrations: {free}")
     never = [k for k in registry if k not in last_row]

@@ -12,24 +12,15 @@ from oracle_utils import assert_parity
 from flink_audit_sessions_example_spark.operators.asof import asof_nearest
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _JOIN_ASOF_NEAREST_ORACLE as NEAREST_ORACLE,
+)
+
 # independent formulation: per purchase, rank the user's error events by
 # |time distance|, backward-beats-forward on ties, and within equal-time
 # rights greatest id backward / smallest id forward
-NEAREST_ORACLE = """
-WITH pt AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
-), er AS (
-  SELECT user_id, ts AS rts, event_id AS rid FROM events
-  WHERE event_type = 'error'
-)
-SELECT p.user_id, p.ts, p.event_id,
-  (SELECT r.rid FROM er r WHERE r.user_id = p.user_id
-   ORDER BY abs(epoch_us(r.rts) - epoch_us(p.ts)),
-            (r.rts > p.ts),
-            CASE WHEN r.rts <= p.ts THEN -r.rid ELSE r.rid END
-   LIMIT 1) AS nearest_error_id
-FROM pt p
-"""
 
 
 def _sides(spark):

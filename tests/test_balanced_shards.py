@@ -13,27 +13,14 @@ from flink_audit_sessions_example_spark.operators.corpus import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _CORPUS_BALANCED_SHARDS_ORACLE as SHARDS_ORACLE,
+)
+
 # mirrors the operator step-for-step: binary-magnitude stratum, md5 cell,
 # per-(stratum,cell) rank deal with md5 rotation. 8 shards, 16 cells.
-SHARDS_ORACLE = """
-WITH t AS (
-  SELECT doc_id, n_chars,
-         length(bin(greatest(coalesce(n_chars, 0), 0) + 1)) AS stratum,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) AS draw
-  FROM documents
-), c AS (
-  SELECT *, draw % 16 AS cell FROM t
-), r AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY stratum, cell
-                            ORDER BY draw, doc_id) AS rk,
-         CAST(('0x' || substr(md5(stratum || '|' || cell), 1, 8))
-              AS BIGINT) % 8 AS rot
-  FROM c
-)
-SELECT doc_id, n_chars, CAST((rk - 1 + rot) % 8 AS INT) AS shard FROM r
-"""
 
 
 def test_balanced_shards_matches_duckdb(spark):

@@ -248,3 +248,8 @@ def test_tokenize_documents_real_corpus_and_plan(spark):
     assert final.count("MapInPandas") == 1, final
     assert "BroadcastHashJoin" in final
     assert "CartesianProduct" not in plan
+    # the TEXT column is scanned/tokenized exactly once (the pinned
+    # relation feeds both the vocab and the occurrence join); the one
+    # remaining parquet scan is the id-only row-alignment side
+    assert final.count("FileScan parquet") == 1, final
+    assert "ReadSchema: struct<doc_id:bigint>" in final, final

@@ -18,19 +18,18 @@ from flink_audit_sessions_example_spark.operators.sketches import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _AGG_COUNT_MIN_ORACLE as CMS_BOUND_ORACLE,
+)
+
 W, D = 2048, 5
 
 # bound-check shape (the agg_approx_distinct trick): Spark computes the
 # estimate AND checks it against the exact per-type count and the CMS
 # additive bound; DuckDB pins the exact counts and TRUE rows. At a fixed
 # seed the outcome is deterministic.
-CMS_BOUND_ORACLE = """
-SELECT event_type,
-       count(*) AS true_cnt,
-       TRUE AS within_bound
-FROM events WHERE event_type IS NOT NULL
-GROUP BY event_type
-"""
 
 
 def _bound(n_rows: int) -> float:

@@ -17,17 +17,17 @@ from flink_audit_sessions_example_spark.operators.sketches import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _AGG_HLL_TABLE_ORACLE as HLL_BOUND_ORACLE,
+)
+
 P = 12  # m=4096, standard error 1.04/sqrt(m) = 1.6%
 
 # bound-check registration shape: Spark computes the estimate and checks
 # it against the exact count at 3 standard errors; DuckDB pins the exact
 # counts and TRUE. Deterministic at fixed seed.
-HLL_BOUND_ORACLE = """
-SELECT source,
-       count(DISTINCT doc_id) AS true_distinct,
-       TRUE AS within_bound
-FROM documents GROUP BY source
-"""
 
 
 def test_hll_bound_check_matches_duckdb(spark):

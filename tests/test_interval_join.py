@@ -12,22 +12,15 @@ from oracle_utils import assert_parity
 from flink_audit_sessions_example_spark.operators.asof import interval_join
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _JOIN_INTERVAL_ORACLE as INTERVAL_ORACLE,
+)
+
 # error events open a 1-day window per user; every other event of the
 # same user inside [ts, ts+1d) joins. Overlapping windows (two errors
 # within a day) exercise many-to-many.
-INTERVAL_ORACLE = """
-WITH iv AS (
-  SELECT user_id, ts AS start_ts, ts + INTERVAL 1 DAY AS end_ts,
-         event_id AS interval_id
-  FROM events WHERE event_type = 'error'
-), pt AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type <> 'error'
-)
-SELECT pt.user_id, pt.ts, pt.event_id, iv.start_ts, iv.end_ts,
-       iv.interval_id
-FROM pt JOIN iv ON pt.user_id = iv.user_id
-  AND pt.ts >= iv.start_ts AND pt.ts < iv.end_ts
-"""
 
 
 def _sides(spark):

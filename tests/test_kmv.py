@@ -17,15 +17,14 @@ from flink_audit_sessions_example_spark.operators.sketches import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _AGG_KMV_SKETCH_ORACLE as KMV_BOUND_ORACLE,
+)
+
 K = 256  # relative error ~ 1/sqrt(k-2) ~ 6.3%; 3 sigma ~ 19%
 
-KMV_BOUND_ORACLE = """
-SELECT event_type,
-       count(DISTINCT user_id) AS true_distinct,
-       TRUE AS within_bound
-FROM events WHERE event_type IS NOT NULL
-GROUP BY event_type
-"""
 
 
 def test_kmv_bound_check_matches_duckdb(spark):

@@ -13,29 +13,12 @@ from flink_audit_sessions_example_spark.operators.profile import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
-PROFILE_ORACLE = """
-WITH n AS (SELECT count(*) AS n_rows FROM events)
-SELECT 'user_id' AS "column", n.n_rows,
-       (SELECT count(*) - count(user_id) FROM events) AS n_nulls,
-       (SELECT count(DISTINCT user_id) FROM events) AS n_distinct,
-       (SELECT CAST(min(user_id) AS VARCHAR) FROM events) AS min_val,
-       (SELECT CAST(max(user_id) AS VARCHAR) FROM events) AS max_val
-FROM n
-UNION ALL
-SELECT 'event_type', n.n_rows,
-       (SELECT count(*) - count(event_type) FROM events),
-       (SELECT count(DISTINCT event_type) FROM events),
-       (SELECT min(event_type) FROM events),
-       (SELECT max(event_type) FROM events)
-FROM n
-UNION ALL
-SELECT 'event_id', n.n_rows,
-       (SELECT count(*) - count(event_id) FROM events),
-       (SELECT count(DISTINCT event_id) FROM events),
-       (SELECT CAST(min(event_id) AS VARCHAR) FROM events),
-       (SELECT CAST(max(event_id) AS VARCHAR) FROM events)
-FROM n
-"""
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _REL_PROFILE_COLUMNS_ORACLE as PROFILE_ORACLE,
+)
+
 
 
 def test_profile_matches_duckdb(spark):

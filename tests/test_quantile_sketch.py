@@ -145,3 +145,14 @@ def test_plan_gates(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in grp
+
+
+def test_nan_values_excluded_like_the_stream(spark):
+    """Review r9: NaN passed isNotNull and would sort last, poisoning
+    high percentiles and diverging from the streaming twin (which
+    always skipped NaN) — both sides now exclude it."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 3.0)], "k bigint, v double"
+    )
+    rows = quantile_sketch_table(df, "v", key_col="k", k=10).collect()
+    assert {r.qs_key for r in rows} == {1, 3}

@@ -14,29 +14,16 @@ from flink_audit_sessions_example_spark.operators.corpus import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _CORPUS_REPEAT_EPOCHS_ORACLE as EPOCHS_ORACLE,
+)
+
 # per-row epochs 0.5/1.5/2.5/3.5 by doc_id; fractional part is exactly
 # representable (0.5 * 2^32 is an exact double) so the truncate-vs-round
 # cast divergence between engines cannot bite; floor() in the oracle
 # mirrors Spark's truncating bigint cast regardless
-EPOCHS_ORACLE = """
-WITH d AS (
-  SELECT doc_id, source,
-         0.5 + (doc_id % 4) AS e,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) AS draw
-  FROM documents
-), c AS (
-  SELECT doc_id, source,
-         CAST(floor(e) AS INT)
-         + CASE WHEN draw < CAST(floor((e - floor(e)) * 4294967296.0)
-                                 AS BIGINT)
-                THEN 1 ELSE 0 END AS n
-  FROM d
-)
-SELECT doc_id, source, CAST(t.i AS INT) AS epoch_copy
-FROM c, UNNEST(generate_series(0, n - 1)) AS t(i)
-WHERE n > 0
-"""
 
 
 def test_repeat_epochs_matches_duckdb(spark):

@@ -18,36 +18,17 @@ from flink_audit_sessions_example_spark.operators.quantiles import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _AGG_MAD_OUTLIERS_ORACLE as MAD_ORACLE,
+    _CORPUS_RESERVOIR_ORACLE as RESERVOIR_ORACLE,
+    _CORPUS_WEIGHTED_RESERVOIR_ORACLE as WEIGHTED_RESERVOIR_ORACLE,
+)
+
 # robust flagging of order totals within each priority class; z rounded
 # to 6dp for the cross-engine hash (the flag itself is division-free)
-MAD_ORACLE = """
-WITH med AS (
-  SELECT o_orderpriority AS g, quantile_cont(o_totalprice, 0.5) AS med
-  FROM orders GROUP BY 1
-), dev AS (
-  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, m.med,
-         abs(CAST(o.o_totalprice AS DOUBLE) - m.med) AS absdev
-  FROM orders o JOIN med m ON o.o_orderpriority = m.g
-), mad AS (
-  SELECT o_orderpriority AS g, quantile_cont(absdev, 0.5) AS mad
-  FROM dev GROUP BY 1
-)
-SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice,
-       round(CASE WHEN m.mad > 0
-             THEN (CAST(d.o_totalprice AS DOUBLE) - d.med) / (1.4826 * m.mad)
-             END, 6) AS robust_z,
-       d.absdev > 3.0 * 1.4826 * m.mad AS is_outlier
-FROM dev d JOIN mad m ON d.o_orderpriority = m.g
-"""
 
-RESERVOIR_ORACLE = """
-SELECT doc_id, source FROM (
-  SELECT doc_id, source,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) AS draw
-  FROM documents
-) ORDER BY draw, doc_id LIMIT 25
-"""
 
 
 def test_mad_outliers_matches_duckdb(spark):
@@ -168,15 +149,6 @@ def test_reservoir_plan_take_ordered_and_validation(spark):
         reservoir_sample(docs, key_col="doc_id", k=2_000_000)
 
 
-WEIGHTED_RESERVOIR_ORACLE = """
-SELECT doc_id, source, n_chars FROM (
-  SELECT doc_id, source, n_chars,
-         pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) + 0.5) / 4294967296.0,
-             1.0 / n_chars) AS sk
-  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
-) ORDER BY sk DESC, doc_id LIMIT 40
-"""
 
 
 def test_weighted_reservoir_matches_duckdb(spark):

@@ -15,11 +15,12 @@ from flink_audit_sessions_example_spark.operators.runtime_filters import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
-PRUNED_JOIN_ORACLE = """
-SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
-FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE c.c_nationkey = 1
-"""
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _JOIN_BLOOM_ORACLE as PRUNED_JOIN_ORACLE,
+)
+
 
 
 def _nation1_join(spark, **kw):

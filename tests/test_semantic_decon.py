@@ -15,6 +15,12 @@ from flink_audit_sessions_example_spark.operators.similarity import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _DECONTAMINATE_SEMANTIC_ORACLE as DECON_ORACLE,
+)
+
 TAU = 0.98
 
 # evals = every 17th vector; train = the WHOLE corpus (the realistic
@@ -24,21 +30,6 @@ TAU = 0.98
 # list_cosine_similarity on FLOAT[] computes in float32 (measured ~2.5e-8
 # off the float64 value) while Spark runs float64 BLAS — without the
 # cast the threshold comparisons are a latent cross-engine flake.
-DECON_ORACLE = f"""
-WITH ev AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
-), tr AS (
-  SELECT vec_id, embedding FROM embeddings
-), sims AS (
-  SELECT tr.vec_id,
-         list_cosine_similarity(tr.embedding::DOUBLE[],
-                                ev.embedding::DOUBLE[]) AS sim
-  FROM tr CROSS JOIN ev
-)
-SELECT vec_id, round(max(sim), 5) AS max_sim,
-       count(*) FILTER (WHERE sim >= {TAU}) AS n_eval_hits
-FROM sims GROUP BY vec_id HAVING max(sim) >= {TAU}
-"""
 
 
 def _sides(spark, spread=None):

@@ -14,6 +14,13 @@ from flink_audit_sessions_example_spark.operators.text import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _TEXT_CHUNK_SENTENCES_ORACLE as CHUNK_ORACLE,
+    _TEXT_SPLIT_SENTENCES_ORACLE as SPLIT_ORACLE,
+)
+
 # the synthetic corpus carries no terminal punctuation, so both sides
 # derive a sentence-punctuated version IDENTICALLY (a period every 6
 # words) before segmenting — parity stays cross-engine and the
@@ -23,39 +30,7 @@ PUNCT_SQL = (
     "'\\1. ', 'g')"
 )
 
-SPLIT_ORACLE = rf"""
-WITH s AS (
-  SELECT doc_id,
-         regexp_extract_all({PUNCT_SQL}, '[^.!?]+[.!?]+|[^.!?]+$') AS arr
-  FROM documents
-)
-SELECT doc_id, i - 1 AS sent_idx, trim(arr[i]) AS sentence,
-       length(trim(arr[i])) AS n_chars
-FROM s, UNNEST(generate_series(1, len(arr))) AS t(i)
-WHERE length(trim(arr[i])) > 0
-"""
 
-CHUNK_ORACLE = rf"""
-WITH s AS (
-  SELECT doc_id,
-         regexp_extract_all({PUNCT_SQL}, '[^.!?]+[.!?]+|[^.!?]+$') AS arr
-  FROM documents
-), x AS (
-  SELECT doc_id, i - 1 AS sent_idx, trim(arr[i]) AS sentence,
-         length(trim(arr[i])) AS n_chars
-  FROM s, UNNEST(generate_series(1, len(arr))) AS t(i)
-  WHERE length(trim(arr[i])) > 0
-), c AS (
-  SELECT *, COALESCE(SUM(n_chars) OVER (
-      PARTITION BY doc_id ORDER BY sent_idx
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-  FROM x
-)
-SELECT doc_id, CAST(floor(before / 400) AS BIGINT) AS chunk_id,
-       string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
-       count(*) AS n_sentences, SUM(n_chars) AS n_chars
-FROM c GROUP BY 1, 2
-"""
 
 
 def _punctuated(spark):

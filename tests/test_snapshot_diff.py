@@ -11,30 +11,15 @@ from oracle_utils import assert_parity
 from flink_audit_sessions_example_spark.operators.dedup import snapshot_diff
 from flink_audit_sessions_example_spark.sources import load_table
 
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _XFORM_SNAPSHOT_DIFF_ORACLE as DIFF_ORACLE,
+)
+
 # old = corpus minus docs with doc_id%11=3, with n_chars bumped for
 # doc_id%5=0 (so those read as "changed" in new); new = corpus minus
 # docs with doc_id%13=4. All four statuses occur.
-DIFF_ORACLE = """
-WITH old AS (
-  SELECT doc_id, source,
-         CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
-  FROM documents WHERE doc_id % 11 <> 3
-), new AS (
-  SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 13 <> 4
-)
-SELECT
-  COALESCE(o.doc_id, n.doc_id) AS doc_id,
-  CASE
-    WHEN o.doc_id IS NULL THEN 'added'
-    WHEN n.doc_id IS NULL THEN 'removed'
-    WHEN o.source IS NOT DISTINCT FROM n.source
-         AND o.n_chars IS NOT DISTINCT FROM n.n_chars THEN 'unchanged'
-    ELSE 'changed'
-  END AS status,
-  CASE WHEN n.doc_id IS NULL THEN o.source ELSE n.source END AS source,
-  CASE WHEN n.doc_id IS NULL THEN o.n_chars ELSE n.n_chars END AS n_chars
-FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
-"""
 
 
 def _versions(spark):

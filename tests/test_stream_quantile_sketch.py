@@ -161,3 +161,17 @@ def test_validation(spark):
             df, "v", key_col="doc_id", group_col="lang",
             probabilities=(1.5,),
         )
+
+
+def test_duplicate_key_resolves_order_free():
+    """Review r9: a duplicate key with a DIFFERENT value (unique-key
+    contract violation / indistinguishable from a re-delivery) must
+    resolve the same way under any arrival order — the smallest value
+    wins, never the first arrival."""
+    for order in ([(7, 9.0), (7, 1.0)], [(7, 1.0), (7, 9.0)]):
+        fn = _make_qs_fn(8, (0.5,), numeric_key=True)
+        state = FakeState()
+        out = list(fn(("g",), iter([_pdf(order)]), state))
+        keys, draws, vals, n = state.get
+        assert vals == [1.0] and n == 2
+        assert out[0].iloc[0]["p_50"] == 1.0

@@ -14,29 +14,12 @@ from flink_audit_sessions_example_spark.operators.timeseries import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
-GAPFILL_ORACLE = """
-WITH b AS (
-  SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
-         count(*) AS n_events, sum(value) AS v_sum
-  FROM events GROUP BY 1, 2
-), bounds AS (
-  SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY key
-), spine AS (
-  SELECT key,
-         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
-  FROM bounds
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _WIN_GAPFILL_ORACLE as GAPFILL_ORACLE,
 )
-SELECT s.key AS user_id,
-       s.bucket,
-       COALESCE(b.n_events, 0) AS n_events,
-       b.v_sum,
-       last_value(b.v_sum IGNORE NULLS) OVER (
-         PARTITION BY s.key ORDER BY s.bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS v_ffill,
-       b.n_events IS NULL AS is_gap
-FROM spine s LEFT JOIN b USING (key, bucket)
-"""
+
 
 
 def test_gapfill_matches_duckdb(spark):

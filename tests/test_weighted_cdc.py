@@ -20,49 +20,14 @@ from flink_audit_sessions_example_spark.operators.dedup import (
 )
 from flink_audit_sessions_example_spark.sources import load_table
 
-WEIGHTED_SAMPLE_ORACLE = """
-WITH d AS (
-  SELECT doc_id, source, n_chars,
-         pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) + 0.5) / 4294967296.0,
-             1.0 / n_chars) AS sk
-  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _CORPUS_WEIGHTED_SAMPLE_ORACLE as WEIGHTED_SAMPLE_ORACLE,
+    _XFORM_CDC_APPLY_ORACLE as CDC_ORACLE,
 )
-SELECT doc_id, source, n_chars FROM (
-  SELECT doc_id, source, n_chars,
-         row_number() OVER (PARTITION BY source ORDER BY sk DESC, doc_id) AS rn
-  FROM d
-) WHERE rn <= 3
-"""
 
-CDC_ORACLE = """
-WITH early AS (
-  SELECT user_id, value FROM (
-    SELECT user_id, value,
-           row_number() OVER (PARTITION BY user_id
-                              ORDER BY ts DESC, event_id DESC) AS rn
-    FROM events WHERE ts < TIMESTAMP '2024-01-15'
-  ) WHERE rn = 1
-), log AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-         value
-  FROM events
-  WHERE ts >= TIMESTAMP '2024-01-15' AND user_id % 3 <> 0
-), unioned AS (
-  SELECT 0 AS epoch, user_id, CAST(NULL AS TIMESTAMP) AS ts,
-         CAST(NULL AS BIGINT) AS event_id, 'U' AS op, value FROM early
-  UNION ALL
-  SELECT 1, user_id, ts, event_id, op, value FROM log
-)
-SELECT user_id, ts, event_id, value FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY user_id
-    ORDER BY epoch DESC, ts DESC NULLS LAST, event_id DESC NULLS LAST
-  ) AS rn
-  FROM unioned
-) WHERE rn = 1 AND op <> 'D'
-"""
+
 
 
 def test_weighted_sample_matches_duckdb(spark):

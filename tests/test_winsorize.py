@@ -10,17 +10,12 @@ from oracle_utils import assert_parity
 from flink_audit_sessions_example_spark.operators.quantiles import winsorize
 from flink_audit_sessions_example_spark.sources import load_table
 
-WINSORIZE_ORACLE = """
-WITH b AS (
-  SELECT o_orderpriority,
-         quantile_cont(o_totalprice, 0.01) AS q_lo,
-         quantile_cont(o_totalprice, 0.99) AS q_hi
-  FROM orders GROUP BY 1
+# oracle SQL: single source of truth = the staged registration
+# (plans/staged.py) — review r9 killed the drifting duplicates
+from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
+    _XFORM_WINSORIZE_ORACLE as WINSORIZE_ORACLE,
 )
-SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
-       least(greatest(o.o_totalprice, b.q_lo), b.q_hi) AS price_w
-FROM orders o JOIN b USING (o_orderpriority)
-"""
+
 
 
 def test_winsorize_matches_duckdb(spark):
