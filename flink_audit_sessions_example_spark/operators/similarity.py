@@ -1075,3 +1075,248 @@ def semantic_decontaminate(
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .mapInPandas(gen, out_schema)
     )
+
+
+# -- product quantization (PQ) ----------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+) -> "list[list[list[float]]]":
+    """Train the PQ sub-codebooks (Jégou et al. 2011): split each vector
+    into ``m`` subvectors and learn ``n_codes`` centroids per subspace.
+    Returns ``codebooks[m][n_codes][subdim]`` — driver-sized by
+    construction (m·n_codes·subdim floats — the tokenizer-artifact
+    contract, same as :func:`~.bpe.learn_bpe_merges`' merge list).
+
+    This is the DETERMINISTIC-SEED variant (the :func:`ivf_topk_expr`
+    pattern): sub-codebook ``j`` = the j-th slices of the first
+    ``n_codes`` corpus vectors in ``(md5(id), id)`` order — data-derived
+    but fully reproducible on any engine, which is what makes the
+    encode and the ADC search hash-checkable cross-engine. Production
+    refinement (per-subspace Lloyd iterations over the assignments,
+    exactly :func:`ivf_topk`'s k-means vs seed split) improves
+    placement without changing any downstream topology.
+    """
+    if m < 1 or n_codes < 1:
+        raise ValueError(f"need m >= 1 and n_codes >= 1; got {m}, {n_codes}")
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    seeds = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .orderBy(*order)
+        .limit(n_codes)
+    ).collect()
+    if len(seeds) < n_codes:
+        raise ValueError(
+            f"corpus has only {len(seeds)} vectors for {n_codes} codes"
+        )
+    dim = len(seeds[0][0])
+    if dim % m != 0:
+        raise ValueError(f"m ({m}) must divide the dimension ({dim})")
+    sub = dim // m
+    return [
+        [[float(x) for x in r[0][j * sub : (j + 1) * sub]] for r in seeds]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes — ``(id_col, out_col
+    array<int>)``: per subspace, the argmin-squared-distance codebook
+    entry (ties → smallest code). 64 floats become 8 bytes at the
+    default sizing: the memory compression that lets an ANN index hold
+    corpus-scale vectors, searched in the compressed domain
+    (:func:`pq_topk`).
+
+    One Arrow ``mapInPandas`` pass, zero shuffle — and BIT-IDENTICAL to
+    the sequential-fold expression form (the
+    :func:`_assign_clusters_arrow` contract): float32 widens exactly,
+    the (row, code)-vectorized accumulation is SEQUENTIAL in the
+    dimension index, and ``np.argmin`` takes the first minimal index —
+    so the DuckDB oracle (mirroring the fold) hash-matches the codes.
+    NULL vectors are excluded (no geometry to encode).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"_id": [], out_col: []})
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                acc = np.zeros((len(V), C[j].shape[0]), dtype=np.float64)
+                for i in range(sub):
+                    d = V[:, j * sub + i : j * sub + i + 1] - C[j][:, i][None, :]
+                    acc = acc + d * d
+                codes[:, j] = np.argmin(acc, axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].values, out_col: list(codes)}
+            )
+
+    return (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(gen, f"_id {id_type}, {out_col} array<int>")
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def _pq_query_lut(
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(query_id, _lut array<array<double>>)`` — per query, the
+    squared subdistance to every codebook entry, computed in one Arrow
+    pass with the engine's sequential-in-dimension accumulation
+    (bit-identical to the fold expressions the oracle mirrors)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    id_type = queries.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"query_id": [], "_lut": []})
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            luts = []
+            for j in range(m):
+                acc = np.zeros((len(V), C[j].shape[0]), dtype=np.float64)
+                for i in range(sub):
+                    d = (
+                        V[:, j * sub + i : j * sub + i + 1]
+                        - C[j][:, i][None, :]
+                    )
+                    acc = acc + d * d
+                luts.append(acc)
+            stacked = np.stack(luts, axis=1)  # (n, m, n_codes)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["_id"].values,
+                    "_lut": [
+                        [list(row[j]) for j in range(m)] for row in stacked
+                    ],
+                }
+            )
+
+    return (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(gen, f"query_id {id_type}, _lut array<array<double>>")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    vec_col: str = "embedding",
+    k: int = 10,
+    candidates: "DataFrame | None" = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    lookup table ``lut[j][c]`` of squared subdistances to every
+    codebook entry rides the (small) query relation as a column —
+    computed by one Arrow pass (``_pq_query_lut``; the fold-expression
+    form is bit-identical but its tree alone costs seconds of plan
+    analysis); each candidate's approximate distance is
+    then ``Σ_j lut[j][codes[j]]`` — pure array indexing, no vector
+    arithmetic per pair, which is the whole PQ trade (the exact
+    :func:`brute_force_topk` pays dim multiplies per pair; ADC pays m
+    lookups). Output ``(query_id, neighbor_id, rank, adist)``, rank by
+    (adist asc, neighbor_id asc).
+
+    ``candidates=None`` ranks ALL (query, code) pairs — the exhaustive
+    compressed-domain scan, O(|queries|·|corpus|) rows through the
+    rank window (fine for a bounded query set; the memory win still
+    stands). At 100 TB pass :func:`ivf_probe_candidates`' output (or
+    any candidate relation) — the FAISS IVFPQ topology: coarse lists
+    cut candidates, ADC ranks them, all JVM-side.
+
+    Everything here is fold-exact and engine-portable, so with the
+    deterministic-seed codebooks the WHOLE pipeline (encode + LUT +
+    ADC + rank) is DuckDB-hash-checkable — the staged ``sim_topk_pq``
+    registration.
+    """
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    # the LUT is computed by an Arrow pass over the (small) query
+    # relation, NOT as an m·n_codes forest of fold expressions: the
+    # expression form is bit-identical but its TREE alone costs seconds
+    # of analysis/interpretation per plan (measured 5.9 s for 8×16
+    # folds on 40 rows — the same expression-tax class as the unrolled
+    # dot note above). The numpy accumulation below follows the
+    # _assign_clusters_arrow bit-exactness contract: float64 widening,
+    # SEQUENTIAL in the dimension index, so the DuckDB oracle (which
+    # mirrors the fold) still hash-matches.
+    q = _pq_query_lut(
+        queries, codebooks, id_col=id_col, vec_col=vec_col
+    )
+    side = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("_codes")
+    )
+    if candidates is not None:
+        pairs = candidates.join(
+            F.broadcast(q), "query_id"
+        ).join(side, "neighbor_id")
+    else:
+        pairs = side.crossJoin(F.broadcast(q))
+    adist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("_lut", j + 1),
+            F.element_at("_codes", j + 1) + 1,
+        )
+        adist = term if adist is None else adist + term
+    scored = pairs.where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", adist.alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adist", 6).alias("adist"),
+        )
+    )

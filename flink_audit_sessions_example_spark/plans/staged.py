@@ -1304,3 +1304,110 @@ STAGED_ORACLES.update(
         "agg_kmv_sketch": _AGG_KMV_SKETCH_ORACLE,
     }
 )
+
+# --------------------------------------------------------------------------
+# sim_topk_pq (staging batch 3 — the PQ member of the ANN family)
+# --------------------------------------------------------------------------
+
+from ..operators.similarity import pq_codebooks, pq_encode, pq_topk  # noqa: E402
+
+PQ_M, PQ_NCODES, PQ_K = 8, 16, 10
+
+
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_topk_pq`` — asymmetric-distance top-k over product-quantized
+    vectors (:func:`~..operators.similarity.pq_codebooks` /
+    ``pq_encode`` / ``pq_topk``): 64 floats compress to 8 one-byte
+    codes; search is m table lookups per pair instead of dim multiplies.
+    Deterministic-seed codebooks (the ivf_topk_expr pattern) + fold-exact
+    encode + j-ordered ADC sum make the WHOLE pipeline hash-checkable —
+    the only compressed-domain ANN in the registry with a value oracle.
+    Registered as the exhaustive compressed-domain scan (queries =
+    every 50th vector); the production composite feeds
+    ``ivf_probe_candidates`` into ``candidates=`` (FAISS IVFPQ shape,
+    pytest-gated in ``tests/test_pq.py``)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cbs = pq_codebooks(emb, m=PQ_M, n_codes=PQ_NCODES)
+    codes = pq_encode(emb, cbs)
+    return pq_topk(
+        codes, emb.where("vec_id % 50 = 0"), cbs, k=PQ_K
+    )
+
+
+def _sim_topk_pq_oracle(m: int = PQ_M, n_codes: int = PQ_NCODES,
+                        k: int = PQ_K) -> str:
+    """DuckDB twin: same md5-ordered seed codebooks derived FROM the
+    table, same per-subspace argmin encode (dist ASC, code ASC), and
+    the ADC sum evaluated as a j-ORDERED ``list_sum`` fold — the
+    bit-exact mirror of the Spark left-to-right term sum, so ranking on
+    the unrounded doubles agrees and only the OUTPUT rounds to 6dp."""
+    sub = 64 // m
+    subsq = (
+        "list_sum(list_transform(generate_series(1, {sub}), i -> "
+        "(CAST({vec}[{off} + i] AS DOUBLE) - CAST({cv}[i] AS DOUBLE)) * "
+        "(CAST({vec}[{off} + i] AS DOUBLE) - CAST({cv}[i] AS DOUBLE))))"
+    )
+    enc_dist = subsq.format(
+        sub=sub, vec="e.embedding", off="cb.j * " + str(sub), cv="cb.cv"
+    )
+    adc_term = subsq.format(
+        sub=sub,
+        vec="q.embedding",
+        off=f"j * {sub}",
+        cv="cb3[j + 1][cl[j + 1] + 1]",
+    )
+    return f"""
+WITH seeds AS (
+  SELECT embedding,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS code
+  FROM (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_codes}
+  )
+), cb AS (
+  SELECT s.j, seeds.code,
+         embedding[s.j * {sub} + 1 : s.j * {sub} + {sub}] AS cv
+  FROM seeds CROSS JOIN (
+    SELECT unnest(generate_series(0, {m - 1})) AS j
+  ) s
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT e.vec_id, cb.j, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+             ORDER BY {enc_dist} ASC, cb.code ASC) AS rn
+    FROM embeddings e CROSS JOIN cb
+    WHERE e.embedding IS NOT NULL
+  ) WHERE rn = 1
+), codes AS (
+  SELECT vec_id, array_agg(code ORDER BY j) AS cl FROM enc GROUP BY vec_id
+), cbj AS (
+  SELECT j, array_agg(cv ORDER BY code) AS cvs FROM cb GROUP BY j
+), cbl AS (
+  SELECT array_agg(cvs ORDER BY j) AS cb3 FROM cbj
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(0, {m - 1}), j ->
+           {adc_term})) AS adist
+  FROM embeddings q
+  CROSS JOIN codes c
+  CROSS JOIN cbl
+  WHERE q.vec_id % 50 = 0 AND q.embedding IS NOT NULL
+    AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(adist, 6) AS adist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+STAGED_QUERIES["sim_topk_pq"] = q_sim_topk_pq
+STAGED_ORACLES["sim_topk_pq"] = _sim_topk_pq_oracle()

@@ -6,7 +6,7 @@ One process per invocation (the in-session A/B degradation rule):
 wall seconds. Wrapper loop over {op} x {sf0.01, sf0.1} x repeats gives
 the 10x data exponent. Warmup off the clock, as in probe_r8c.py.
 
-Ops: clean_text, quantile_sketch, incr_minhash, tokenize
+Ops: clean_text, quantile_sketch, incr_minhash, tokenize, pq
 """
 
 from __future__ import annotations
@@ -80,6 +80,26 @@ def main() -> None:
         tokenize_documents(docs.select("doc_id", "text"), merges).write.format(
             "noop"
         ).mode("overwrite").save()
+    elif op == "pq":
+        from flink_audit_sessions_example_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+        from flink_audit_sessions_example_spark.sources import (
+            load_table as _lt,
+        )
+
+        emb = _lt(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        emb.count()  # warm this table too (docs warmed above)
+        t0 = time.perf_counter()
+        cbs = pq_codebooks(emb, m=8, n_codes=16)
+        codes = pq_encode(emb, cbs)
+        pq_topk(
+            codes, emb.where("vec_id % 50 = 0"), cbs, k=10
+        ).write.format("noop").mode("overwrite").save()
     elif op == "incr_minhash":
         from flink_audit_sessions_example_spark.operators.dedup import (
             incremental_minhash_pairs,
