@@ -1126,6 +1126,23 @@ def pq_codebooks(
     ]
 
 
+def _pq_subdists(V, C_j, j: int, sub: int):
+    """Squared distances from every row's j-th subvector to every entry
+    of sub-codebook ``C_j`` — THE bit-exactness-critical kernel shared
+    by :func:`pq_encode` and :func:`_pq_query_lut` (one definition, so
+    the encode↔LUT↔oracle parity contract cannot drift): float64
+    inputs, (row, code)-vectorized but SEQUENTIAL in the dimension
+    index — the same IEEE operation order as the fold expressions the
+    DuckDB oracle mirrors."""
+    import numpy as np
+
+    acc = np.zeros((len(V), C_j.shape[0]), dtype=np.float64)
+    for i in range(sub):
+        d = V[:, j * sub + i : j * sub + i + 1] - C_j[:, i][None, :]
+        acc = acc + d * d
+    return acc
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: "list[list[list[float]]]",
@@ -1167,11 +1184,7 @@ def pq_encode(
             )
             codes = np.empty((len(V), m), dtype=np.int32)
             for j in range(m):
-                acc = np.zeros((len(V), C[j].shape[0]), dtype=np.float64)
-                for i in range(sub):
-                    d = V[:, j * sub + i : j * sub + i + 1] - C[j][:, i][None, :]
-                    acc = acc + d * d
-                codes[:, j] = np.argmin(acc, axis=1)
+                codes[:, j] = np.argmin(_pq_subdists(V, C[j], j, sub), axis=1)
             yield pd.DataFrame(
                 {"_id": pdf["_id"].values, out_col: list(codes)}
             )
@@ -1211,16 +1224,7 @@ def _pq_query_lut(
             V = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
             )
-            luts = []
-            for j in range(m):
-                acc = np.zeros((len(V), C[j].shape[0]), dtype=np.float64)
-                for i in range(sub):
-                    d = (
-                        V[:, j * sub + i : j * sub + i + 1]
-                        - C[j][:, i][None, :]
-                    )
-                    acc = acc + d * d
-                luts.append(acc)
+            luts = [_pq_subdists(V, C[j], j, sub) for j in range(m)]
             stacked = np.stack(luts, axis=1)  # (n, m, n_codes)
             yield pd.DataFrame(
                 {
@@ -1273,6 +1277,8 @@ def pq_topk(
     ADC + rank) is DuckDB-hash-checkable — the staged ``sim_topk_pq``
     registration.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql.window import Window
 
     m = len(codebooks)

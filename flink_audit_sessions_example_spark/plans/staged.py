@@ -1325,7 +1325,14 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered as the exhaustive compressed-domain scan (queries =
     every 50th vector); the production composite feeds
     ``ivf_probe_candidates`` into ``candidates=`` (FAISS IVFPQ shape,
-    pytest-gated in ``tests/test_pq.py``)."""
+    pytest-gated in ``tests/test_pq.py``).
+
+    Construction collects the ``n_codes`` seed rows — the
+    "small trainer state on the driver" contract the LIVE
+    ``sim_topk_ivf`` registration already carries (`_seed_centroids`):
+    the codebooks must be driver literals to build the encode/LUT
+    plans, unlike ``q_agg_count_min``'s N, which is relational and
+    therefore stays lazy."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )

@@ -21,14 +21,6 @@ from flink_audit_sessions_example_spark.plans.staged import (  # noqa: E501
     _TEXT_SPLIT_SENTENCES_ORACLE as SPLIT_ORACLE,
 )
 
-# the synthetic corpus carries no terminal punctuation, so both sides
-# derive a sentence-punctuated version IDENTICALLY (a period every 6
-# words) before segmenting — parity stays cross-engine and the
-# multi-sentence path stays non-vacuous
-PUNCT_SQL = (
-    "regexp_replace(text, '(\\w+ \\w+ \\w+ \\w+ \\w+ \\w+) ', "
-    "'\\1. ', 'g')"
-)
 
 
 
