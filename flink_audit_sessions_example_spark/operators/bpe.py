@@ -295,3 +295,87 @@ def tokenize_documents(
             .alias("n_pieces"),
         )
     )
+
+
+def piece_vocab(
+    tokenized: DataFrame, *, piece_col: str = "pieces"
+) -> DataFrame:
+    """The tokenizer's id table — ``(piece, piece_id, freq)`` over a
+    :func:`tokenize_documents` output: ids are dense ``[0, |vocab|)``
+    assigned by (freq desc, piece asc), so frequent pieces get small
+    ids (the embedding-table-locality convention) and the assignment is
+    DETERMINISTIC on any partitioning. One explode + one count
+    aggregation; the id window runs unpartitioned over the VOCAB
+    relation only — bounded by construction (the BPE trainer-state
+    contract), never the token stream."""
+    from pyspark.sql.window import Window
+
+    freqs = (
+        tokenized.select(F.explode(piece_col).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("piece"))
+    return freqs.withColumn(
+        "piece_id", (F.row_number().over(w) - 1).cast("int")
+    ).select("piece", "piece_id", "freq")
+
+
+def encode_piece_ids(
+    tokenized: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    piece_col: str = "pieces",
+    out_col: str = "token_ids",
+    oov_id: "int | None" = None,
+) -> DataFrame:
+    """Map a tokenized corpus's piece strings to vocab ids —
+    ``(id_col, out_col array<int>, n_pieces)``, order-preserving and
+    row-aligned (empty docs keep an empty array). Pieces missing from
+    ``vocab`` FAIL LOUDLY by default (an encode/vocab mismatch is a
+    tokenizer-artifact bug, not data); pass ``oov_id`` to map unknowns
+    instead (the <unk> convention). Plan: positional explode →
+    broadcast join on the bounded vocab → per-doc reassembly, the
+    :func:`tokenize_documents` topology (one id-keyed exchange)."""
+    import pandas as pd  # noqa: F401  (documents none needed: pure JVM)
+
+    toks = tokenized.select(
+        F.col(id_col),
+        F.posexplode(piece_col).alias("_pos", "piece"),
+    )
+    miss = (
+        F.lit(int(oov_id))
+        if oov_id is not None
+        else F.raise_error(
+            F.concat(
+                F.lit("encode_piece_ids: piece not in vocab: "),
+                F.col("piece"),
+            )
+        )
+    )
+    joined = toks.join(F.broadcast(vocab), "piece", "left").select(
+        id_col,
+        "_pos",
+        F.coalesce(F.col("piece_id"), miss).alias("_tid"),
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", F.array("_tid").alias("_a")))
+            ).getField("_a")
+        ).alias(out_col)
+    )
+    return (
+        tokenized.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col(out_col), F.array().cast("array<int>")
+            ).alias(out_col),
+            F.coalesce(F.size(out_col), F.lit(0))
+            .cast("int")
+            .alias("n_pieces"),
+        )
+    )

@@ -107,6 +107,33 @@ def pack_sequences(
             F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
         )
     ).cast("bigint")
+    return pack_by_count(
+        df.select(F.col(id_col), n_tokens.alias("n_tokens")),
+        id_col=id_col,
+        count_col="n_tokens",
+        budget=budget,
+        shards=shards,
+    )
+
+
+def pack_by_count(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    budget: int = 512,
+    shards: int = 32,
+) -> DataFrame:
+    """:func:`pack_sequences`' packing rule over a PRE-COMPUTED count
+    column — the variant a tokenized corpus uses (real BPE piece counts
+    from :func:`~.bpe.tokenize_documents` instead of the regex token
+    estimate). Same streaming-fill semantics and the same single
+    sharded-window shuffle; output ``(id, shard, <count_col>,
+    pack_id)``."""
+    if budget < 1 or shards < 1:
+        raise ValueError(
+            f"budget and shards must be >= 1; got {budget}, {shards}"
+        )
     from pyspark.sql.window import Window
 
     shard = F.pmod(F.col(id_col), F.lit(shards)).cast("int")
@@ -116,11 +143,15 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        df.select(F.col(id_col), shard.alias("shard"), n_tokens.alias("n_tokens"))
+        df.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            F.col(count_col).cast("bigint").alias(count_col),
+        )
         .withColumn(
             "pack_id",
             F.floor(
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                F.coalesce(F.sum(count_col).over(w), F.lit(0))
                 / F.lit(budget)
             ).cast("bigint"),
         )

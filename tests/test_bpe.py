@@ -253,3 +253,107 @@ def test_tokenize_documents_real_corpus_and_plan(spark):
     # remaining parquet scan is the id-only row-alignment side
     assert final.count("FileScan parquet") == 1, final
     assert "ReadSchema: struct<doc_id:bigint>" in final, final
+
+
+def test_vocab_ids_and_roundtrip(spark):
+    """piece_vocab assigns dense, frequency-descending, deterministic
+    ids; encode_piece_ids round-trips (ids decode back to the exact
+    piece sequences) and stays row-aligned on empty/NULL docs."""
+    from flink_audit_sessions_example_spark.operators.bpe import (
+        encode_piece_ids,
+        learn_bpe_merges,
+        piece_vocab,
+        tokenize_documents,
+        word_freq_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran"), (3, ""),
+         (4, None)],
+        "doc_id bigint, text string",
+    )
+    merges = learn_bpe_merges(word_freq_table(docs), n_merges=6, min_count=1)
+    tok = tokenize_documents(docs, merges)
+    vocab = piece_vocab(tok)
+    vrows = vocab.collect()
+    ids = sorted(r.piece_id for r in vrows)
+    assert ids == list(range(len(vrows)))  # dense [0, n)
+    by_id = sorted(vrows, key=lambda r: r.piece_id)
+    freqs = [r.freq for r in by_id]
+    assert freqs == sorted(freqs, reverse=True)  # frequent -> small id
+    # determinism under repartition
+    vrows2 = {
+        (r.piece, r.piece_id)
+        for r in piece_vocab(tok.repartition(7)).collect()
+    }
+    assert vrows2 == {(r.piece, r.piece_id) for r in vrows}
+    # round-trip
+    enc = encode_piece_ids(tok, vocab)
+    id2piece = {r.piece_id: r.piece for r in vrows}
+    pieces = {r.doc_id: list(r.pieces) for r in tok.collect()}
+    for r in enc.collect():
+        assert [id2piece[i] for i in r.token_ids] == pieces[r.doc_id]
+        assert r.n_pieces == len(r.token_ids)
+    got = {r.doc_id: r.n_pieces for r in enc.collect()}
+    assert got[3] == 0 and got[4] == 0
+
+
+def test_encode_ids_oov_contract(spark):
+    """Unknown pieces fail loudly by default; oov_id maps them."""
+    import pytest as _pytest
+
+    from flink_audit_sessions_example_spark.operators.bpe import (
+        encode_piece_ids,
+    )
+
+    tok = spark.createDataFrame(
+        [(1, ["a", "zz"])], "doc_id bigint, pieces array<string>"
+    )
+    vocab = spark.createDataFrame(
+        [("a", 0, 5)], "piece string, piece_id int, freq bigint"
+    )
+    with _pytest.raises(Exception, match="not in vocab"):
+        encode_piece_ids(tok, vocab).collect()
+    rows = encode_piece_ids(tok, vocab, oov_id=-1).collect()
+    assert list(rows[0].token_ids) == [0, -1]
+
+
+def test_pack_by_count_matches_python_replay(spark):
+    """pack_by_count must equal the streaming-fill replay over each
+    shard's id-ordered count sequence (the pack_sequences rule applied
+    to REAL per-doc counts), completing raw text -> token ids -> packed
+    training sequences entirely in-engine."""
+    from flink_audit_sessions_example_spark.operators.bpe import (
+        learn_bpe_merges,
+        tokenize_documents,
+        word_freq_table,
+    )
+    from flink_audit_sessions_example_spark.operators.corpus import (
+        pack_by_count,
+    )
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    merges = learn_bpe_merges(word_freq_table(docs), n_merges=10)
+    tok = tokenize_documents(docs, merges)
+    budget, shards = 512, 8
+    packed = pack_by_count(
+        tok, id_col="doc_id", count_col="n_pieces",
+        budget=budget, shards=shards,
+    ).collect()
+    by_shard: dict = {}
+    for r in sorted(packed, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        before = 0
+        for r in rows:
+            assert r.shard == r.doc_id % shards
+            assert r.pack_id == before // budget, (shard, r.doc_id)
+            before += r.n_pieces
+    assert len(packed) == docs.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_by_count(tok, count_col="n_pieces", budget=0)
