@@ -337,9 +337,14 @@ def encode_piece_ids(
     tokenizer-artifact bug, not data); pass ``oov_id`` to map unknowns
     instead (the <unk> convention). Plan: positional explode →
     broadcast join on the bounded vocab → per-doc reassembly, the
-    :func:`tokenize_documents` topology (one id-keyed exchange)."""
-    import pandas as pd  # noqa: F401  (documents none needed: pure JVM)
-
+    :func:`tokenize_documents` topology (one id-keyed exchange) — all
+    JVM-side, no Python stage. The input is pinned (lazy
+    ``localCheckpoint``): it has two consumers here (the id side and
+    the row-alignment side), and when it is itself a
+    ``tokenize_documents`` lineage the unpinned form re-runs the whole
+    Arrow encode + reassembly once per consumer — the measured
+    double-execution fault mode that function's own pin prevents."""
+    tokenized = tokenized.localCheckpoint(eager=False)
     toks = tokenized.select(
         F.col(id_col),
         F.posexplode(piece_col).alias("_pos", "piece"),
@@ -359,12 +364,14 @@ def encode_piece_ids(
         "_pos",
         F.coalesce(F.col("piece_id"), miss).alias("_tid"),
     )
+    # struct sort on (_pos, _tid) then project the scalar field — no
+    # per-token array wrap (the flatten shape tokenize_documents needs
+    # for its multi-piece payloads would allocate one-element arrays
+    # here for nothing)
     per_doc = joined.groupBy(id_col).agg(
-        F.flatten(
-            F.array_sort(
-                F.collect_list(F.struct("_pos", F.array("_tid").alias("_a")))
-            ).getField("_a")
-        ).alias(out_col)
+        F.array_sort(
+            F.collect_list(F.struct("_pos", F.col("_tid")))
+        ).getField("_tid").alias(out_col)
     )
     return (
         tokenized.select(id_col)

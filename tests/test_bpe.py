@@ -357,3 +357,35 @@ def test_pack_by_count_matches_python_replay(spark):
 
     with _pytest.raises(ValueError):
         pack_by_count(tok, count_col="n_pieces", budget=0)
+
+
+def test_encode_piece_ids_plan_gates(spark):
+    """The topology the docstring claims, gated: vocab joins broadcast
+    (never sort-merge), no Python stage beyond the pinned tokenize
+    lineage, no cartesian product."""
+    from flink_audit_sessions_example_spark.operators.bpe import (
+        encode_piece_ids,
+        learn_bpe_merges,
+        piece_vocab,
+        tokenize_documents,
+        word_freq_table,
+    )
+    from flink_audit_sessions_example_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents", spread=False).select(
+        "doc_id", "text"
+    )
+    merges = learn_bpe_merges(word_freq_table(docs), n_merges=5)
+    tok = tokenize_documents(docs, merges)
+    out = encode_piece_ids(tok, piece_vocab(tok))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in plan
+    # encode's OWN two consumers read the pinned rows — the only Arrow
+    # stage left is the vocab side's independent lineage (built by the
+    # caller from the unpinned reference); without encode's pin this
+    # counted 2+
+    assert final.count("MapInPandas") <= 1, final
