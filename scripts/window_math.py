@@ -39,16 +39,18 @@ CORE_KEYS = frozenset(
 )
 
 
-def main() -> None:
-    next_round = int(sys.argv[1])
-    from __spark_entry__ import queries
-
-    registry = list(queries())
-    history: dict[int, dict] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", os.path.basename(path))
-        history[int(m.group(1))] = json.load(open(path))
-
+def classify(
+    registry: "list[str]",
+    history: "dict[int, dict]",
+    next_round: int,
+    *,
+    core_keys: frozenset = CORE_KEYS,
+    stretch_after: int = STRETCH_AFTER,
+):
+    """Pure window arithmetic (unit-tested in tests/test_window_math.py):
+    → (must, may3, failed_last, never) where ``must`` is the strict
+    2-round due list (fresh failures FIRST), ``may3`` the stretched keys
+    at their 3-round deadline, both (last_row, key)-sorted."""
     last_row: dict[str, int] = {}
     rows_by_key: dict[str, list[tuple[int, bool]]] = {}
     failed_last: set[str] = set()
@@ -83,15 +85,29 @@ def main() -> None:
             must.append((0, k))  # red row: re-verify FIRST, never later
             continue
         stretchable = (
-            k not in CORE_KEYS and green_streak.get(k, 0) >= STRETCH_AFTER
+            k not in core_keys and green_streak.get(k, 0) >= stretch_after
         )
         if not stretchable and lr <= next_round - 2:
             must.append((lr, k))
         elif stretchable and lr <= next_round - 3:
             may3.append((lr, k))
-
     must.sort()
     may3.sort()
+    never = [k for k in registry if k not in last_row]
+    return must, may3, failed_last, never
+
+
+def main() -> None:
+    next_round = int(sys.argv[1])
+    from __spark_entry__ import queries
+
+    registry = list(queries())
+    history: dict[int, dict] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        history[int(m.group(1))] = json.load(open(path))
+
+    must, may3, failed_last, never = classify(registry, history, next_round)
     front = [k for _, k in must] + [k for _, k in may3]
     free = WINDOW - len(front)
     print(f"# r{next_round} window (size {WINDOW})")
@@ -100,7 +116,6 @@ def main() -> None:
     print(f"strict 2-round keys due (incl. red): {len(must)}")
     print(f"3-round-deadline stretched keys due: {len(may3)}")
     print(f"free slots for new/changed + queue registrations: {free}")
-    never = [k for k in registry if k not in last_row]
     if never:
         print(f"never-verified keys (MUST front-load): {never}")
     print("\n# proposed _FRONT_KEYS prefix (oldest first):")

@@ -1,0 +1,87 @@
+"""The r10+ rotation arithmetic (scripts/window_math.py::classify) —
+pure-logic pins for the drain-plan protocol: strict 2-round invariant,
+green-STREAK stretch eligibility, red-row front-loading, core-key
+exemption, never-verified detection."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scripts"),
+)
+from window_math import classify  # noqa: E402
+
+G = {"hash_match": True}
+R = {"hash_match": False}
+
+
+def test_strict_two_round_and_stretch():
+    registry = ["fresh", "stale2", "streak3", "streak3_due"]
+    history = {
+        5: {"streak3_due": G},
+        6: {"streak3": G, "streak3_due": G},
+        7: {"stale2": G, "streak3": G, "streak3_due": G},
+        8: {"fresh": G, "streak3": G},
+        # streak3_due last verified r7 with a 3-green streak
+    }
+    must, may3, failed, never = classify(
+        registry, history, 10, core_keys=frozenset(), stretch_after=3
+    )
+    must_keys = [k for _, k in must]
+    # stale2: only 1 green window -> strict 2-round -> due (lr=7 <= 8)
+    assert "stale2" in must_keys
+    # fresh (lr=8, 1 green): due at r10 under strict rule
+    assert "fresh" in must_keys
+    # streak3: 3-green streak, lr=8 -> stretched, due r11 not r10
+    assert "streak3" not in must_keys
+    assert "streak3" not in [k for _, k in may3]
+    # streak3_due: 3-green streak but lr=7 <= 10-3 -> at its deadline
+    assert "streak3_due" in [k for _, k in may3]
+    assert not failed and not never
+
+
+def test_red_row_resets_streak_and_front_loads():
+    registry = ["went_red"]
+    history = {
+        6: {"went_red": G},
+        7: {"went_red": G},
+        8: {"went_red": R},  # lifetime greens = 2... but latest is RED
+    }
+    must, may3, failed, never = classify(
+        registry, history, 9, core_keys=frozenset(), stretch_after=2
+    )
+    # lifetime green count (2) would have stretched it; the STREAK is 0
+    # and the red latest row front-loads it with priority 0
+    assert failed == {"went_red"}
+    assert must and must[0] == (0, "went_red")
+    assert not may3
+
+
+def test_core_keys_never_stretch():
+    registry = ["core1"]
+    history = {r: {"core1": G} for r in (5, 6, 7, 8)}
+    must, may3, _, _ = classify(
+        registry, history, 10,
+        core_keys=frozenset({"core1"}), stretch_after=3,
+    )
+    # 4-green streak, but core keys keep the strict 2-round invariant:
+    # lr=8 <= 10-2 -> due in the strict list
+    assert [k for _, k in must] == ["core1"] and not may3
+
+
+def test_never_verified_detected_and_ordering():
+    registry = ["old", "older", "brand_new"]
+    history = {
+        5: {"older": G},
+        6: {"old": G},
+    }
+    must, may3, failed, never = classify(
+        registry, history, 8, core_keys=frozenset(), stretch_after=3
+    )
+    assert never == ["brand_new"]
+    # staleness order: older (lr=5) before old (lr=6)
+    assert [k for _, k in must] == ["brand_new", "older", "old"]
