@@ -1265,6 +1265,15 @@ def pq_topk(
     lookups). Output ``(query_id, neighbor_id, rank, adist)``, rank by
     (adist asc, neighbor_id asc).
 
+    Per the ANN-family convention (:func:`brute_force_topk` /
+    ``ivf_topk_expr``), self-pairs are excluded: rows where
+    ``query_id == neighbor_id`` are dropped before ranking. This
+    assumes queries are drawn FROM the corpus id space (the registered
+    usage). If your queries come from a SEPARATE relation whose ids
+    coincidentally collide with corpus ids, a legitimate nearest
+    neighbor would be silently dropped — re-key one side (e.g. negate
+    or offset the query ids) before calling.
+
     ``candidates=None`` ranks ALL (query, code) pairs — the exhaustive
     compressed-domain scan, O(|queries|·|corpus|) rows through the
     rank window (fine for a bounded query set; the memory win still

@@ -1,19 +1,21 @@
-"""Staged registrations — the r10+ drain of the parity-proven queue.
+"""The r9 staging batch — LIVE since the r10 drain.
 
 Every entry here is a COMPLETE driver registration (query callable +
-DuckDB oracle, vacuity-checked) that is NOT yet merged into the live
-registry: the driver's correctness gate covers a 50-row window and r9's
-window is exactly full (48 stale + 2 new/changed), so these wait for
-the slots the r10 drain plan frees (see the rotation protocol in
-``plans/__init__.py``). Staging them now makes each future registration
-a two-line move — and ``tests/test_staged_registrations.py`` replays
-every staged pair against DuckDB at sf0.001 TODAY, so the queue cannot
-rot while it waits (the r6 phantom-key lesson, applied to oracles).
+DuckDB oracle, vacuity-checked). They were built and parity-gated in r9
+while waiting for driver-window slots, and r10's window had room for
+the whole queue: ``plans/__init__.py`` now merges STAGED_QUERIES /
+STAGED_ORACLES into the live registry, so every key below is covered by
+``tests/test_oracle_parity.py`` like any other registered query.
 
-Key naming follows the live registry's family prefixes; the set below
-is the head of the drain-plan priority order (user-facing capabilities
-first, then the r8 verdict's named r10 candidates, then the r9
-additions).
+The module keeps its name because ~16 test files single-source their
+oracle SQL from the constants defined here (the r9 review killed the
+drifting duplicates); "staged" is historical, not a status.
+``tests/test_staged_registrations.py`` now pins the merge invariant:
+every key here resolves in the live registry to the IDENTICAL objects.
+
+Key naming follows the live registry's family prefixes; the order below
+is the r9 drain-plan priority order (user-facing capabilities first,
+sketch bound-checks last).
 """
 
 from __future__ import annotations

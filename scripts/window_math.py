@@ -80,7 +80,9 @@ def classify(
     must = []   # strict 2-round keys due this round (+ fresh failures)
     may3 = []   # stretchable keys at their 3-round deadline
     for k in registry:
-        lr = last_row.get(k, 0)
+        if k not in last_row:
+            continue  # never-verified: reported via `never`, not `must`
+        lr = last_row[k]
         if k in failed_last:
             must.append((0, k))  # red row: re-verify FIRST, never later
             continue
@@ -108,16 +110,21 @@ def main() -> None:
         history[int(m.group(1))] = json.load(open(path))
 
     must, may3, failed_last, never = classify(registry, history, next_round)
-    front = [k for _, k in must] + [k for _, k in may3]
+    # never-verified keys lead the prefix (they have NO driver row at
+    # all, so they outrank every merely-stale key) and consume slots —
+    # pasting the output verbatim must not over-allocate the queue
+    # (r9 advice: they were previously printed but excluded from both
+    # the prefix and the free-slot arithmetic).
+    front = never + [k for _, k in must] + [k for _, k in may3]
     free = WINDOW - len(front)
     print(f"# r{next_round} window (size {WINDOW})")
     if failed_last:
         print(f"RED in their latest row (front-loaded): {sorted(failed_last)}")
+    if never:
+        print(f"never-verified keys (front-loaded FIRST): {len(never)}")
     print(f"strict 2-round keys due (incl. red): {len(must)}")
     print(f"3-round-deadline stretched keys due: {len(may3)}")
     print(f"free slots for new/changed + queue registrations: {free}")
-    if never:
-        print(f"never-verified keys (MUST front-load): {never}")
     print("\n# proposed _FRONT_KEYS prefix (oldest first):")
     for k in front[:WINDOW]:
         print(f'    "{k}",')

@@ -12,16 +12,16 @@ from conftest import SF_DIR
 from oracle_utils import assert_parity
 
 ORACLE_KEYS = sorted(k for k in QUERIES if k in ORACLES)
-ROWS_ONLY_KEYS = sorted(k for k in QUERIES if k not in ORACLES)
+
+
+def test_registry_is_fully_oracled():
+    # since r9 every registered key carries a DuckDB oracle — a key
+    # without one would silently downgrade to the driver's weaker
+    # rows-only check
+    assert sorted(QUERIES) == ORACLE_KEYS
 
 
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_query_matches_oracle(spark, key):
     df = QUERIES[key](spark, SF_DIR)
     assert_parity(df, ORACLES[key], SF_DIR)
-
-
-@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
-def test_rows_only_query_runs(spark, key):
-    df = QUERIES[key](spark, SF_DIR)
-    assert df.count() >= 0

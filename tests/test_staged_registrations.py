@@ -1,17 +1,15 @@
-"""The staged-registration gate: every (query, oracle) pair waiting in
-``plans/staged.py`` for an r10+ drain slot is replayed against DuckDB
-TODAY, exactly the way the driver will run it — hash parity AND the
-non-vacuity check (spark_rows > 0; the r8 multimodal_phash_pairs
-lesson) — so the queue cannot rot while it waits. Also pins the
-no-shadowing invariant against the live registry."""
+"""The staged→live merge gate. The r9 staging batch (``plans/staged.py``)
+went LIVE in the r10 drain: every (query, oracle) pair is now part of the
+registered surface, so hash parity + non-vacuity are covered per-key by
+``tests/test_oracle_parity.py`` like any other registration. What remains
+to pin here is the merge itself: every staged key must resolve in the live
+registry to the IDENTICAL callable and oracle string — a divergent copy
+(e.g. someone re-defining a key in extended.py) would silently shadow the
+tested object with an untested one."""
 
 from __future__ import annotations
 
-import pytest
-from conftest import SF_DIR
-from oracle_utils import assert_parity
-
-from flink_audit_sessions_example_spark.plans import QUERIES
+from flink_audit_sessions_example_spark.plans import ORACLES, QUERIES
 from flink_audit_sessions_example_spark.plans.staged import (
     STAGED_ORACLES,
     STAGED_QUERIES,
@@ -20,12 +18,12 @@ from flink_audit_sessions_example_spark.plans.staged import (
 
 def test_staged_sets_are_consistent():
     assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
-    shadowed = set(STAGED_QUERIES) & set(QUERIES)
-    assert not shadowed, f"staged keys shadow live registry: {shadowed}"
 
 
-@pytest.mark.parametrize("key", sorted(STAGED_QUERIES))
-def test_staged_pair_matches_duckdb_and_is_nonvacuous(spark, key):
-    df = STAGED_QUERIES[key](spark, SF_DIR)
-    assert df.count() > 0, f"{key}: vacuous oracle (0 spark rows)"
-    assert_parity(df, STAGED_ORACLES[key], SF_DIR)
+def test_staged_keys_are_live_and_identical():
+    for key, fn in STAGED_QUERIES.items():
+        assert key in QUERIES, f"staged key not drained into registry: {key}"
+        assert QUERIES[key] is fn, f"live registry shadows staged query: {key}"
+    for key, sql in STAGED_ORACLES.items():
+        assert key in ORACLES, f"staged oracle not drained: {key}"
+        assert ORACLES[key] is sql, f"live registry shadows staged oracle: {key}"

@@ -83,5 +83,8 @@ def test_never_verified_detected_and_ordering():
         registry, history, 8, core_keys=frozenset(), stretch_after=3
     )
     assert never == ["brand_new"]
-    # staleness order: older (lr=5) before old (lr=6)
-    assert [k for _, k in must] == ["brand_new", "older", "old"]
+    # never-verified keys live ONLY in `never` (main() prepends them to
+    # the prefix and charges them against the free-slot count — the r9
+    # advice fix); must holds keys WITH history, staleness order:
+    # older (lr=5) before old (lr=6)
+    assert [k for _, k in must] == ["older", "old"]
