@@ -1655,6 +1655,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.5,
     bucket_hash: str = "xxhash64",
     max_bucket_size: int | None = None,
+    max_history_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection for a GROWING corpus: given the
     MinHash signature table of a new document batch and the persisted
@@ -1700,10 +1701,19 @@ def incremental_minhash_pairs(
     millions of HISTORY members meeting one new doc in that bucket
     emits |bucket| join rows map-side — bounded per increment by
     O(|history hot bucket| · |new docs in it|), filtered by the
-    estimator before any shuffle. Corpora with known boilerplate
-    classes should run the batch operator's ``pre_dedup`` collapse
-    before signing, which is what keeps such buckets small in the
-    first place.
+    estimator before any shuffle. ``max_history_bucket_size`` bounds
+    that side too: history band buckets with MORE members than the cap
+    are dropped entirely before the candidate join (bounded recall
+    instead of unbounded fan-out — pairs agreeing only in a boilerplate
+    band are missed; pairs sharing any non-hot band still surface,
+    mirroring ``max_bucket_size``'s contract). The cap costs one extra
+    keys-only pass over the history bands: a map-side-partial
+    ``groupBy(bkey).count`` whose exchange carries distinct band keys —
+    never signatures — and a broadcast anti-join of the (few) hot keys,
+    so the "history never shuffles its payload" property is preserved.
+    Corpora with known boilerplate classes should still run the batch
+    operator's ``pre_dedup`` collapse before signing, which keeps such
+    buckets small in the first place.
     """
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
@@ -1769,6 +1779,19 @@ def incremental_minhash_pairs(
     # bucket-matched) re-attaches the new side's signatures from the
     # un-exploded table in a second small broadcast.
     old_b = banded(old_sigs)
+    if max_history_bucket_size is not None:
+        if max_history_bucket_size < 1:
+            raise ValueError(
+                "max_history_bucket_size must be >= 1, got "
+                f"{max_history_bucket_size}"
+            )
+        hot = (
+            old_b.groupBy("bkey")
+            .count()
+            .where(F.col("count") > max_history_bucket_size)
+            .select("bkey")
+        )
+        old_b = old_b.join(F.broadcast(hot), "bkey", "left_anti")
     new_keys = new_b.select(
         "bkey", F.col("pay.id").alias("_nid")
     ).distinct()

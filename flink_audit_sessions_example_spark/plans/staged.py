@@ -474,9 +474,16 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.clean_text(dirty).select("doc_id", "clean_text")
 
 
-_CLEAN_STRIP_SQL = (
-    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
-    "​‌‍﻿­]"
+# The DuckDB twin of text._CLEAN_STRIP_RE, derived FROM it: the Spark
+# constant spells its zero-widths/BOM/soft-hyphen as \uXXXX escapes
+# (its "no invisible character hides in the source" convention), and
+# re-escaping every non-ASCII code point into RE2's \x{XXXX} form keeps
+# this oracle source ASCII-clean too — a literal ZWSP here would be one
+# editor/linter "cleanup" away from silently drifting from the operator
+# (r9 advice).
+_CLEAN_STRIP_SQL = "".join(
+    ch if ord(ch) < 0x80 else f"\\x{{{ord(ch):04X}}}"
+    for ch in X._CLEAN_STRIP_RE
 )
 
 

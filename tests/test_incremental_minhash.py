@@ -107,3 +107,47 @@ def test_history_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_history_bucket_cap_bounds_fanout_and_keeps_other_bands(spark):
+    """max_history_bucket_size drops HOT history band buckets before the
+    candidate join (bounded recall): a verbatim duplicate of a history
+    doc still surfaces with NO cap (baseline), and with a cap of 1 it
+    survives iff its non-boilerplate bands stay under the cap — here the
+    planted pair is the only owner of its band values, so the hot-bucket
+    drop of 30 identical boilerplate docs must not take it down."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    boiler = (
+        docs.where("doc_id = 3")
+        .crossJoin(spark.range(30).select(F.col("id").alias("_i")))
+        .select((F.lit(200000) + F.col("_i")).alias("doc_id"), "text")
+    )
+    old = docs.where("doc_id < 100").unionByName(boiler)
+    plant = docs.where("doc_id = 42").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    old_sigs = minhash_signatures(old).localCheckpoint(eager=False)
+    new_sigs = minhash_signatures(plant)
+
+    def pairset(**kw):
+        return {
+            frozenset((r.id_a, r.id_b))
+            for r in incremental_minhash_pairs(
+                new_sigs, old_sigs, threshold=0.9, **kw
+            ).collect()
+        }
+
+    uncapped = pairset()
+    assert frozenset((42, 100042)) in uncapped
+    capped = pairset(max_history_bucket_size=1)
+    # the planted duplicate's bands hold exactly {42, 100042-side}: one
+    # history member each, below the cap, so the pair survives ...
+    assert frozenset((42, 100042)) in capped
+    # ... while every hot-bucket-only candidate (the 31-member
+    # boilerplate bands of doc 3 and its clones) is gone; recall is
+    # otherwise bounded by the uncapped result
+    assert capped <= uncapped
+    with pytest.raises(ValueError, match="max_history_bucket_size"):
+        incremental_minhash_pairs(
+            new_sigs, old_sigs, max_history_bucket_size=0
+        )
