@@ -1,0 +1,85 @@
+"""Temporal / dimension-history operators.
+
+``scd2_history`` builds a type-2 slowly-changing-dimension table from a
+changelog — the warehouse-modeling sibling of the CDC family in
+:mod:`.dedup` (``cdc_apply`` materializes the LATEST state; SCD2 keeps
+EVERY state with its validity interval, the shape BI tools and
+point-in-time joins consume).
+
+Reference parity note: the reference engine's session store keeps only
+current state per key (``App.java`` keyed process state); this module is
+part of the extended warehouse surface built on the same keyed-change
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def scd2_history(
+    changelog: DataFrame,
+    *,
+    key_cols: "list[str]",
+    ts_col: str,
+    attr_cols: "list[str]",
+    tiebreak_cols: "list[str] | None" = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    version_col: str = "version",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a keyed changelog:
+    one row per (key, attribute-state) RUN, with ``[valid_from,
+    valid_to)`` validity, a 1-based per-key ``version`` and an
+    ``is_current`` flag on the open interval (``valid_to`` NULL).
+
+    Semantics:
+
+    - Rows are replayed per key in ``(ts_col, *tiebreak_cols)`` order —
+      the caller supplies enough tiebreak columns (log sequence, event
+      id) to make that order TOTAL within a key; ties left ambiguous
+      would make the collapse nondeterministic.
+    - Consecutive rows whose ``attr_cols`` are unchanged COLLAPSE into
+      one version (null-safe comparison: ``(NULL → 'x' → NULL)`` is
+      three versions, ``(NULL → NULL)`` is one) — the standard SCD2
+      contract: a version spans until the attributes actually change,
+      re-asserting the same state extends the current version.
+    - ``valid_to`` = the next version's ``valid_from`` (half-open
+      intervals chain gaplessly; a point-in-time lookup is
+      ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)``).
+
+    Plan (designed for the 100 TB changelog): ONE shuffle. Both window
+    passes — the change-detection ``lag`` and the interval/version
+    ``lead``/``row_number`` — partition by the same key, and the
+    intervening filter preserves the child's hash partitioning, so
+    Catalyst plans a single Exchange with two Window operators over it
+    (plan-gated in tests). State per key is O(1) per pass (streaming
+    window frames), never a per-key buffer; skew = the hottest single
+    key's row count, same bound as any keyed log replay.
+    """
+    tiebreak = list(tiebreak_cols or [])
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w_scan = Window.partitionBy(*key_cols).orderBy(*order)
+
+    state = F.struct(*attr_cols)
+    changed: Column = ~state.eqNullSafe(F.lag(state).over(w_scan))
+    # lag is NULL on each key's first row; eqNullSafe makes that compare
+    # FALSE (a struct of values is never "equal" to a missing row), so
+    # `changed` is already TRUE there — no extra first-row special case.
+    runs = changelog.withColumn("_chg", changed).where(F.col("_chg"))
+
+    w_runs = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    nxt = F.lead(F.col(ts_col)).over(w_runs)
+    return runs.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias(valid_from_col),
+        nxt.alias(valid_to_col),
+        F.row_number().over(w_runs).cast("int").alias(version_col),
+        nxt.isNull().alias(current_col),
+    )

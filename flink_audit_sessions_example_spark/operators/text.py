@@ -1131,3 +1131,94 @@ def clean_text(
     col = F.regexp_replace(col, "\\n{3,}", "\n\n")
     col = F.regexp_replace(col, "^[ \\n]+|[ \\n]+$", "")
     return df.withColumn(out_col, col)
+
+
+def char_diversity_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``text_entropy``-class quality signal, in an EXACT form: per-doc
+    character-distribution diversity — ``(id, n_chars_tok,
+    distinct_chars, char_diversity, top_char_share)`` where
+    ``char_diversity`` is the Simpson index ``1 − Σ p_c²`` and
+    ``top_char_share = max_c p_c`` over the document's character
+    frequencies. The garbled/boilerplate detector of quality-filtering
+    stacks: natural prose sits near its language's stable char
+    distribution, while `aaaa…` runs, base64 blobs and separator spam
+    light up one or more of the three signals.
+
+    Why Simpson and not Shannon entropy: ``1 − Σ p²`` (Gini/Simpson,
+    Rényi order 2) has the same ordering behavior on the degeneracies
+    that matter here, but it is a polynomial in the frequencies —
+    division, square, ordered sum: every step is one correctly-rounded
+    IEEE op, so Spark, Python and any oracle engine agree BIT-FOR-BIT.
+    Shannon's ``Σ p·log p`` rides each engine's libm, whose last-ulp
+    disagreements are exactly what a value-hash gate cannot tolerate
+    (the same reason ``tfidf_top_terms`` ranks on the raw idf ratio
+    instead of ``log``).
+
+    Plan: ONE Arrow ``mapInPandas`` scan pass (the :func:`shingle_rows`
+    shape) — each document is one row, so its whole frequency table is
+    task-local: no explode, no shuffle, embarrassingly parallel. The
+    alternative explode → two keyed aggregations ships every (doc,
+    char) pair through an exchange with the grouping key aboard —
+    pure amplification for a per-row statistic. Determinism: the
+    squared-share sum is a LEFT FOLD over counts sorted by character
+    (Python floats are IEEE doubles; the DuckDB twin folds the same
+    char-sorted list), and rounding to 6 dp happens once, JVM-side.
+    Empty/NULL docs yield ``distinct_chars = 0`` and NULL ratios (a
+    0-char doc has no distribution to score).
+    """
+    import pandas as pd
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, ns, dist, div, top = [], [], [], [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                ids.append(i)
+                # NULL text arrives as None or NaN depending on the
+                # batch's dtype — both score like the empty document
+                if not isinstance(t, str) or not t:
+                    ns.append(0)
+                    dist.append(0)
+                    div.append(None)
+                    top.append(None)
+                    continue
+                counts = Counter(t)
+                n = float(len(t))
+                acc = 0.0
+                for _, c in sorted(counts.items()):
+                    share = c / n
+                    acc = acc + share * share
+                ns.append(len(t))
+                dist.append(len(counts))
+                div.append(1.0 - acc)
+                top.append(max(counts.values()) / n)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "n_chars_tok": pd.Series(ns, dtype="int64"),
+                    "distinct_chars": pd.Series(dist, dtype="int64"),
+                    "char_diversity": pd.Series(div, dtype="float64"),
+                    "top_char_share": pd.Series(top, dtype="float64"),
+                }
+            )
+
+    stats = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(
+        gen,
+        "id long, n_chars_tok long, distinct_chars long, "
+        "char_diversity double, top_char_share double",
+    )
+    return stats.select(
+        "id",
+        "n_chars_tok",
+        "distinct_chars",
+        F.round("char_diversity", 6).alias("char_diversity"),
+        F.round("top_char_share", 6).alias("top_char_share"),
+    )

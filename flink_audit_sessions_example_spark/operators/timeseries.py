@@ -228,3 +228,89 @@ def pattern_match_topk(
         .orderBy("dist", key_col, time_col)
         .limit(k)
     )
+
+
+def time_decay_stats(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: "list[str] | None" = None,
+    half_life_hours: int = 24,
+) -> DataFrame:
+    """Exponential time-decay aggregates per key — the recency-weighted
+    feature every activity/reputation/engagement pipeline keeps: each
+    event contributes ``value · 2^(-age/half_life)``, where age is
+    measured back from the KEY's most recent event (its natural anchor:
+    the stats are comparable across keys regardless of when each was
+    last active). Output per key: ``n_events``, ``last_ts``,
+    ``decayed_sum`` (weighted value sum), ``decayed_weight`` (weight
+    mass — divide for the decayed mean; emitted separately so the
+    caller can also use it as an effective-sample-size).
+
+    Determinism/portability contract (what makes this hash-checkable
+    against any IEEE engine):
+
+    - ages are floored to WHOLE hours, so with integer
+      ``half_life_hours`` every weight is ``2^(-k/h)``… only exact when
+      h divides k; instead we restrict the exponent to integer STEPS:
+      weight = ``2^(-floor(age_hours / half_life_hours))`` — an exact
+      power of two (one IEEE double, no libm), so ``value · weight`` is
+      a single correctly-rounded multiply in every engine.
+    - the per-key sum is an ORDER-FIXED left fold over the key's events
+      sorted by ``(ts, *tiebreak_cols)`` — engines disagree on
+      aggregation order, never on a sequential fold (the PQ-ADC
+      precedent); outputs round to 6 dp only at the very end.
+
+    Scale note, stated honestly: the fold materializes each key's
+    events as one array (``collect_list`` + ``sort_array``), so a key's
+    history must fit a task — the price of bit-reproducibility. The
+    weights themselves are MERGEABLE (re-anchoring multiplies every
+    weight by one power of two), so a production run at 10^9 events/key
+    would swap the fold for the ordinary partial-agg sum and accept
+    engine-local summation order; this operator is the checkable twin.
+    """
+    if half_life_hours < 1:
+        raise ValueError(
+            f"half_life_hours must be >= 1, got {half_life_hours}"
+        )
+    tiebreak = list(tiebreak_cols or [])
+    anchor = F.max(F.col(ts_col)).over(
+        Window.partitionBy(key_col)
+    )
+    # the ts column may decode as TIMESTAMP_NTZ (driver parquet since
+    # r3), which rejects a direct epoch cast — route through timestamp
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    age_hours = F.floor(
+        (epoch(anchor) - epoch(F.col(ts_col))) / 3600
+    )
+    steps = F.floor(age_hours / F.lit(half_life_hours))
+    weight = F.pow(F.lit(2.0), (-steps).cast("double"))
+    row = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tiebreak)],
+        (F.col(value_col) * weight).alias("_wv"),
+        weight.alias("_w"),
+    )
+    folded = (
+        events.select(key_col, F.col(ts_col).alias("_anchor_src"), row.alias("_r"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("_anchor_src").alias("last_ts"),
+            F.sort_array(F.collect_list("_r")).alias("_rows"),
+        )
+    )
+    fold_sum = lambda field: F.aggregate(  # noqa: E731
+        F.col("_rows"),
+        F.lit(0.0),
+        lambda acc, r: acc + r.getField(field),
+    )
+    return folded.select(
+        key_col,
+        "n_events",
+        "last_ts",
+        F.round(fold_sum("_wv"), 6).alias("decayed_sum"),
+        F.round(fold_sum("_w"), 6).alias("decayed_weight"),
+    )

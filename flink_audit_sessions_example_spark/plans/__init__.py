@@ -11,6 +11,7 @@ from .queries import ORACLES as _CORE_ORACLES
 from .queries import QUERIES as _CORE_QUERIES
 from .queries import flagship  # noqa: F401
 from .extended import EXTENDED_ORACLES, EXTENDED_QUERIES
+from .round10 import ROUND10_ORACLES, ROUND10_QUERIES
 from .staged import STAGED_ORACLES, STAGED_QUERIES
 
 #: The driver's correctness gate covers a bounded prefix of the registry
@@ -89,7 +90,15 @@ _FRONT_KEYS = [
     "agg_hll_table",
     "agg_kmv_sketch",
     "sim_topk_pq",
-    # r10 NEW registrations (first driver rows; built this round)
+    # r10 NEW capability families (first driver rows; built this round
+    # in plans/round10.py)
+    "xform_scd2",
+    "rel_skyline",
+    "win_time_decay",
+    "text_containment",
+    "dq_referential",
+    "text_char_diversity",
+    "xform_unpivot",
     # the 14 keys due under window_math.py for r10: 11 core §2 keys on
     # their strict 2-round cadence + 3 extended keys at their 3-round
     # stretch deadline (scripts/window_math.py 10)
@@ -114,13 +123,27 @@ _FRONT_KEYS = [
 # this merge. staged.py stays the module home for the query callables
 # and oracle constants (16 test files single-source their oracle SQL
 # from it).
-_ALL_QUERIES = {**_CORE_QUERIES, **EXTENDED_QUERIES, **STAGED_QUERIES}
-_ALL_ORACLES = {**_CORE_ORACLES, **EXTENDED_ORACLES, **STAGED_ORACLES}
-_overlap = (set(STAGED_QUERIES) & set(_CORE_QUERIES)) | (
-    set(STAGED_QUERIES) & set(EXTENDED_QUERIES)
-)
+_ALL_QUERIES = {
+    **_CORE_QUERIES,
+    **EXTENDED_QUERIES,
+    **STAGED_QUERIES,
+    **ROUND10_QUERIES,
+}
+_ALL_ORACLES = {
+    **_CORE_ORACLES,
+    **EXTENDED_ORACLES,
+    **STAGED_ORACLES,
+    **ROUND10_ORACLES,
+}
+_batches = [_CORE_QUERIES, EXTENDED_QUERIES, STAGED_QUERIES, ROUND10_QUERIES]
+_overlap = {
+    k
+    for i, a in enumerate(_batches)
+    for b in _batches[i + 1:]
+    for k in set(a) & set(b)
+}
 if _overlap:
-    raise ValueError(f"staged keys shadow core/extended entries: {_overlap}")
+    raise ValueError(f"registry batches shadow each other: {_overlap}")
 
 # every front-of-window name must be a real registry key — a typo or a
 # not-yet-landed key would otherwise silently lose its driver slot.
