@@ -282,3 +282,96 @@ def asof_nearest(
         .withColumn(out_col, pick)
         .select("_row.*", out_col)
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    key_cols: "list[str]",
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    payload_cols: "list[str]",
+    seq_col: str = "version",
+) -> DataFrame:
+    """Point-in-time (PIT) join — enrich each fact row with the
+    dimension version whose validity interval ``[valid_from,
+    valid_to)`` contains the fact's timestamp: the feature-store /
+    training-set-assembly primitive that prevents time-travel leakage
+    (a fact must only ever see attribute values that were current WHEN
+    IT HAPPENED), and the natural consumer of
+    :func:`~..operators.history.scd2_history` output. LEFT semantics:
+    facts preceding every version keep their row with NULL payload;
+    fact row count is always preserved.
+
+    Caller contract: a key's validity intervals must be NON-OVERLAPPING
+    (SCD2 output is, by construction — gapless too, but gaps are fine:
+    a fact inside a gap gets NULL payload). ``seq_col`` breaks ties
+    among versions sharing one ``valid_from`` (zero-width versions):
+    the highest sequence wins, which is exactly the one whose interval
+    can contain the timestamp.
+
+    Plan — the sorted-union composition (:func:`asof_join`'s shape),
+    NOT a range-predicate join: version rows and fact rows union into
+    one relation, ONE keyed exchange + ONE window sorted by ``(t,
+    side, seq)`` carries the latest-seen version struct onto every
+    fact row (O(1) running state per key, streaming frame), and a
+    residual validity filter handles gapped dimensions. A
+    non-equi-join formulation (the oracle states semantics that way)
+    degenerates to per-key nested loops at scale; this is a merge-scan.
+    Dim rows sort BEFORE facts at equal timestamps, so a fact exactly
+    at a version boundary sees the NEW version (half-open interval
+    semantics).
+    """
+    pay = F.struct(
+        *[F.col(c) for c in payload_cols],
+        F.col(valid_from_col).alias("_vf"),
+        F.col(valid_to_col).alias("_vt"),
+    )
+    dt_ = dim.select(
+        *key_cols,
+        F.col(valid_from_col).alias("_t"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.lit(0).alias("_side"),
+        pay.alias("_pay"),
+        F.lit(None)
+        .cast(
+            facts.select(
+                F.struct(*[F.col(c) for c in facts.columns]).alias("s")
+            ).schema["s"].dataType
+        )
+        .alias("_row"),
+    )
+    ft = facts.select(
+        *key_cols,
+        F.col(ts_col).alias("_t"),
+        F.lit(0).cast("long").alias("_seq"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(dt_.schema["_pay"].dataType).alias("_pay"),
+        F.struct(*[F.col(c) for c in facts.columns]).alias("_row"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_t", "_side", "_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = F.last(F.col("_pay"), ignorenulls=True).over(w)
+    valid = carried.isNotNull() & (
+        carried.getField("_vt").isNull()
+        | (F.col("_t") < carried.getField("_vt"))
+    )
+    picked = F.when(valid, carried)
+    return (
+        dt_.unionByName(ft)
+        .withColumn("_hit", picked)
+        .where(F.col("_side") == 1)
+        .select(
+            "_row.*",
+            *[
+                F.col("_hit").getField(c).alias(c)
+                for c in payload_cols
+            ],
+            F.col("_hit").getField("_vf").alias(valid_from_col),
+        )
+    )

@@ -1891,3 +1891,55 @@ def ngram_containment_pairs(
             "id_a", "id_b", F.round("containment", 6).alias("containment")
         )
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str,
+) -> DataFrame:
+    """The actionable end of near-dup clustering: given cluster labels
+    (:func:`near_dup_clusters` output) and a per-document quality
+    signal, pick each cluster's SURVIVOR — highest score, lowest id on
+    ties (deterministic) — instead of the min-id default, which keeps
+    whichever crawl happened to get the smallest id rather than the
+    most complete copy. Output: one row per cluster — ``(cluster_id,
+    keep_id, best_score, n_members)``; every other member is a drop.
+    Docs in no cluster never appear (they are implicitly kept — a
+    singleton needs no survivor election).
+
+    Plan: one broadcast-eligible join attaching scores to the cluster
+    relation (both are id-keyed, orders of magnitude smaller than the
+    corpus: only clustered docs appear), then ONE aggregation with an
+    argmax-by-struct — ``max(struct(score, -id))`` — so the survivor
+    election is a map-side-combining hash agg, never a window over
+    ranked members. Hot clusters (a boilerplate page with 10⁶ copies)
+    collapse scan-side to one partial row per task.
+    """
+    joined = clusters.join(
+        scores.select(
+            F.col(id_col).alias("_sid"), F.col(score_col).alias("_score")
+        ),
+        clusters[id_col] == F.col("_sid"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("_score").alias("s"), (-F.col(id_col)).alias("negid")
+        )
+    )
+    return (
+        joined.groupBy(cluster_col)
+        .agg(
+            best.alias("_best"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .select(
+            cluster_col,
+            (-F.col("_best.negid")).alias("keep_id"),
+            F.col("_best.s").alias("best_score"),
+            "n_members",
+        )
+    )

@@ -70,3 +70,51 @@ def referential_audit(
     for df in per_edge[1:]:
         out = out.unionByName(df)
     return out
+
+
+def expectations_audit(
+    df: DataFrame,
+    rules: "list[tuple[str, object]]",
+) -> DataFrame:
+    """Rule-based data-quality audit (the Great-Expectations shape as a
+    single relational pass): ``rules`` is an ordered list of
+    ``(rule_name, violation_predicate_column)``; output is one row per
+    rule — ``(rule, rows_checked, violations)`` — where
+    ``rows_checked`` is the table's row count and ``violations`` counts
+    rows where the predicate is TRUE. A NULL predicate result counts as
+    NOT violated (three-valued logic: an unevaluable rule is not
+    evidence of a violation — write ``col.isNull() | bad`` to treat
+    NULLs as failures explicitly).
+
+    Plan: ONE aggregation pass over ONE scan — every rule compiles to a
+    conditional count in the same aggregate (column pruning still
+    reaches parquet: only columns referenced by some rule are read),
+    then the one-row wide result melts to tall via the UNPIVOT
+    ``Expand`` (:mod:`.reshape`'s zero-shuffle generate). The per-rule
+    union alternative scans the table once PER RULE; at 100 TB the
+    audit must cost one pass no matter how many rules ride it.
+    """
+    if not rules:
+        raise ValueError("expectations_audit needs at least one rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    wide = df.agg(
+        F.count(F.lit(1)).alias("_rows"),
+        *[
+            F.count(F.when(pred, 1)).alias(f"_v{i}")
+            for i, (_, pred) in enumerate(rules)
+        ],
+    )
+    # one-row wide -> tall: the rule axis is a generate, not a join/union
+    stacked = wide.unpivot(
+        [F.col("_rows")],
+        [F.col(f"_v{i}").alias(name) for i, (name, _) in enumerate(rules)],
+        "rule",
+        "violations",
+    )
+    return stacked.select(
+        "rule",
+        F.col("_rows").alias("rows_checked"),
+        "violations",
+    )

@@ -1222,3 +1222,118 @@ def char_diversity_rows(
         F.round("char_diversity", 6).alias("char_diversity"),
         F.round("top_char_share", 6).alias("top_char_share"),
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Word co-occurrence statistics — the GloVe/PPMI co-occurrence
+    matrix builder, the classic pre-embedding corpus artifact: all
+    UNORDERED word pairs appearing within ``window`` tokens of each
+    other, with ``pair_count``, each word's corpus occurrence count
+    and ``lift = pair_count · N / (c₁ · c₂)`` (N = total token
+    occurrences) — the association strength whose LOG is PMI. Raw
+    ratio instead of the log for the same reason as
+    :func:`tfidf_top_terms`: rank-equivalent, but exact integer
+    products and ONE IEEE division, so values hash cross-engine while
+    ``log`` rides each engine's libm.
+
+    Tokenization is bit-identical to :func:`_words` /
+    ``_py_word_lists`` (lowercase, Java-``\\s`` runs); pairs are
+    canonically ordered ``(w1 < w2)`` by code point (Python tuple sort
+    == UTF-8 binary collation). Self-pairs (a word co-occurring with
+    itself) are KEPT — dropping them would bias repeated-token
+    statistics; they carry (w, w).
+
+    Plan: ONE Arrow scan pass emits the O(tokens · window) pair rows
+    AND the token rows (a second column-pruned pass would re-read the
+    corpus; the pass is shared via two selects over one pinned-free
+    lineage — both consumers aggregate map-side immediately, so
+    nothing corpus-sized is retained), then two hash aggregations
+    (pairs; unigrams) and two BROADCAST joins of the small unigram
+    relation onto the filtered pair relation. N arrives as a broadcast
+    one-row aggregate (the lazy-N rule: no driver action at
+    construction). ``min_count`` prunes the pair tail BEFORE the joins.
+    """
+    import pandas as pd
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def gen(batches):
+        for pdf in batches:
+            ws: list = []
+            pa: list = []
+            pb: list = []
+            for t in pdf["_text"]:
+                if not isinstance(t, str) or not t:
+                    continue
+                t = t.lower().strip(_JAVA_WS)
+                if not t:
+                    continue
+                w = _JAVA_WS_RE.split(t)
+                ws.extend(w)
+                n = len(w)
+                for i in range(n):
+                    wi = w[i]
+                    for j in range(i + 1, min(i + window + 1, n)):
+                        a, b = (wi, w[j]) if wi <= w[j] else (w[j], wi)
+                        pa.append(a)
+                        pb.append(b)
+            yield pd.DataFrame(
+                {
+                    "kind": ["t"] * len(ws) + ["p"] * len(pa),
+                    "w1": ws + pa,
+                    "w2": [None] * len(ws) + pb,
+                }
+            )
+
+    rows = df.select(F.col(text_col).alias("_text")).mapInPandas(
+        gen, "kind string, w1 string, w2 string"
+    )
+    tokens = rows.where(F.col("kind") == "t").select(F.col("w1").alias("w"))
+    pairs = rows.where(F.col("kind") == "p").select("w1", "w2")
+    uni = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tokens.agg(F.count(F.lit(1)).alias("n_total"))
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    out = (
+        pc.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c").alias("c2"))),
+            "w2",
+        )
+        .join(F.broadcast(total))
+    )
+    return out.select(
+        "w1",
+        "w2",
+        "pair_count",
+        "c1",
+        "c2",
+        # double products, NOT bigint: at corpus scale pair_count·N and
+        # c1·c2 overflow int64 (Spark wraps silently, DuckDB raises);
+        # each double product is one correctly-rounded IEEE op, so the
+        # value still hashes cross-engine
+        F.round(
+            (
+                F.col("pair_count").cast("double")
+                * F.col("n_total").cast("double")
+            )
+            / (F.col("c1").cast("double") * F.col("c2").cast("double")),
+            6,
+        ).alias("lift"),
+    )

@@ -314,3 +314,66 @@ def time_decay_stats(
         F.round(fold_sum("_wv"), 6).alias("decayed_sum"),
         F.round(fold_sum("_w"), 6).alias("decayed_weight"),
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Consecutive-active-day streaks per key — the retention/engagement
+    gaps-and-islands classic ("longest daily streak", "how fragmented
+    is this user's activity"): one row per key with ``active_days``
+    (distinct calendar days), ``n_streaks`` (maximal runs of
+    consecutive days), ``longest_streak_days`` and its start date
+    (earliest such start on ties — deterministic). All integer/date
+    arithmetic: exact in any engine.
+
+    Plan: distinct ``(key, day)`` — an aggregation whose map-side
+    partial collapses duplicate days before its exchange (a key with
+    10⁹ events on one day ships ONE row per task) — then the
+    gaps-and-islands trick: ``day − row_number()`` is constant exactly
+    along a consecutive run, so a hash aggregation on ``(key, anchor)``
+    sizes the runs and a final one collapses to one row per key. Two
+    exchanges total, BOTH carrying the collapsed O(distinct (key, day))
+    relation: the (key, day)-keyed distinct exchange, then the
+    key-keyed window exchange (whose partitioning the two run
+    aggregations then reuse — key ⊂ (key, anchor) clustering). The
+    one-exchange alternative (repartition raw events by key first)
+    would ship O(events) rows instead; collapsing before any shuffle is
+    the whole point. Skew bound: a key's post-distinct row count is
+    bounded by the CALENDAR, not its event volume — the gapfill bound.
+    """
+    days = events.select(
+        key_col, F.to_date(F.col(ts_col)).alias("_day")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("_day")
+    anchored = days.withColumn(
+        "_anchor", F.date_sub(F.col("_day"), F.row_number().over(w))
+    )
+    runs = anchored.groupBy(key_col, "_anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_len"),
+        F.min("_day").alias("_start"),
+    )
+    # argmax(len) with EARLIEST start on ties: dates don't negate, so
+    # order by (len desc, start asc) as min(struct(-len, start))
+    return (
+        runs.groupBy(key_col)
+        .agg(
+            F.sum("_len").alias("active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.min(
+                F.struct((-F.col("_len")).alias("_neg"), F.col("_start"))
+            ).alias("_best"),
+        )
+        .select(
+            key_col,
+            "active_days",
+            "n_streaks",
+            (-F.col("_best._neg")).cast("bigint").alias(
+                "longest_streak_days"
+            ),
+            F.col("_best._start").alias("longest_streak_start"),
+        )
+    )

@@ -51,6 +51,18 @@ from .staged import STAGED_ORACLES, STAGED_QUERIES
 #: ``incremental_minhash_pairs`` stays pytest-gated (its production
 #: xxhash64 band keys are not DuckDB-reproducible; the batch operator's
 #: md5 family already carries the family's oracle).
+#:
+#: r11 QUEUE: ``plans/staged_r11.py`` holds the next five complete
+#: registrations (join_pit / win_streaks / text_cooccurrence /
+#: dq_expectations / dedup_keep_best), parity + non-vacuity gated every
+#: suite run by ``tests/test_staged_r11.py``. At 135 live keys the
+#: steady-state arithmetic (2-round core cadence, 3-round stretch,
+#: 50-slot window) leaves ≈5 first-registration slots per round —
+#: compute the exact r11 window with ``scripts/window_math.py 11`` once
+#: CORRECTNESS_r10.json exists, then drain the queue into a merged
+#: batch exactly like the r10 drain below. When ``dedup_keep_best``
+#: registers, add it to bench.py's ITERATIVE_QUERIES (its cluster
+#: fixpoint runs at construction, like dedup_cluster).
 #: Every name in _FRONT_KEYS MUST resolve in _ALL_QUERIES — enforced
 #: below; add keys only after their q_/oracle entries land (r6 lesson:
 #: phantom names silently lose their slot). test_staged_registrations
