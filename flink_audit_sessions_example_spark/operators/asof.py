@@ -307,17 +307,22 @@ def pit_join(
 
     Caller contract: a key's validity intervals must be NON-OVERLAPPING
     (SCD2 output is, by construction — gapless too, but gaps are fine:
-    a fact inside a gap gets NULL payload). ``seq_col`` breaks ties
-    among versions sharing one ``valid_from`` (zero-width versions):
-    the highest sequence wins, which is exactly the one whose interval
-    can contain the timestamp.
+    a fact inside a gap gets NULL payload). Among versions sharing one
+    ``valid_from`` (zero-width versions), the one carried onto the
+    fact is the LONGEST-LIVED (``valid_to`` ordered with NULL as
+    +infinity, then ``seq_col``) — under non-overlap that is exactly
+    the only one whose interval can contain any instant ≥ the shared
+    start, so a zero-width version can never shadow a real one
+    regardless of how sequence numbers were assigned (ordering by seq
+    alone would NULL a fact when a zero-width version carries the
+    higher seq).
 
     Plan — the sorted-union composition (:func:`asof_join`'s shape),
     NOT a range-predicate join: version rows and fact rows union into
     one relation, ONE keyed exchange + ONE window sorted by ``(t,
-    side, seq)`` carries the latest-seen version struct onto every
-    fact row (O(1) running state per key, streaming frame), and a
-    residual validity filter handles gapped dimensions. A
+    side, valid_to∞, seq)`` carries the latest-seen version struct
+    onto every fact row (O(1) running state per key, streaming frame),
+    and a residual validity filter handles gapped dimensions. A
     non-equi-join formulation (the oracle states semantics that way)
     degenerates to per-key nested loops at scale; this is a merge-scan.
     Dim rows sort BEFORE facts at equal timestamps, so a fact exactly
@@ -329,9 +334,19 @@ def pit_join(
         F.col(valid_from_col).alias("_vf"),
         F.col(valid_to_col).alias("_vt"),
     )
+    # zero-width-version tiebreak: at a shared valid_from, versions
+    # sort by valid_to (NULL = +infinity LAST) so the longest-lived —
+    # the only interval that can contain any instant >= the shared
+    # start under non-overlap — is the one carried; seq only breaks
+    # exact (from, to) duplicates deterministically
+    vt_inf = F.coalesce(
+        F.col(valid_to_col).cast("timestamp"),
+        F.lit("9999-12-31 23:59:59").cast("timestamp"),
+    )
     dt_ = dim.select(
         *key_cols,
         F.col(valid_from_col).alias("_t"),
+        vt_inf.alias("_vt_ord"),
         F.col(seq_col).cast("long").alias("_seq"),
         F.lit(0).alias("_side"),
         pay.alias("_pay"),
@@ -346,6 +361,7 @@ def pit_join(
     ft = facts.select(
         *key_cols,
         F.col(ts_col).alias("_t"),
+        F.lit(None).cast("timestamp").alias("_vt_ord"),
         F.lit(0).cast("long").alias("_seq"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(dt_.schema["_pay"].dataType).alias("_pay"),
@@ -353,7 +369,7 @@ def pit_join(
     )
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("_t", "_side", "_seq")
+        .orderBy("_t", "_side", "_vt_ord", "_seq")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carried = F.last(F.col("_pay"), ignorenulls=True).over(w)

@@ -1709,8 +1709,12 @@ def incremental_minhash_pairs(
     mirroring ``max_bucket_size``'s contract). The cap costs one extra
     keys-only pass over the history bands: a map-side-partial
     ``groupBy(bkey).count`` whose exchange carries distinct band keys —
-    never signatures — and a broadcast anti-join of the (few) hot keys,
-    so the "history never shuffles its payload" property is preserved.
+    never signatures — and an anti-join of the hot keys. On healthy
+    corpora hot is tiny and AQE broadcasts it at runtime, preserving
+    the "history never shuffles its payload" property; the hint is
+    deliberately NOT forced, so an adversarial all-hot history (a low
+    cap over template pages) degrades to a shuffled anti-join instead
+    of a driver OOM (the ``bounded_posting_lists`` rule).
     Corpora with known boilerplate classes should still run the batch
     operator's ``pre_dedup`` collapse before signing, which keeps such
     buckets small in the first place.
@@ -1791,7 +1795,12 @@ def incremental_minhash_pairs(
             .where(F.col("count") > max_history_bucket_size)
             .select("bkey")
         )
-        old_b = old_b.join(F.broadcast(hot), "bkey", "left_anti")
+        # no broadcast hint: hot is TINY on healthy corpora and AQE
+        # broadcasts it from its runtime size, but an adversarial
+        # all-hot history (low cap over template pages) must degrade
+        # to a shuffled anti-join, not a driver OOM — the same rule
+        # bounded_posting_lists documents for its over-cap anti-join
+        old_b = old_b.join(hot, "bkey", "left_anti")
     new_keys = new_b.select(
         "bkey", F.col("pay.id").alias("_nid")
     ).distinct()
@@ -1911,23 +1920,34 @@ def keep_best_per_cluster(
     Docs in no cluster never appear (they are implicitly kept — a
     singleton needs no survivor election).
 
+    Members MISSING from ``scores`` (LEFT join) still count in
+    ``n_members`` and still win as the min-id fallback when NO member
+    of the cluster is scored (``best_score`` NULL then) — but a scored
+    member always beats an unscored one: a doc the scoring pass
+    dropped must not silently vanish from the census, and a cluster of
+    entirely-unscored docs must still elect a deterministic survivor
+    rather than disappear.
+
     Plan: one broadcast-eligible join attaching scores to the cluster
     relation (both are id-keyed, orders of magnitude smaller than the
     corpus: only clustered docs appear), then ONE aggregation with an
-    argmax-by-struct — ``max(struct(score, -id))`` — so the survivor
-    election is a map-side-combining hash agg, never a window over
-    ranked members. Hot clusters (a boilerplate page with 10⁶ copies)
-    collapse scan-side to one partial row per task.
+    argmax-by-struct — ``max(struct(has_score, score, -id))`` — so the
+    survivor election is a map-side-combining hash agg, never a window
+    over ranked members. Hot clusters (a boilerplate page with 10⁶
+    copies) collapse scan-side to one partial row per task.
     """
     joined = clusters.join(
         scores.select(
             F.col(id_col).alias("_sid"), F.col(score_col).alias("_score")
         ),
         clusters[id_col] == F.col("_sid"),
+        "left",
     )
     best = F.max(
         F.struct(
-            F.col("_score").alias("s"), (-F.col(id_col)).alias("negid")
+            F.col("_score").isNotNull().alias("h"),
+            F.col("_score").alias("s"),
+            (-F.col(id_col)).alias("negid"),
         )
     )
     return (

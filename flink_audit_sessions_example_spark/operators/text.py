@@ -1251,14 +1251,17 @@ def cooccurrence_pairs(
     statistics; they carry (w, w).
 
     Plan: ONE Arrow scan pass emits the O(tokens · window) pair rows
-    AND the token rows (a second column-pruned pass would re-read the
-    corpus; the pass is shared via two selects over one pinned-free
-    lineage — both consumers aggregate map-side immediately, so
-    nothing corpus-sized is retained), then two hash aggregations
-    (pairs; unigrams) and two BROADCAST joins of the small unigram
-    relation onto the filtered pair relation. N arrives as a broadcast
-    one-row aggregate (the lazy-N rule: no driver action at
-    construction). ``min_count`` prunes the pair tail BEFORE the joins.
+    AND the token rows, PINNED (lazy ``localCheckpoint`` — the
+    ngram_jaccard r6 rule: with four logical consumers, whether
+    Catalyst reuses an unpinned Python stage is a runtime maybe, and
+    the measured unpinned plan ran the tokenizer FOUR times), then two
+    hash aggregations (pairs; unigrams) and two BROADCAST joins of the
+    small unigram relation onto the filtered pair relation. N derives
+    from the unigram relation (one sum over its ≤|vocab| rows — never
+    a third pass) and arrives as a broadcast one-row aggregate (the
+    lazy-N rule: no driver action at construction). ``min_count``
+    prunes the pair tail BEFORE the joins. O(size) storage cost of the
+    pin: the emitted pair+token rows, ~window+1 strings per token.
     """
     import pandas as pd
 
@@ -1270,13 +1273,8 @@ def cooccurrence_pairs(
             ws: list = []
             pa: list = []
             pb: list = []
-            for t in pdf["_text"]:
-                if not isinstance(t, str) or not t:
-                    continue
-                t = t.lower().strip(_JAVA_WS)
-                if not t:
-                    continue
-                w = _JAVA_WS_RE.split(t)
+            # the ONE tokenizer definition (bit-identical contract)
+            for _, w in _py_word_lists(pdf.index, pdf["_text"], 1):
                 ws.extend(w)
                 n = len(w)
                 for i in range(n):
@@ -1293,13 +1291,15 @@ def cooccurrence_pairs(
                 }
             )
 
-    rows = df.select(F.col(text_col).alias("_text")).mapInPandas(
-        gen, "kind string, w1 string, w2 string"
+    rows = (
+        df.select(F.col(text_col).alias("_text"))
+        .mapInPandas(gen, "kind string, w1 string, w2 string")
+        .localCheckpoint(eager=False)
     )
     tokens = rows.where(F.col("kind") == "t").select(F.col("w1").alias("w"))
     pairs = rows.where(F.col("kind") == "p").select("w1", "w2")
     uni = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = tokens.agg(F.count(F.lit(1)).alias("n_total"))
+    total = uni.agg(F.sum("c").alias("n_total"))
     pc = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))

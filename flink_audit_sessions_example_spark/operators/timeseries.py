@@ -244,7 +244,8 @@ def time_decay_stats(
     event contributes ``value · 2^(-age/half_life)``, where age is
     measured back from the KEY's most recent event (its natural anchor:
     the stats are comparable across keys regardless of when each was
-    last active). Output per key: ``n_events``, ``last_ts``,
+    last active). Output per key: ``n_events`` (VALUED events —
+    NULL-valued rows are excluded up front, see below), ``last_ts``,
     ``decayed_sum`` (weighted value sum), ``decayed_weight`` (weight
     mass — divide for the decayed mean; emitted separately so the
     caller can also use it as an effective-sample-size).
@@ -276,6 +277,13 @@ def time_decay_stats(
             f"half_life_hours must be >= 1, got {half_life_hours}"
         )
     tiebreak = list(tiebreak_cols or [])
+    # NULL-valued events are EXCLUDED up front (they carry no mass):
+    # inside the fold a single NULL term would poison the whole key's
+    # sum to NULL in Spark, while DuckDB's list_sum skips NULLs — the
+    # one place the two engines' sum semantics differ, so the contract
+    # is pinned here on both sides (the sketch family's NULL rule).
+    # n_events therefore counts VALUED events.
+    events = events.where(F.col(value_col).isNotNull())
     anchor = F.max(F.col(ts_col)).over(
         Window.partitionBy(key_col)
     )

@@ -128,7 +128,7 @@ _WIN_TIME_DECAY_ORACLE = f"""
 WITH a AS (
   SELECT user_id, ts, event_id, value,
          MAX(ts) OVER (PARTITION BY user_id) AS anchor
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), t AS (
   SELECT user_id, ts, event_id, value,
          pow(2.0, -FLOOR(FLOOR(

@@ -64,7 +64,10 @@ def duckdb_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, [tuple(r) for r in cur.fetchall()]
 
 
-def assert_parity(df, sql: str, sf_dir: str) -> None:
+def assert_parity(df, sql: str, sf_dir: str, *, min_rows: int = 0) -> None:
+    """``min_rows=1`` adds the NON-VACUITY gate (the r8
+    multimodal_phash_pairs lesson: 0 == 0 parity proves nothing) at no
+    extra execution — the count comes from the already-collected rows."""
     s_cols, s_rows = spark_result(df)
     con = duckdb_conn(sf_dir)
     try:
@@ -73,6 +76,9 @@ def assert_parity(df, sql: str, sf_dir: str) -> None:
         con.close()
     assert sorted(s_cols) == sorted(d_cols), (
         f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert len(s_rows) >= min_rows, (
+        f"vacuous result: {len(s_rows)} rows < required {min_rows}"
     )
     assert len(s_rows) == len(d_rows), (
         f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"

@@ -23,5 +23,9 @@ def test_registry_is_fully_oracled():
 
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_query_matches_oracle(spark, key):
+    # min_rows=1: EVERY registered pair must be non-vacuous — 0 == 0
+    # parity proves nothing (the r8 multimodal_phash_pairs lesson; the
+    # gate previously lived only in the staged-queue test and was lost
+    # for drained keys in r10 until this restored it registry-wide)
     df = QUERIES[key](spark, SF_DIR)
-    assert_parity(df, ORACLES[key], SF_DIR)
+    assert_parity(df, ORACLES[key], SF_DIR, min_rows=1)

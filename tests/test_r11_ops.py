@@ -246,3 +246,94 @@ def test_keep_best_no_window_plan(spark):
     ) else final
     assert "partial_max(struct" in final
     assert "row_number" not in tail
+
+
+# -- review-round fixes (r10 review) ------------------------------------------
+
+
+def test_pit_join_zero_width_with_higher_seq_cannot_shadow(spark):
+    """A zero-width version carrying a HIGHER seq than the containing
+    version at the same valid_from must not shadow it (review r10): the
+    carry order is (valid_to as +inf, seq), so the longest-lived
+    version wins the tie regardless of sequence assignment."""
+    t = _ts("2024-01-01 10:00:00")
+    dim = spark.createDataFrame(
+        [
+            (1, t, _ts("2024-01-01 11:00:00"), "KEEP", 5),
+            (1, t, t, "ZERO", 9),  # zero-width, higher seq
+        ],
+        "k int, valid_from timestamp, valid_to timestamp, "
+        "state string, version int",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, t), (101, 1, _ts("2024-01-01 10:30:00"))],
+        "fid int, k int, ts timestamp",
+    )
+    got = {
+        r.fid: r.state
+        for r in pit_join(
+            facts, dim, key_cols=["k"], ts_col="ts",
+            payload_cols=["state", "version"],
+        ).collect()
+    }
+    assert got == {100: "KEEP", 101: "KEEP"}
+
+
+def test_time_decay_null_values_excluded_like_oracle(spark):
+    """NULL-valued events are excluded up front (review r10): a NULL
+    term would poison Spark's fold to NULL while DuckDB's list_sum
+    skips it — the contract pins both engines to exclusion."""
+    base = _ts("2024-01-10 00:00:00")
+    from flink_audit_sessions_example_spark.operators.timeseries import (
+        time_decay_stats,
+    )
+    df = spark.createDataFrame(
+        [
+            (1, base, 1, 10.0),
+            (1, base + dt.timedelta(hours=1), 2, None),
+            (1, base + dt.timedelta(hours=2), 3, 30.0),
+        ],
+        "k int, ts timestamp, seq int, v double",
+    )
+    out = time_decay_stats(
+        df, key_col="k", ts_col="ts", value_col="v",
+        tiebreak_cols=["seq"], half_life_hours=24,
+    ).collect()
+    r = out[0]
+    assert r.n_events == 2          # valued events only
+    assert r.decayed_sum == 40.0    # both within one half-life step
+    assert r.decayed_weight == 2.0
+
+
+def test_keep_best_unscored_members_counted_and_fallback(spark):
+    """LEFT score join (review r10): unscored members count in
+    n_members; a scored member always beats an unscored one; an
+    entirely-unscored cluster elects min id with NULL best_score."""
+    clusters = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (30, 3), (31, 3)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(10, 1.0)], "doc_id long, s double"  # 11,12,30,31 unscored
+    )
+    got = {
+        r.cluster_id: (r.keep_id, r.best_score, r.n_members)
+        for r in keep_best_per_cluster(
+            clusters, scores, score_col="s"
+        ).collect()
+    }
+    assert got[1] == (10, 1.0, 3)      # scored beats unscored
+    assert got[3] == (30, None, 2)     # all-unscored: min id, NULL score
+
+
+def test_cooccurrence_single_arrow_pass(spark):
+    """The tokenizer/pair-emit pass runs ONCE (review r10: unpinned,
+    its four logical consumers re-executed it four times): the pinned
+    lineage appears as Scan ExistingRDD and at most one MapInPandas
+    survives in the final plan."""
+    df = STAGED_R11_QUERIES["text_cooccurrence"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") <= 1
+    assert "Scan ExistingRDD" in final

@@ -28,5 +28,4 @@ def test_staged_r11_sets_are_consistent():
 @pytest.mark.parametrize("key", sorted(STAGED_R11_QUERIES))
 def test_staged_r11_pair_matches_duckdb_and_is_nonvacuous(spark, key):
     df = STAGED_R11_QUERIES[key](spark, SF_DIR)
-    assert df.count() > 0, f"{key}: vacuous oracle (0 spark rows)"
-    assert_parity(df, STAGED_R11_ORACLES[key], SF_DIR)
+    assert_parity(df, STAGED_R11_ORACLES[key], SF_DIR, min_rows=1)
