@@ -241,36 +241,47 @@ def time_decay_stats(
 ) -> DataFrame:
     """Exponential time-decay aggregates per key — the recency-weighted
     feature every activity/reputation/engagement pipeline keeps: each
-    event contributes ``value · 2^(-age/half_life)``, where age is
-    measured back from the KEY's most recent event (its natural anchor:
-    the stats are comparable across keys regardless of when each was
-    last active). Output per key: ``n_events`` (VALUED events —
-    NULL-valued rows are excluded up front, see below), ``last_ts``,
-    ``decayed_sum`` (weighted value sum), ``decayed_weight`` (weight
-    mass — divide for the decayed mean; emitted separately so the
-    caller can also use it as an effective-sample-size).
+    event contributes ``value · 2^(-steps)``, where ``steps`` counts
+    CALENDAR-ALIGNED half-life buckets (``floor(epoch_seconds /
+    (3600·half_life_hours))``) between the event and the KEY's most
+    recent event (its natural anchor: the stats are comparable across
+    keys regardless of when each was last active). Output per key:
+    ``n_events`` (VALUED events — NULL-valued rows are excluded up
+    front, see below), ``last_ts``, ``decayed_sum`` (weighted value
+    sum), ``decayed_weight`` (weight mass — divide for the decayed
+    mean; emitted separately so the caller can also use it as an
+    effective-sample-size).
 
     Determinism/portability contract (what makes this hash-checkable
     against any IEEE engine):
 
-    - ages are floored to WHOLE hours, so with integer
-      ``half_life_hours`` every weight is ``2^(-k/h)``… only exact when
-      h divides k; instead we restrict the exponent to integer STEPS:
-      weight = ``2^(-floor(age_hours / half_life_hours))`` — an exact
-      power of two (one IEEE double, no libm), so ``value · weight`` is
-      a single correctly-rounded multiply in every engine.
+    - ``steps`` is an integer bucket DIFFERENCE, so every weight is an
+      exact power of two (one IEEE double, no libm) and ``value ·
+      weight`` is a single correctly-rounded multiply in every engine.
     - the per-key sum is an ORDER-FIXED left fold over the key's events
       sorted by ``(ts, *tiebreak_cols)`` — engines disagree on
       aggregation order, never on a sequential fold (the PQ-ADC
       precedent); outputs round to 6 dp only at the very end.
 
+    Why FIXED-EPOCH buckets and not anchor-relative ages (the obvious
+    alternative, ``floor(age_hours / h)``): bucket differences make the
+    decayed sums PROVABLY mergeable — moving the anchor forward by
+    ``k`` buckets rescales every weight, hence the whole sum, by the
+    single exact factor ``2^(-k)`` (an exponent shift; anchor-relative
+    nested floors decompose no such way). That exactness is what lets
+    the streaming twin (:func:`~..streaming.time_decay.
+    stream_time_decay`) carry O(1) state per key — (anchor bucket,
+    running sums) — and still be BIT-IDENTICAL to this batch fold
+    under per-key event-time order (pinned in tests), and what a
+    production partial-agg formulation at 10^9 events/key would
+    exploit: partials anchored per task, rescaled and added at merge,
+    every rescale exact.
+
     Scale note, stated honestly: the fold materializes each key's
     events as one array (``collect_list`` + ``sort_array``), so a key's
-    history must fit a task — the price of bit-reproducibility. The
-    weights themselves are MERGEABLE (re-anchoring multiplies every
-    weight by one power of two), so a production run at 10^9 events/key
-    would swap the fold for the ordinary partial-agg sum and accept
-    engine-local summation order; this operator is the checkable twin.
+    history must fit a task — the price of cross-ENGINE
+    bit-reproducibility; the mergeable production shape above trades
+    that for engine-local summation order.
     """
     if half_life_hours < 1:
         raise ValueError(
@@ -290,10 +301,9 @@ def time_decay_stats(
     # the ts column may decode as TIMESTAMP_NTZ (driver parquet since
     # r3), which rejects a direct epoch cast — route through timestamp
     epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
-    age_hours = F.floor(
-        (epoch(anchor) - epoch(F.col(ts_col))) / 3600
-    )
-    steps = F.floor(age_hours / F.lit(half_life_hours))
+    bucket_s = 3600 * half_life_hours
+    bucket = lambda c: F.floor(epoch(c) / F.lit(bucket_s))  # noqa: E731
+    steps = bucket(anchor) - bucket(F.col(ts_col))
     weight = F.pow(F.lit(2.0), (-steps).cast("double"))
     row = F.struct(
         F.col(ts_col).alias("_ts"),

@@ -131,9 +131,8 @@ WITH a AS (
   FROM events WHERE value IS NOT NULL
 ), t AS (
   SELECT user_id, ts, event_id, value,
-         pow(2.0, -FLOOR(FLOOR(
-           (FLOOR(epoch(anchor)) - FLOOR(epoch(ts))) / 3600
-         ) / {DECAY_HALF_LIFE_HOURS})) AS w
+         pow(2.0, -(FLOOR(FLOOR(epoch(anchor)) / {3600 * DECAY_HALF_LIFE_HOURS})
+                    - FLOOR(FLOOR(epoch(ts)) / {3600 * DECAY_HALF_LIFE_HOURS}))) AS w
   FROM a
 )
 SELECT user_id,

@@ -1,0 +1,164 @@
+"""Continuous time-decay aggregates — the streaming twin of
+``operators/timeseries.py::time_decay_stats``, with O(1) state per key.
+
+What makes a CONSTANT-state exponential-decay stream possible at all is
+the batch operator's calendar-bucket weight definition: weights are
+``2^-(anchor_bucket − event_bucket)`` with fixed-epoch buckets, so when
+a new event advances the key's anchor by ``k`` buckets, every
+already-accumulated weight — and therefore each running SUM — rescales
+by the single factor ``2^(-k)``. That rescale is an IEEE exponent
+shift: EXACT (no rounding), all the way down to the subnormal range,
+where both engines round the same way. State per key is four scalars
+(anchor bucket, valued-event count, weighted-value sum, weight sum)
+plus the max timestamp — independent of throughput and lifetime.
+
+Equality contract (the ``stream_funnel_stages`` precedent): under
+per-key EVENT-TIME-ORDERED arrival, the stream's final sums are
+BIT-IDENTICAL to the batch fold — each term product ``v·2^(-k)`` is
+exact in both formulations, each rescale is exact, so both sides
+execute the same sequence of IEEE additions on the same operands
+(pinned in tests). Out-of-order arrival still produces exact weights
+for every event (the anchor only ever moves forward; a late event just
+enters with a larger step count), but the ADDITION order then differs
+from the batch sort order, so equality weakens to
+summation-order-equivalence — invisible at the 6 dp output rounding in
+practice, stated plainly here.
+
+At-least-once caveat, stated plainly: the fold is NOT idempotent under
+re-delivery (a re-delivered value adds its mass twice — unlike the
+bottom-k sketch's keyed state there is no per-event key to collapse
+on). Exactly-once sinks, or an upstream dedup keyed on event id, are
+the deployment contract.
+
+Emission (update mode): each touched key re-emits its CURRENT stats —
+``(key, n_events, last_ts, decayed_sum, decayed_weight, ver)`` with
+``ver`` the monotonically increasing valued-event count; consumers
+keep the max-``ver`` row per key (latest-wins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STATE = (
+    "anchor_bucket long, n long, wv double, w double, last_ts_us long"
+)
+
+
+def _make_decay_fn(bucket_s: int):
+    def fn(key, pdfs, state):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        def _round6(x: float) -> float:
+            # Spark's round(double, 6) = BigDecimal HALF_UP; Python's
+            # built-in round is half-even — a half-boundary value would
+            # silently break the batch-equality contract
+            return float(
+                Decimal(x).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        if state.exists:
+            anchor_bucket, n, wv, w, last_us = state.get
+            anchor_bucket, n, last_us = (
+                int(anchor_bucket), int(n), int(last_us)
+            )
+            wv, w = float(wv), float(w)
+        else:
+            anchor_bucket, n, wv, w, last_us = None, 0, 0.0, 0.0, None
+
+        touched = False
+        for pdf in pdfs:
+            for ts, v in zip(pdf["_ts"], pdf["_v"]):
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue
+                if ts is None or pd.isna(ts):
+                    continue
+                touched = True
+                n += 1
+                us = int(ts.value // 1_000)  # pandas ns -> micros
+                # floor division of the (possibly negative) epoch —
+                # identical to Spark's FLOOR(epoch / bucket_s)
+                b = (us // 1_000_000) // bucket_s
+                if anchor_bucket is None:
+                    anchor_bucket = b
+                if b > anchor_bucket:
+                    # anchor advances k buckets: rescale both sums by
+                    # 2^-k — an exact exponent shift (see module doc)
+                    shift = anchor_bucket - b
+                    wv = math.ldexp(wv, shift)
+                    w = math.ldexp(w, shift)
+                    anchor_bucket = b
+                term_w = math.ldexp(1.0, b - anchor_bucket)
+                wv = wv + float(v) * term_w
+                w = w + term_w
+                last_us = us if last_us is None else max(last_us, us)
+        if not touched:
+            return
+        state.update((anchor_bucket, n, wv, w, last_us))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "last_ts_us": [last_us],
+                "decayed_sum": [_round6(wv)],
+                "decayed_weight": [_round6(w)],
+                "ver": [n],
+            }
+        )
+
+    return fn
+
+
+def stream_time_decay(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_hours: int = 24,
+) -> DataFrame:
+    """Continuously-maintained per-key time-decay stats (update mode;
+    see the module docstring for the O(1)-state / bit-equality /
+    re-delivery contracts). Output: ``(key, n_events, last_ts,
+    decayed_sum, decayed_weight, ver)`` — the batch twin's columns plus
+    the latest-wins version counter.
+
+    NOTE on rounding: the stream rounds to 6 dp at each EMISSION (the
+    state itself carries full doubles, so later emissions are never
+    contaminated by earlier rounding) — the same boundary where the
+    batch twin rounds its final output, which is what keeps the
+    equality contract exact rather than drift-prone.
+    """
+    if half_life_hours < 1:
+        raise ValueError(
+            f"half_life_hours must be >= 1, got {half_life_hours}"
+        )
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    out = keyed.groupBy("_k").applyInPandasWithState(
+        _make_decay_fn(3600 * int(half_life_hours)),
+        outputStructType=(
+            "key string, n_events long, last_ts_us long, "
+            "decayed_sum double, decayed_weight double, ver long"
+        ),
+        stateStructType=_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return out.select(
+        "key",
+        "n_events",
+        F.timestamp_micros(F.col("last_ts_us")).alias("last_ts"),
+        "decayed_sum",
+        "decayed_weight",
+        "ver",
+    )

@@ -162,13 +162,14 @@ def test_skyline_broadcasts_frontier(spark):
 
 
 def test_time_decay_exact_weights(spark):
+    # base is midnight UTC, so with a 24 h half-life the CALENDAR
+    # buckets are whole days: weight = 2^-(anchor_day - event_day)
     base = _ts("2024-01-10 00:00:00")
     rows = [
-        # ages from anchor (last event): 0h, 24h, 48h, 36h
-        (1, base + dt.timedelta(hours=48), 4, 10.0),  # age 0  -> w 1
-        (1, base + dt.timedelta(hours=24), 2, 10.0),  # age 24 -> w 1/2
-        (1, base, 1, 10.0),                            # age 48 -> w 1/4
-        (1, base + dt.timedelta(hours=12), 3, 8.0),   # age 36 -> w 1/2
+        (1, base + dt.timedelta(hours=48), 4, 10.0),  # day+2 -> w 1
+        (1, base + dt.timedelta(hours=24), 2, 10.0),  # day+1 -> w 1/2
+        (1, base, 1, 10.0),                            # day   -> w 1/4
+        (1, base + dt.timedelta(hours=12), 3, 8.0),   # day   -> w 1/4
     ]
     df = spark.createDataFrame(rows, "k int, ts timestamp, seq int, v double")
     out = time_decay_stats(
@@ -179,9 +180,9 @@ def test_time_decay_exact_weights(spark):
     r = out[0]
     assert r.n_events == 4
     assert r.last_ts == base + dt.timedelta(hours=48)
-    # 10*1 + 10*0.5 + 10*0.25 + 8*0.5 = 21.5 ; weights 1+.5+.25+.5
-    assert r.decayed_sum == 21.5
-    assert r.decayed_weight == 2.25
+    # 10*1 + 10*0.5 + 10*0.25 + 8*0.25 = 19.5 ; weights 1+.5+.25+.25
+    assert r.decayed_sum == 19.5
+    assert r.decayed_weight == 2.0
 
 
 def test_time_decay_validation(spark):
