@@ -288,13 +288,19 @@ def time_decay_stats(
             f"half_life_hours must be >= 1, got {half_life_hours}"
         )
     tiebreak = list(tiebreak_cols or [])
-    # NULL-valued events are EXCLUDED up front (they carry no mass):
-    # inside the fold a single NULL term would poison the whole key's
-    # sum to NULL in Spark, while DuckDB's list_sum skips NULLs — the
-    # one place the two engines' sum semantics differ, so the contract
-    # is pinned here on both sides (the sketch family's NULL rule).
-    # n_events therefore counts VALUED events.
-    events = events.where(F.col(value_col).isNotNull())
+    # NULL-value, NaN-value and NULL-timestamp events are EXCLUDED up
+    # front (they carry no mass / no position): inside the fold a
+    # single NULL term would poison the whole key's sum to NULL in
+    # Spark while DuckDB's list_sum skips NULLs — the one place the two
+    # engines' sum semantics differ — and a NaN term poisons both; so
+    # the contract is pinned here on both sides (the sketch family's
+    # NULL rule), and the streaming twin applies the IDENTICAL filter.
+    # n_events therefore counts VALUED, TIMESTAMPED events.
+    events = events.where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+        & F.col(ts_col).isNotNull()
+    )
     anchor = F.max(F.col(ts_col)).over(
         Window.partitionBy(key_col)
     )

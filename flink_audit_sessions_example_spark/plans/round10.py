@@ -128,7 +128,8 @@ _WIN_TIME_DECAY_ORACLE = f"""
 WITH a AS (
   SELECT user_id, ts, event_id, value,
          MAX(ts) OVER (PARTITION BY user_id) AS anchor
-  FROM events WHERE value IS NOT NULL
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 ), t AS (
   SELECT user_id, ts, event_id, value,
          pow(2.0, -(FLOOR(FLOOR(epoch(anchor)) / {3600 * DECAY_HALF_LIFE_HOURS})

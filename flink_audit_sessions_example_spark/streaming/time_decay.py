@@ -7,22 +7,41 @@ the batch operator's calendar-bucket weight definition: weights are
 a new event advances the key's anchor by ``k`` buckets, every
 already-accumulated weight — and therefore each running SUM — rescales
 by the single factor ``2^(-k)``. That rescale is an IEEE exponent
-shift: EXACT (no rounding), all the way down to the subnormal range,
-where both engines round the same way. State per key is four scalars
-(anchor bucket, valued-event count, weighted-value sum, weight sum)
-plus the max timestamp — independent of throughput and lifetime.
+shift: EXACT while the result stays normal; entering the SUBNORMAL
+range (sums below ~2^-1022 — a key silent for ≳1000 half-lives) it
+rounds ONCE on the accumulated sum where the batch twin rounds each
+term, so the two can part in that regime's last bits — invisible at
+the 6 dp emission rounding and stated plainly here, not hidden. State
+per key is four scalars (anchor bucket, valued-event count,
+weighted-value sum, weight sum) plus the max event time — independent
+of throughput and lifetime.
 
 Equality contract (the ``stream_funnel_stages`` precedent): under
-per-key EVENT-TIME-ORDERED arrival, the stream's final sums are
-BIT-IDENTICAL to the batch fold — each term product ``v·2^(-k)`` is
-exact in both formulations, each rescale is exact, so both sides
-execute the same sequence of IEEE additions on the same operands
-(pinned in tests). Out-of-order arrival still produces exact weights
-for every event (the anchor only ever moves forward; a late event just
+per-key EVENT-TIME-ORDERED arrival (ties broken consistently with the
+batch twin's ``tiebreak_cols``), the stream's final sums are
+BIT-IDENTICAL to the batch fold outside the deep-subnormal regime —
+each term product ``v·2^(-k)`` is exact in both formulations, each
+normal-range rescale is exact, so both sides execute the same sequence
+of IEEE additions on the same operands (pinned in tests on the real
+events table). Out-of-order arrival still produces exact weights for
+every event (the anchor only ever moves forward; a late event just
 enters with a larger step count), but the ADDITION order then differs
 from the batch sort order, so equality weakens to
-summation-order-equivalence — invisible at the 6 dp output rounding in
-practice, stated plainly here.
+summation-order-equivalence.
+
+Row-exclusion contract: identical to the batch twin BY CONSTRUCTION —
+both sides drop rows with NULL value, NaN value, or NULL timestamp
+(the batch operator filters them engine-side; a NULL/NaN term would
+poison its fold where this fold could silently skip, so the contract
+is pinned in ONE place and ``n_events`` counts the same rows on both
+sides).
+
+Epoch handling: the bucket index is computed ENGINE-SIDE
+(``unix_micros`` before the Python boundary), never from pandas
+timestamps — Arrow localizes timestamps to the session timezone, so a
+pandas-side epoch would shift every bucket boundary by the zone offset
+under any non-UTC session while the batch twin's ``cast(long)`` stayed
+timezone-invariant.
 
 At-least-once caveat, stated plainly: the fold is NOT idempotent under
 re-delivery (a re-delivered value adds its mass twice — unlike the
@@ -33,7 +52,9 @@ the deployment contract.
 Emission (update mode): each touched key re-emits its CURRENT stats —
 ``(key, n_events, last_ts, decayed_sum, decayed_weight, ver)`` with
 ``ver`` the monotonically increasing valued-event count; consumers
-keep the max-``ver`` row per key (latest-wins).
+keep the max-``ver`` row per key (latest-wins). The key column keeps
+the INPUT's native type (a silent string coercion would break joins
+back to the source or the batch twin's output).
 """
 
 from __future__ import annotations
@@ -54,11 +75,14 @@ def _make_decay_fn(bucket_s: int):
         import pandas as pd
 
         def _round6(x: float) -> float:
-            # Spark's round(double, 6) = BigDecimal HALF_UP; Python's
-            # built-in round is half-even — a half-boundary value would
-            # silently break the batch-equality contract
+            # Spark's round(double, 6) goes through BigDecimal.valueOf,
+            # i.e. the SHORTEST decimal repr, then HALF_UP — so
+            # Decimal(repr(x)), NOT Decimal(x) (the exact binary
+            # expansion rounds 5e-07 to 0.0 where Spark yields 1e-06);
+            # Python's builtin round is half-even and wrong twice over.
+            # Same pattern as streaming/attribution.py.
             return float(
-                Decimal(x).quantize(
+                Decimal(repr(x)).quantize(
                     Decimal("0.000001"), rounding=ROUND_HALF_UP
                 )
             )
@@ -74,14 +98,17 @@ def _make_decay_fn(bucket_s: int):
 
         touched = False
         for pdf in pdfs:
-            for ts, v in zip(pdf["_ts"], pdf["_v"]):
+            for us, v in zip(pdf["_us"], pdf["_v"]):
+                # engine-side filter already dropped NULL/NaN values
+                # and NULL timestamps (the batch twin's contract);
+                # this is belt-and-braces for direct state-fn drives
                 if v is None or (isinstance(v, float) and math.isnan(v)):
                     continue
-                if ts is None or pd.isna(ts):
+                if us is None or pd.isna(us):
                     continue
                 touched = True
                 n += 1
-                us = int(ts.value // 1_000)  # pandas ns -> micros
+                us = int(us)
                 # floor division of the (possibly negative) epoch —
                 # identical to Spark's FLOOR(epoch / bucket_s)
                 b = (us // 1_000_000) // bucket_s
@@ -125,29 +152,35 @@ def stream_time_decay(
 ) -> DataFrame:
     """Continuously-maintained per-key time-decay stats (update mode;
     see the module docstring for the O(1)-state / bit-equality /
-    re-delivery contracts). Output: ``(key, n_events, last_ts,
-    decayed_sum, decayed_weight, ver)`` — the batch twin's columns plus
-    the latest-wins version counter.
+    row-exclusion / re-delivery contracts). Output: ``(key, n_events,
+    last_ts, decayed_sum, decayed_weight, ver)`` — the batch twin's
+    columns (``key`` keeps the input's native type) plus the
+    latest-wins version counter.
 
     NOTE on rounding: the stream rounds to 6 dp at each EMISSION (the
     state itself carries full doubles, so later emissions are never
     contaminated by earlier rounding) — the same boundary where the
-    batch twin rounds its final output, which is what keeps the
-    equality contract exact rather than drift-prone.
+    batch twin rounds its final output, via the same
+    shortest-repr-HALF_UP semantics as Spark's ``round``.
     """
     if half_life_hours < 1:
         raise ValueError(
             f"half_life_hours must be >= 1, got {half_life_hours}"
         )
-    keyed = df.select(
-        F.col(key_col).cast("string").alias("_k"),
-        F.col(ts_col).cast("timestamp").alias("_ts"),
-        F.col(value_col).cast("double").alias("_v"),
+    key_type = df.schema[key_col].dataType.simpleString()
+    val = F.col(value_col).cast("double")
+    ts = F.col(ts_col).cast("timestamp")
+    keyed = df.where(
+        val.isNotNull() & ~F.isnan(val) & ts.isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.unix_micros(ts).alias("_us"),
+        val.alias("_v"),
     )
     out = keyed.groupBy("_k").applyInPandasWithState(
         _make_decay_fn(3600 * int(half_life_hours)),
         outputStructType=(
-            "key string, n_events long, last_ts_us long, "
+            f"key {key_type}, n_events long, last_ts_us long, "
             "decayed_sum double, decayed_weight double, ver long"
         ),
         stateStructType=_STATE,

@@ -40,10 +40,15 @@ class FakeState:
 
 
 def _pdf(rows):
+    # the state fn consumes engine-computed epoch micros (_us), never
+    # pandas timestamps (session-TZ localized — review r10b)
     return pd.DataFrame(
         {
-            "_ts": [pd.Timestamp(r[0]) if r[0] is not None else pd.NaT
-                    for r in rows],
+            "_us": [
+                int(pd.Timestamp(r[0]).value // 1_000)
+                if r[0] is not None else None
+                for r in rows
+            ],
             "_v": [r[1] for r in rows],
         }
     )
@@ -111,29 +116,35 @@ def test_stream_equals_batch_bit_for_bit(spark, tmp_path):
 
     events = (
         load_table(spark, SF_DIR, "events")
-        .select("user_id", "ts", "value")
-        .orderBy("ts")  # per-key event-time order (global order implies it)
+        .select("user_id", "ts", "event_id", "value")
+        # per-key (ts, event_id) TOTAL order: equal-ts rows of one key
+        # would otherwise reach the stream in nondeterministic collect
+        # order while the batch fold sorts them — review r10b
+        .orderBy("ts", "event_id")
         .collect()
     )
-    rows = [(r.user_id, r.ts, r.value) for r in events]
+    rows = [(r.user_id, r.ts, r.event_id, r.value) for r in events]
     d = tmp_path / "ev"
     d.mkdir()
     sch = pa.schema(
         [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
-         ("value", pa.float64())]
+         ("event_id", pa.int64()), ("value", pa.float64())]
     )
     half = len(rows) // 2
     for name, chunk in (("b1.parquet", rows[:half]),
                         ("b2.parquet", rows[half:])):
         pq.write_table(
             pa.Table.from_pylist(
-                [dict(zip(("user_id", "ts", "value"), r)) for r in chunk],
+                [dict(zip(("user_id", "ts", "event_id", "value"), r))
+                 for r in chunk],
                 sch,
             ),
             str(d / name),
         )
     stream = (
-        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, value double"
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
     )
@@ -157,14 +168,17 @@ def test_stream_equals_batch_bit_for_bit(spark, tmp_path):
         if r.key not in latest or r.ver > latest[r.key].ver:
             latest[r.key] = r
     batch = {
-        str(r.user_id): r
+        r.user_id: r
         for r in time_decay_stats(
             spark.createDataFrame(
-                rows, "user_id bigint, ts timestamp, value double"
+                rows,
+                "user_id bigint, ts timestamp, event_id bigint, "
+                "value double",
             ),
             key_col="user_id",
             ts_col="ts",
             value_col="value",
+            tiebreak_cols=["event_id"],
             half_life_hours=H,
         ).collect()
     }
@@ -183,3 +197,26 @@ def test_validation(spark):
         stream_time_decay(
             df, key_col="k", ts_col="k", value_col="k", half_life_hours=0
         )
+
+
+def test_emission_rounding_matches_spark_half_up(spark):
+    """The half-boundary double repr('5e-07') must round to 1e-06 (the
+    shortest-repr HALF_UP semantics of Spark's round) — Decimal(x) of
+    the exact binary expansion would yield 0.0 and Python's builtin
+    half-even round would too (review r10b)."""
+    fn = _make_decay_fn(BUCKET_S)
+    state = FakeState()
+    v = math.ldexp(float("5e-07"), 20)  # exact: v * 2^-20 == 5e-07
+    list(fn(("u",), iter([_pdf([(BASE, v)])]), state))
+    out = list(
+        fn(
+            ("u",),
+            iter([_pdf([(BASE + dt.timedelta(days=20), 0.0)])]),
+            state,
+        )
+    )
+    r = out[0].iloc[0]
+    assert r["decayed_sum"] == 1e-06
+    # the same value through Spark's round, as the ground truth
+    got = spark.sql("SELECT round(CAST('5e-07' AS DOUBLE), 6) AS r").collect()
+    assert got[0].r == 1e-06
