@@ -401,3 +401,63 @@ def activity_streaks(
             F.col("_best._start").alias("longest_streak_start"),
         )
     )
+
+
+def ohlc_resample(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: "list[str] | None" = None,
+    unit: str = "day",
+) -> DataFrame:
+    """Per-(key, bucket) OHLC downsampling — open/high/low/close, the
+    canonical lossy time-series compaction (finance candles, metric
+    rollups, feature snapshots): one output row per key per ``unit``
+    bucket with the FIRST value (by event time), max, min, LAST value,
+    event count and value sum.
+
+    Open/close are argmin/argmax-by-struct over ``(ts, *tiebreak_cols,
+    value)`` — ONE hash aggregation with map-side partial collapse, the
+    ``agg_mode``/``latest_by_key`` rule (a ranked-window formulation
+    would shuffle every raw row to sort it; this collapses each task's
+    slice to one partial row per (key, bucket) first). A key with 10⁹
+    events in one bucket ships O(tasks) partial rows. NULL values are
+    excluded (no magnitude to aggregate); ties beyond the tiebreak
+    make open/close nondeterministic — supply a unique id (the
+    ``latest_by_key`` contract).
+    """
+    if unit not in _STEPS:
+        raise ValueError(f"unsupported unit {unit!r}; one of {sorted(_STEPS)}")
+    tiebreak = list(tiebreak_cols or [])
+    ordered = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tiebreak)],
+        F.col(value_col).alias("_v"),
+    )
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.min(ordered).alias("_first"),
+            F.max(ordered).alias("_last"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("v_sum"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            F.col("_first._v").alias("open"),
+            "high",
+            "low",
+            F.col("_last._v").alias("close"),
+            "n_events",
+            "v_sum",
+        )
+    )

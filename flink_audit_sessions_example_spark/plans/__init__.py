@@ -62,7 +62,13 @@ from .staged import STAGED_ORACLES, STAGED_QUERIES
 #: CORRECTNESS_r10.json exists, then drain the queue into a merged
 #: batch exactly like the r10 drain below. When ``dedup_keep_best``
 #: registers, add it to bench.py's ITERATIVE_QUERIES (its cluster
-#: fixpoint runs at construction, like dedup_cluster).
+#: fixpoint runs at construction, like dedup_cluster);
+#: ``dedup_embed_cluster`` (r12 queue) likewise.
+#: r12 QUEUE behind it: ``plans/staged_r12.py`` (lm_train_counts /
+#: xform_scd2_merge / dedup_embed_cluster / win_ohlc /
+#: text_readability), same gate in ``tests/test_staged_r12.py``;
+#: pre-registration sf0.1 baselines recorded in BASELINE.md when
+#: measured.
 #: Every name in _FRONT_KEYS MUST resolve in _ALL_QUERIES — enforced
 #: below; add keys only after their q_/oracle entries land (r6 lesson:
 #: phantom names silently lose their slot). test_staged_registrations

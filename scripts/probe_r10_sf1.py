@@ -60,20 +60,30 @@ def gen_events() -> None:
         (F.col("event_id") + F.col("_rep") * 10_000_000).alias("event_id"),
         # per-replica fixed shift of 137 s·rep: breaks exact ts
         # collisions across replicas without touching per-user gaps
+        # NTZ like the driver's parquet (µs / isAdjustedToUTC=false) —
+        # an LTZ column would trip load_table's physical-type sniffer
         F.timestamp_micros(
             F.unix_micros(F.col("ts").cast("timestamp"))
             + F.col("_rep") * 137_000_000
-        ).alias("ts"),
+        ).cast("timestamp_ntz").alias("ts"),
         (F.col("user_id") + F.col("_rep") * 100_000).alias("user_id"),
         "event_type",
         "value",
         "props",
     )
-    out.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(SF1, "events.parquet")
-    )
-    print("generated", spark.read.parquet(
-        os.path.join(SF1, "events.parquet")).count(), "events")
+    tmp = os.path.join(SF1, "_events_tmp")
+    out.repartition(8).write.mode("overwrite").parquet(tmp)
+    # load_table footer-sniffs a single FILE (ts physical-type repair),
+    # so collapse the directory write into one parquet file
+    import shutil
+
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    table = ds.dataset(tmp, format="parquet").to_table()
+    pq.write_table(table, os.path.join(SF1, "events.parquet"))
+    shutil.rmtree(tmp)
+    print("generated", table.num_rows, "events")
     spark.stop()
 
 
