@@ -107,20 +107,31 @@ def scd2_merge(
     The from-scratch invariant (pinned in tests and by the staged
     registration's oracle, which re-derives the result from the FULL
     changelog): ``scd2_merge(scd2_history(base), inc) ==
-    scd2_history(base ∪ inc)``. Why replaying only VERSION BOUNDARIES
-    is lossless: rows that collapsed into a version were consecutive
-    same-state duplicates, and re-adding them could never change any
-    run boundary — so each affected key's versions, replayed AS a
-    changelog (``valid_from`` as the timestamp) together with its new
-    rows, rebuild exactly the state the full history would.
+    scd2_history(base ∪ inc)`` — UNDER the append contract below.
+
+    APPEND CONTRACT (precise, and uncheckable from ``existing`` — the
+    caller must guarantee it): every increment row of a key is strictly
+    later than that key's LAST BASE CHANGELOG ROW — not merely its last
+    version boundary. The distinction matters: collapsed rows are
+    unrecoverable from the SCD2 table, so an increment landing INSIDE
+    an existing run cannot see the collapsed duplicates after its
+    position. Concretely, base ``(t1,A),(t2,A)`` builds one open
+    version ``A@t1`` (t2 collapsed); an increment ``(t1.5,B)`` — later
+    than the last BOUNDARY t1 but not the last ROW t2 — would rebuild
+    ``A@[t1,t1.5), B@[t1.5,∞)``, silently losing the full history's
+    re-assertion ``A@[t2,∞)``. The nightly-append deployment (each
+    batch wholly later than the previous) satisfies the contract
+    trivially; bi-temporal corrections need the full-history rebuild.
+    Within that contract, replaying only the version BOUNDARIES is
+    lossless: collapsed rows were consecutive same-state duplicates
+    BEFORE every increment row, so they can never move a run boundary
+    the replay would compute differently.
 
     Tie contract: increment rows must not share a timestamp with an
     existing version boundary of the same key (re-played boundaries
-    carry ``version`` as their tiebreak, new rows carry
-    ``tiebreak_cols`` — the two domains are not comparable). The
-    append-only deployment (every increment row later than the key's
-    last boundary) satisfies this trivially; true bi-temporal
-    corrections need the full-history rebuild.
+    carry ``version`` as their ordering, new rows their own
+    ``tiebreak_cols`` — the two domains are never compared). Implied by
+    the append contract.
 
     Plan — the scale story is what does NOT recompute: keys absent
     from the increment pass through UNTOUCHED via one broadcast-
@@ -134,31 +145,36 @@ def scd2_merge(
     untouched = existing.join(inc_keys, key_cols, "left_anti")
     affected_versions = existing.join(inc_keys, key_cols, "left_semi")
     tiebreak = list(tiebreak_cols or [])
-    # replay boundaries as changelog rows: version number becomes the
-    # tiebreak (ordered within a key; never compared against a new
-    # row's tiebreak under the no-shared-timestamp contract)
+    # ordering columns for the rebuild: replayed boundaries order by
+    # their version number (column "_tbv"); new rows order by the
+    # caller's tiebreak_cols in their ORIGINAL types (no lossy cast, no
+    # dropped secondary tiebreaks — a long coercion would reorder
+    # string ids and ANSI-fail on non-numeric ones). The two domains
+    # never meet at one timestamp (tie contract), so each side carries
+    # NULLs for the other's columns.
     replay = affected_versions.select(
         *key_cols,
         F.col(valid_from_col).alias(ts_col),
         *attr_cols,
-        F.col(version_col).cast("long").alias("_tb"),
+        F.col(version_col).cast("long").alias("_tbv"),
+        *[
+            F.lit(None).cast(increment.schema[c].dataType).alias(c)
+            for c in tiebreak
+        ],
     )
     new_rows = increment.select(
         *key_cols,
         ts_col,
         *attr_cols,
-        (
-            F.col(tiebreak[0]).cast("long")
-            if tiebreak
-            else F.lit(0).cast("long")
-        ).alias("_tb"),
+        F.lit(None).cast("long").alias("_tbv"),
+        *tiebreak,
     )
     rebuilt = scd2_history(
         replay.unionByName(new_rows),
         key_cols=key_cols,
         ts_col=ts_col,
         attr_cols=attr_cols,
-        tiebreak_cols=["_tb"],
+        tiebreak_cols=["_tbv", *tiebreak],
         valid_from_col=valid_from_col,
         valid_to_col=valid_to_col,
         version_col=version_col,

@@ -1346,8 +1346,9 @@ _FLESCH_BASE, _FLESCH_WPS, _FLESCH_SPW = 206.835, 1.015, 84.6
 
 def with_readability(
     df: DataFrame,
-    *,
     text_col: str = "text",
+    *,
+    words_staged: bool = False,
 ) -> DataFrame:
     """``text_readability`` — Flesch reading-ease per document, with its
     ingredients: ``n_words``, ``n_sentences`` (terminal-punctuation
@@ -1365,6 +1366,9 @@ def with_readability(
     text) — no libm, so the score hash-checks cross-engine (the tfidf
     no-log rule). Wordless documents get NULL score. Pure scan-side
     projection: zero shuffles, whole-stage codegen.
+    ``words_staged`` follows the module's multi-signal composition
+    contract (see :func:`_stage_words`): a pipeline that already staged
+    the token array passes True and keeps the staged column.
     """
     text = F.lower(F.col(text_col))
     n_words = F.size(F.col(_WORDS)).cast("bigint")
@@ -1380,11 +1384,11 @@ def with_readability(
         - F.lit(_FLESCH_WPS) * (n_words / n_sent)
         - F.lit(_FLESCH_SPW) * (n_syll / n_words)
     )
-    out = _stage_words(df, text_col, False).select(
-        *df.columns,
-        n_words.alias("n_words"),
-        n_sent.alias("n_sentences"),
-        n_syll.alias("n_syllables"),
-        F.when(n_words > 0, F.round(score, 6)).alias("flesch"),
+    out = (
+        _stage_words(df, text_col, words_staged)
+        .withColumn("n_words", n_words)
+        .withColumn("n_sentences", n_sent)
+        .withColumn("n_syllables", n_syll)
+        .withColumn("flesch", F.when(n_words > 0, F.round(score, 6)))
     )
-    return out
+    return out if words_staged else out.drop(_WORDS)

@@ -392,15 +392,23 @@ FROM ranked WHERE rank <= 10
 """
 
 
+#: the dedup_embed cosine threshold — ONE definition for the pair query,
+#: its oracle, and the staged dedup_embed_cluster composite (a second
+#: literal would let the cluster query and its oracle drift on retune)
+DEDUP_EMBED_TAU = 0.35
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``dedup_embed`` — embedding-cosine near-dup pairs (cos ≥ 0.35;
-    exact at oracle scale, LSH path in ``sim_topk_lsh``).
+    """``dedup_embed`` — embedding-cosine near-dup pairs (cos ≥
+    ``DEDUP_EMBED_TAU``; exact at oracle scale, LSH path in
+    ``sim_topk_lsh``).
 
     ``spread=False``: the blocked-BLAS scorer repartitions internally by
     block key, so a scan-spread exchange upstream is pure overhead
     (measured 1.11 → 0.84 s at sf0.1)."""
     return S.cosine_pairs_above(
-        load_table(spark, sf_dir, "embeddings", spread=False), threshold=0.35
+        load_table(spark, sf_dir, "embeddings", spread=False),
+        threshold=DEDUP_EMBED_TAU,
     )
 
 
@@ -408,7 +416,7 @@ _DEDUP_EMBED_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND({_sql_cos("a.embedding", "b.embedding")}, 6) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.35
+WHERE {_sql_cos("a.embedding", "b.embedding")} >= {DEDUP_EMBED_TAU}
 """
 
 

@@ -27,7 +27,7 @@ from ..operators.lm import train_ngram_counts
 from ..operators.text import TOKEN_PATTERN, with_readability
 from ..operators.timeseries import ohlc_resample
 from ..sources.tables import load_table
-from .extended import _DEDUP_EMBED_ORACLE, _SQL_WORDS
+from .extended import DEDUP_EMBED_TAU, _DEDUP_EMBED_ORACLE, _SQL_WORDS
 from .round10 import _XFORM_SCD2_ORACLE
 
 # --------------------------------------------------------------------------
@@ -132,9 +132,6 @@ _XFORM_SCD2_MERGE_ORACLE = _XFORM_SCD2_ORACLE
 # dedup_embed_cluster — semantic near-dup groups
 # --------------------------------------------------------------------------
 
-EMBED_CLUSTER_TAU = 0.35
-
-
 def q_dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_embed_cluster`` — connected components over the
     embedding-cosine near-dup graph (the semantic twin of the text-side
@@ -142,7 +139,7 @@ def q_dedup_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered ``dedup_embed`` pair query). Turns pairwise semantic
     dups into actionable keep/drop groups."""
     emb = load_table(spark, sf_dir, "embeddings", spread=False)
-    pairs = S.cosine_pairs_above(emb, threshold=EMBED_CLUSTER_TAU)
+    pairs = S.cosine_pairs_above(emb, threshold=DEDUP_EMBED_TAU)
     # near_dup_clusters names its id column for the text-side consumer;
     # this relation's ids are vectors
     return D.near_dup_clusters(pairs).withColumnRenamed(

@@ -175,3 +175,29 @@ def test_readability_golden(spark):
 def test_readability_zero_shuffle(spark):
     final = _final_plan(STAGED_R12_QUERIES["text_readability"](spark, SF_DIR))
     assert "Exchange" not in final
+
+
+def test_scd2_merge_string_tiebreaks_preserved(spark):
+    """The merge must order new rows by the caller's tiebreak columns
+    in their ORIGINAL types (review r10c: a long coercion reordered
+    string ids — '10' < '9' lexicographically but 10 > 9 numerically —
+    and broke the from-scratch invariant)."""
+    schema = "k int, ts timestamp, seq string, attr string"
+    base = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), "a", "A")], schema
+    )
+    t = _ts("2024-01-02 00:00:00")
+    inc = spark.createDataFrame(
+        [(1, t, "10", "B"), (1, t, "9", "C")], schema
+    )
+    kw = dict(
+        key_cols=["k"], ts_col="ts", attr_cols=["attr"],
+        tiebreak_cols=["seq"],
+    )
+    merged = _norm_scd2(
+        scd2_merge(scd2_history(base, **kw), inc, **kw).collect()
+    )
+    scratch = _norm_scd2(scd2_history(base.unionByName(inc), **kw).collect())
+    assert merged == scratch
+    # lexicographic: '10' sorts before '9', so B precedes C
+    assert merged[(1, 2)][0] == "B" and merged[(1, 3)][0] == "C"
