@@ -42,6 +42,31 @@ PIT_STATE_TYPES = ("signup", "purchase", "error")
 PIT_FACT_TYPES = ("view", "click")
 
 
+def pit_dim(events: DataFrame) -> DataFrame:
+    """The registered PIT dimension: each user's SCD2 state history
+    over the state-event types. ONE definition — the registered query
+    and the stream-enrichment equivalence test both build from here,
+    so the stream-equals-batch guarantee always covers the plan
+    actually registered (review r10d)."""
+    state = events.where(
+        F.col("event_type").isin(*PIT_STATE_TYPES)
+    ).select("user_id", "ts", "event_id", "event_type")
+    return scd2_history(
+        state,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    ).withColumnRenamed("event_type", "state")
+
+
+def pit_facts(events: DataFrame) -> DataFrame:
+    """The registered PIT fact slice (see :func:`pit_dim`)."""
+    return events.where(
+        F.col("event_type").isin(*PIT_FACT_TYPES)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
 def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``join_pit`` — enrich each view/click event with the user's
     state version (last signup/purchase/error) valid AT THAT MOMENT
@@ -52,22 +77,9 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the data, so the path is non-vacuous). Sorted-union merge-scan:
     ONE keyed exchange, no range join."""
     events = load_table(spark, sf_dir, "events")
-    state = events.where(
-        F.col("event_type").isin(*PIT_STATE_TYPES)
-    ).select("user_id", "ts", "event_id", "event_type")
-    dim = scd2_history(
-        state,
-        key_cols=["user_id"],
-        ts_col="ts",
-        attr_cols=["event_type"],
-        tiebreak_cols=["event_id"],
-    ).withColumnRenamed("event_type", "state")
-    facts = events.where(
-        F.col("event_type").isin(*PIT_FACT_TYPES)
-    ).select("event_id", "ts", "user_id", "event_type", "value")
     return pit_join(
-        facts,
-        dim,
+        pit_facts(events),
+        pit_dim(events),
         key_cols=["user_id"],
         ts_col="ts",
         payload_cols=["state", "version"],

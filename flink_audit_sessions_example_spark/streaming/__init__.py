@@ -10,7 +10,9 @@ sink dispatch (console / Kafka / memory), and the query lifecycle
 from .attribution import stream_first_touch
 from .custom_state import audit_denied_sessions_custom_state
 from .dedup_stream import stream_minhash_candidates
+from .enrichment import stream_pit_enrich
 from .funnel import stream_funnel_stages
+from .heavy_hitters import stream_heavy_hitters
 from .joins import denied_near_allowed, stream_interval_join
 from .pipeline import (
     start_session_query,
@@ -20,13 +22,17 @@ from .pipeline import (
     write_memory,
 )
 from .quantile_sketch import stream_quantile_sketch
+from .time_decay import stream_time_decay
 
 __all__ = [
     "stream_quantile_sketch",
     "audit_denied_sessions_custom_state",
     "stream_first_touch",
+    "stream_heavy_hitters",
     "stream_minhash_candidates",
     "stream_funnel_stages",
+    "stream_pit_enrich",
+    "stream_time_decay",
     "denied_near_allowed",
     "stream_interval_join",
     "stream_denied_sessions",

@@ -55,7 +55,11 @@ def stream_pit_enrich(
     )
     cond = F.lit(True)
     for c in key_cols:
-        cond = cond & (facts[c] == d[f"_dk_{c}"])
+        # eqNullSafe, not ==: the batch pit_join's window PARTITIONS
+        # NULL keys together (they enrich like any other key), and the
+        # "consumers swap freely" contract holds only if the join does
+        # the same — a bare equality would silently NULL them out
+        cond = cond & facts[c].eqNullSafe(d[f"_dk_{c}"])
     cond = (
         cond
         & (d["_vf"] <= facts[ts_col])

@@ -9,12 +9,9 @@ from conftest import SF_DIR
 import pyspark.sql.functions as F
 
 from flink_audit_sessions_example_spark.operators.asof import pit_join
-from flink_audit_sessions_example_spark.operators.history import (
-    scd2_history,
-)
 from flink_audit_sessions_example_spark.plans.staged_r11 import (
-    PIT_FACT_TYPES,
-    PIT_STATE_TYPES,
+    pit_dim,
+    pit_facts,
 )
 from flink_audit_sessions_example_spark.sources import load_table
 from flink_audit_sessions_example_spark.streaming.enrichment import (
@@ -27,16 +24,11 @@ def test_stream_pit_equals_batch_pit(spark, tmp_path):
     import pyarrow.parquet as pq
 
     events = load_table(spark, SF_DIR, "events")
-    state = events.where(
-        F.col("event_type").isin(*PIT_STATE_TYPES)
-    ).select("user_id", "ts", "event_id", "event_type")
-    dim = scd2_history(
-        state, key_cols=["user_id"], ts_col="ts",
-        attr_cols=["event_type"], tiebreak_cols=["event_id"],
-    ).withColumnRenamed("event_type", "state").localCheckpoint()
-    facts = events.where(
-        F.col("event_type").isin(*PIT_FACT_TYPES)
-    ).select("event_id", "ts", "user_id", "value")
+    # the REGISTERED construction (single source of truth — review
+    # r10d): any change to the registered join_pit plan flows into this
+    # equivalence test automatically
+    dim = pit_dim(events).localCheckpoint()
+    facts = pit_facts(events).drop("event_type")
 
     rows = [(r.event_id, r.ts, r.user_id, r.value) for r in facts.collect()]
     d = tmp_path / "facts"
