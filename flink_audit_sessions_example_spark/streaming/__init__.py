@@ -8,6 +8,11 @@ sink dispatch (console / Kafka / memory), and the query lifecycle
 """
 
 from .attribution import stream_first_touch
+from .cdc import (
+    make_cdc_batch_applier,
+    materialize_cdc_stream,
+    read_materialized,
+)
 from .custom_state import audit_denied_sessions_custom_state
 from .dedup_stream import stream_minhash_candidates
 from .enrichment import stream_pit_enrich
@@ -37,6 +42,9 @@ __all__ = [
     "stream_interval_join",
     "stream_denied_sessions",
     "start_session_query",
+    "make_cdc_batch_applier",
+    "materialize_cdc_stream",
+    "read_materialized",
     "write_console",
     "write_kafka",
     "write_memory",

@@ -133,6 +133,30 @@ def main() -> None:
             f"# OVERFLOW: {len(front) - WINDOW} due keys beyond the "
             "window — tighten by staleness order above"
         )
+    # staged queues: suggest drains for the free slots, in queue order
+    try:
+        from flink_audit_sessions_example_spark.plans.staged_r11 import (
+            STAGED_R11_QUERIES,
+        )
+        from flink_audit_sessions_example_spark.plans.staged_r12 import (
+            STAGED_R12_QUERIES,
+        )
+
+        queue = [
+            k
+            for k in list(STAGED_R11_QUERIES) + list(STAGED_R12_QUERIES)
+            if k not in registry
+        ]
+    except ImportError:  # queues drained and modules retired
+        queue = []
+    if queue and free > 0:
+        print(f"\n# drain suggestions for the {free} free slots "
+              "(queue order):")
+        for k in queue[:free]:
+            print(f'    "{k}",')
+        if len(queue) > free:
+            print(f"# {len(queue) - free} more waiting: "
+                  f"{queue[free:]}")
 
 
 if __name__ == "__main__":
