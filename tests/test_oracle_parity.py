@@ -21,6 +21,49 @@ def test_registry_is_fully_oracled():
     assert sorted(QUERIES) == ORACLE_KEYS
 
 
+def test_no_oracle_produces_hugeint():
+    # Class-killing gate for the r10 `text_chunk_sentences` red row: an
+    # un-cast SUM(BIGINT) makes DuckDB type the column HUGEINT (int128)
+    # where Spark produces BIGINT, and the DRIVER's value hash
+    # distinguishes the physical type even when every value is
+    # numerically identical — a failure mode INVISIBLE to the local
+    # normalized compare below, so only this type-level gate prevents
+    # recurrence. Covers the live registry AND every staged queue (a
+    # staged oracle drains verbatim, so it must be clean before it
+    # waits). `.types` only plans/binds the relation — no execution.
+    from oracle_utils import duckdb_conn
+
+    import importlib
+
+    all_oracles = dict(ORACLES)
+    for rnd in (11, 12, 13):
+        mod = f"flink_audit_sessions_example_spark.plans.staged_r{rnd}"
+        try:
+            all_oracles.update(
+                getattr(importlib.import_module(mod), f"STAGED_R{rnd}_ORACLES")
+            )
+        except ModuleNotFoundError as exc:
+            if exc.name != mod:
+                raise  # a transitive import defect, not a retired queue
+    con = duckdb_conn(SF_DIR)
+    try:
+        offenders = {}
+        for key, sql in sorted(all_oracles.items()):
+            bad = [
+                str(t)
+                for t in con.sql(sql).types
+                if "HUGEINT" in str(t).upper()
+            ]
+            if bad:
+                offenders[key] = bad
+    finally:
+        con.close()
+    assert not offenders, (
+        "oracles typing HUGEINT/UHUGEINT columns (cast them to BIGINT — "
+        f"the driver hash distinguishes physical types): {offenders}"
+    )
+
+
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_query_matches_oracle(spark, key):
     # min_rows=1: EVERY registered pair must be non-vacuous — 0 == 0
