@@ -6,11 +6,31 @@ next round's ``_FRONT_KEYS`` is computed, not hand-derived:
 
 - §2 / reference-surface keys keep the strict 2-round invariant
   (re-verify every key whose last driver row is round N−2).
-- Extended keys hash-green in ≥ ``STRETCH_AFTER`` historical windows may
-  stretch to a 3-round cycle; they re-enter the front at their
-  3-round deadline instead.
-- Slots left over go to first registrations from the queue (printed as
-  a count — the queue order lives in ``plans/__init__.py``).
+- Extended keys with a green STREAK ≥ ``STRETCH_AFTER`` stretch to a
+  3-round cycle; they re-enter the front at their 3-round deadline.
+- Extended keys with a green streak ≥ ``STRETCH4_AFTER`` stretch
+  further to a 4-round cycle (the r11 rung — r10 verdict #1: at 135+
+  live keys the 2/3 ladder alone over-subscribes the 50-slot window).
+- Slots left over go first to queue registrations, then to PULL-FORWARD
+  of next round's oldest due keys (printed below) — verifying them a
+  round early desynchronizes the drain cohorts, whose synchronized
+  re-verification waves are what over-subscribe future windows.
+
+Rung calibration (``scripts/simulate_rotation.py`` replays the policy
+against the real CORRECTNESS history, all-green assumption,
+staleness-greedy 50-slot windows with pull-forward): the r10-verdict
+ladder (≥3-streak → 3-round, ≥5 → 4-round) still slips 76 key-rounds
+over r11–r19 because the 36-key r10 drain cohort re-synchronizes at
+strict-2 cadence; (≥1 → 3-round, ≥4 → 4-round) slips ZERO. The ≥1 rung
+is sound because a driver-environment divergence for a given
+(plan, oracle) pair can only surface on its FIRST driver row or after
+the pair CHANGES — r10's sole red row (the HUGEINT oracle typing) was
+exactly a first-row failure — and changed keys re-front-load as
+new/changed while red rows reset the streak and front-load with
+priority 0; unchanged pairs are additionally replayed against DuckDB
+locally on every suite run (tests/test_oracle_parity.py) and before
+every commit (/verify at sf0.01). Core §2 keys stay at strict-2
+regardless: they are the reference surface.
 
 Usage: ``python scripts/window_math.py <next_round>`` from the repo
 root, with ``CORRECTNESS_r0*.json`` present. New/changed keys for the
@@ -29,7 +49,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
-STRETCH_AFTER = 3  # green windows before a key may stretch to 3 rounds
+STRETCH_AFTER = 1  # green streak before a key may stretch to 3 rounds
+STRETCH4_AFTER = 4  # green streak before a key may stretch to 4 rounds
 
 #: reference-surface (§2) keys — never stretched past 2 rounds
 CORE_KEYS = frozenset(
@@ -46,11 +67,14 @@ def classify(
     *,
     core_keys: frozenset = CORE_KEYS,
     stretch_after: int = STRETCH_AFTER,
+    stretch4_after: int = STRETCH4_AFTER,
 ):
     """Pure window arithmetic (unit-tested in tests/test_window_math.py):
-    → (must, may3, failed_last, never) where ``must`` is the strict
-    2-round due list (fresh failures FIRST), ``may3`` the stretched keys
-    at their 3-round deadline, both (last_row, key)-sorted."""
+    → (must, may3, may4, failed_last, never) where ``must`` is the
+    strict 2-round due list (fresh failures FIRST), ``may3``/``may4``
+    the stretched keys at their 3-/4-round deadlines, each
+    (last_row, key)-sorted. The ladder is exclusive by streak depth:
+    a ≥``stretch4_after``-green key lives ONLY on the 4-round cycle."""
     last_row: dict[str, int] = {}
     rows_by_key: dict[str, list[tuple[int, bool]]] = {}
     failed_last: set[str] = set()
@@ -79,6 +103,7 @@ def classify(
 
     must = []   # strict 2-round keys due this round (+ fresh failures)
     may3 = []   # stretchable keys at their 3-round deadline
+    may4 = []   # long-stable keys at their 4-round deadline
     for k in registry:
         if k not in last_row:
             continue  # never-verified: reported via `never`, not `must`
@@ -86,17 +111,20 @@ def classify(
         if k in failed_last:
             must.append((0, k))  # red row: re-verify FIRST, never later
             continue
-        stretchable = (
-            k not in core_keys and green_streak.get(k, 0) >= stretch_after
-        )
-        if not stretchable and lr <= next_round - 2:
-            must.append((lr, k))
-        elif stretchable and lr <= next_round - 3:
-            may3.append((lr, k))
+        streak = green_streak.get(k, 0)
+        if k in core_keys or streak < stretch_after:
+            if lr <= next_round - 2:
+                must.append((lr, k))
+        elif streak < stretch4_after:
+            if lr <= next_round - 3:
+                may3.append((lr, k))
+        elif lr <= next_round - 4:
+            may4.append((lr, k))
     must.sort()
     may3.sort()
+    may4.sort()
     never = [k for k in registry if k not in last_row]
-    return must, may3, failed_last, never
+    return must, may3, may4, failed_last, never
 
 
 def main() -> None:
@@ -109,13 +137,20 @@ def main() -> None:
         m = re.search(r"r(\d+)", os.path.basename(path))
         history[int(m.group(1))] = json.load(open(path))
 
-    must, may3, failed_last, never = classify(registry, history, next_round)
+    must, may3, may4, failed_last, never = classify(
+        registry, history, next_round
+    )
     # never-verified keys lead the prefix (they have NO driver row at
     # all, so they outrank every merely-stale key) and consume slots —
     # pasting the output verbatim must not over-allocate the queue
     # (r9 advice: they were previously printed but excluded from both
     # the prefix and the free-slot arithmetic).
-    front = never + [k for _, k in must] + [k for _, k in may3]
+    front = (
+        never
+        + [k for _, k in must]
+        + [k for _, k in may3]
+        + [k for _, k in may4]
+    )
     free = WINDOW - len(front)
     print(f"# r{next_round} window (size {WINDOW})")
     if failed_last:
@@ -124,6 +159,7 @@ def main() -> None:
         print(f"never-verified keys (front-loaded FIRST): {len(never)}")
     print(f"strict 2-round keys due (incl. red): {len(must)}")
     print(f"3-round-deadline stretched keys due: {len(may3)}")
+    print(f"4-round-deadline long-stable keys due: {len(may4)}")
     print(f"free slots for new/changed + queue registrations: {free}")
     print("\n# proposed _FRONT_KEYS prefix (oldest first):")
     for k in front[:WINDOW]:
@@ -133,22 +169,25 @@ def main() -> None:
             f"# OVERFLOW: {len(front) - WINDOW} due keys beyond the "
             "window — tighten by staleness order above"
         )
-    # staged queues: suggest drains for the free slots, in queue order
-    try:
-        from flink_audit_sessions_example_spark.plans.staged_r11 import (
-            STAGED_R11_QUERIES,
-        )
-        from flink_audit_sessions_example_spark.plans.staged_r12 import (
-            STAGED_R12_QUERIES,
-        )
+    # staged queues: suggest drains for the free slots, in queue order.
+    # Only a MISSING staged module means "queue drained and retired" — a
+    # transitive ModuleNotFoundError raised INSIDE a staged module (e.g.
+    # a typo'd operator import) must surface, not silently report an
+    # empty queue (r10 advice).
+    import importlib
 
-        queue = [
-            k
-            for k in list(STAGED_R11_QUERIES) + list(STAGED_R12_QUERIES)
-            if k not in registry
-        ]
-    except ImportError:  # queues drained and modules retired
-        queue = []
+    queue = []
+    for rnd in (11, 12, 13):
+        mod = f"flink_audit_sessions_example_spark.plans.staged_r{rnd}"
+        try:
+            staged = getattr(
+                importlib.import_module(mod), f"STAGED_R{rnd}_QUERIES"
+            )
+        except ModuleNotFoundError as exc:
+            if exc.name != mod:
+                raise
+            continue  # this queue drained and its module retired
+        queue.extend(k for k in staged if k not in registry)
     if queue and free > 0:
         print(f"\n# drain suggestions for the {free} free slots "
               "(queue order):")
@@ -157,6 +196,30 @@ def main() -> None:
         if len(queue) > free:
             print(f"# {len(queue) - free} more waiting: "
                   f"{queue[free:]}")
+    # pull-forward: slots still spare after the queue go to NEXT round's
+    # oldest due keys — verifying them a round early desynchronizes the
+    # drain cohorts whose waves over-subscribe future windows (see the
+    # module docstring; simulate_rotation.py quantifies it).
+    spare = free - len(queue)
+    if spare > 0:
+        window_now = front[:WINDOW] + queue
+        hyp = dict(history)
+        hyp[next_round] = {k: {"hash_match": True} for k in window_now}
+        m2, y3, y4, _, _ = classify(
+            registry + [k for k in queue if k not in registry],
+            hyp,
+            next_round + 1,
+        )
+        nxt = [
+            k
+            for _, k in sorted(m2 + y3 + y4)
+            if k not in window_now
+        ]
+        if nxt:
+            print(f"\n# pull-forward suggestions for the {spare} spare "
+                  f"slots (r{next_round + 1}'s oldest due keys):")
+            for k in nxt[:spare]:
+                print(f'    "{k}",')
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ def test_strict_two_round_and_stretch():
         8: {"fresh": G, "streak3": G},
         # streak3_due last verified r7 with a 3-green streak
     }
-    must, may3, failed, never = classify(
+    must, may3, may4, failed, never = classify(
         registry, history, 10, core_keys=frozenset(), stretch_after=3
     )
     must_keys = [k for _, k in must]
@@ -44,6 +44,34 @@ def test_strict_two_round_and_stretch():
     assert not failed and not never
 
 
+def test_four_round_rung_for_long_stable_keys():
+    # the r11 ladder rung: ≥stretch4_after-green extended keys move to a
+    # 4-round cycle EXCLUSIVELY (they leave the 3-round list entirely)
+    registry = ["deep_fresh", "deep_due", "mid_streak", "core_deep"]
+    history = {
+        3: {"deep_due": G},
+        4: {"deep_fresh": G, "deep_due": G, "core_deep": G},
+        5: {"deep_fresh": G, "deep_due": G, "core_deep": G},
+        6: {"deep_fresh": G, "deep_due": G, "mid_streak": G, "core_deep": G},
+        7: {"deep_fresh": G, "deep_due": G, "mid_streak": G, "core_deep": G},
+        8: {"deep_fresh": G, "mid_streak": G, "core_deep": G},
+        # deep_due: 5-green streak, last row r7 -> 4-round deadline at r11
+        # deep_fresh: 5-green streak, last row r8 -> not due until r12
+        # mid_streak: 3-green streak -> stays on the 3-round cycle (due r11)
+        # core_deep: 5-green but CORE -> strict 2-round (due r10 already)
+    }
+    must, may3, may4, failed, never = classify(
+        registry, history, 11,
+        core_keys=frozenset({"core_deep"}),
+        stretch_after=3, stretch4_after=5,
+    )
+    assert [k for _, k in may4] == ["deep_due"]
+    assert "deep_fresh" not in [k for _, k in may4]
+    assert [k for _, k in may3] == ["mid_streak"]
+    assert [k for _, k in must] == ["core_deep"]
+    assert not failed and not never
+
+
 def test_red_row_resets_streak_and_front_loads():
     registry = ["went_red"]
     history = {
@@ -51,7 +79,7 @@ def test_red_row_resets_streak_and_front_loads():
         7: {"went_red": G},
         8: {"went_red": R},  # lifetime greens = 2... but latest is RED
     }
-    must, may3, failed, never = classify(
+    must, may3, may4, failed, never = classify(
         registry, history, 9, core_keys=frozenset(), stretch_after=2
     )
     # lifetime green count (2) would have stretched it; the STREAK is 0
@@ -64,7 +92,7 @@ def test_red_row_resets_streak_and_front_loads():
 def test_core_keys_never_stretch():
     registry = ["core1"]
     history = {r: {"core1": G} for r in (5, 6, 7, 8)}
-    must, may3, _, _ = classify(
+    must, may3, may4, _, _ = classify(
         registry, history, 10,
         core_keys=frozenset({"core1"}), stretch_after=3,
     )
@@ -79,7 +107,7 @@ def test_never_verified_detected_and_ordering():
         5: {"older": G},
         6: {"old": G},
     }
-    must, may3, failed, never = classify(
+    must, may3, may4, failed, never = classify(
         registry, history, 8, core_keys=frozenset(), stretch_after=3
     )
     assert never == ["brand_new"]
