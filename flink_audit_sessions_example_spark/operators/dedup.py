@@ -1931,10 +1931,18 @@ def keep_best_per_cluster(
     Plan: one broadcast-eligible join attaching scores to the cluster
     relation (both are id-keyed, orders of magnitude smaller than the
     corpus: only clustered docs appear), then ONE aggregation with an
-    argmax-by-struct — ``max(struct(has_score, score, -id))`` — so the
-    survivor election is a map-side-combining hash agg, never a window
-    over ranked members. Hot clusters (a boilerplate page with 10⁶
-    copies) collapse scan-side to one partial row per task.
+    argmin-by-struct — ``min(struct(unscored, -score, id))``: the
+    boolean leg puts scored members first, the negated score makes the
+    numeric score DESCEND, and the id leg ascends NATIVELY, so the
+    min-id tiebreak works for ANY orderable id type (string doc ids
+    included — negating the id instead would fail analysis on strings,
+    r10 advice #1). ``score_col`` must therefore be NUMERIC (it is the
+    column that gets negated); that matches the quality-signal
+    contract, and the unscored legs compare as NULL == NULL so
+    all-unscored clusters still fall through to the ascending id. The
+    survivor election stays a map-side-combining hash agg, never a
+    window over ranked members. Hot clusters (a boilerplate page with
+    10⁶ copies) collapse scan-side to one partial row per task.
     """
     joined = clusters.join(
         scores.select(
@@ -1943,11 +1951,14 @@ def keep_best_per_cluster(
         clusters[id_col] == F.col("_sid"),
         "left",
     )
-    best = F.max(
+    best = F.min(
         F.struct(
-            F.col("_score").isNotNull().alias("h"),
+            F.col("_score").isNull().alias("u"),
+            (-F.col("_score")).alias("negs"),
+            F.col(id_col).alias("i"),
+            # trailing payload — never reached by the ordering except
+            # when negs already ties, in which case s ties too
             F.col("_score").alias("s"),
-            (-F.col(id_col)).alias("negid"),
         )
     )
     return (
@@ -1958,7 +1969,7 @@ def keep_best_per_cluster(
         )
         .select(
             cluster_col,
-            (-F.col("_best.negid")).alias("keep_id"),
+            F.col("_best.i").alias("keep_id"),
             F.col("_best.s").alias("best_score"),
             "n_members",
         )

@@ -40,11 +40,16 @@ def skyline_2d(
        ``|distinct min_col values|`` rows (a bounded price/size domain
        at any corpus scale), not the input; the O(n) work all happened
        in step 1's distributed aggregate.
-    3. Broadcast the frontier keys back onto the input: survivors are
-       the rows sitting exactly ON a frontier point (both coordinates
+    3. Join the frontier keys back onto the input: survivors are the
+       rows sitting exactly ON a frontier point (both coordinates
        match). The frontier is ≤ the distinct-value count and typically
-       tiny, so the verification join is a broadcast hash join over the
-       original scan — no second shuffle of the data.
+       tiny, so AQE sizes it as the broadcast side of a broadcast hash
+       join over the original scan — no second shuffle of the data. The
+       hint is deliberately NOT forced (r10 advice #4): for a
+       continuous/high-cardinality ``min_col`` domain the frontier is
+       unbounded, and a forced ``F.broadcast`` would be a driver-OOM
+       risk — the same no-forced-hint rule ``incremental_minhash_pairs``
+       follows; AQE broadcasts it whenever it actually fits.
     """
     # rows with a NULL coordinate can neither dominate nor sit on the
     # frontier (dominance is undefined for them) — and Spark's window
@@ -66,4 +71,4 @@ def skyline_2d(
         )
         .select(min_col, F.col("_best").alias(max_col))
     )
-    return df.join(F.broadcast(frontier), on=[min_col, max_col])
+    return df.join(frontier, on=[min_col, max_col])

@@ -93,8 +93,16 @@ def q_xform_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge recomputes only increment-touched keys (anti/semi joins keep
     untouched history out of the window — the incremental_minhash
     shape)."""
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    # ts IS NOT NULL symmetrically with the oracle: a NULL ts fails BOTH
+    # cutoff predicates, so without the explicit filter such rows would
+    # silently vanish from base AND increment while a full-changelog
+    # rebuild keeps them — a latent parity/data-loss divergence if events
+    # ever gains NULL timestamps (r10 advice #2). The oracle mirrors the
+    # WHERE below.
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
     )
     cutoff = F.unix_micros(F.lit(SCD2_CUTOFF).cast("timestamp"))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -125,8 +133,14 @@ def q_xform_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle IS the from-scratch build over the full changelog — the
 # same SQL the live xform_scd2 registration hash-checks, which is the
 # point: two different Spark plans (full rebuild, incremental merge)
-# must land on the identical relation.
-_XFORM_SCD2_MERGE_ORACLE = _XFORM_SCD2_ORACLE
+# must land on the identical relation. Mirrored WHERE: the query's
+# symmetric ts-NOT-NULL filter (see q_xform_scd2_merge) applies to the
+# rebuild too, or NULL-ts rows would appear only on the oracle side.
+if _XFORM_SCD2_ORACLE.count("FROM events") != 1:
+    raise ValueError("xform_scd2 oracle shape changed; fix merge mirror")
+_XFORM_SCD2_MERGE_ORACLE = _XFORM_SCD2_ORACLE.replace(
+    "FROM events", "FROM events WHERE ts IS NOT NULL"
+)
 
 # --------------------------------------------------------------------------
 # dedup_embed_cluster — semantic near-dup groups

@@ -244,8 +244,33 @@ def test_keep_best_no_window_plan(spark):
     tail = final[final.index("HashAggregate(keys=[cluster_id"):] if (
         "HashAggregate(keys=[cluster_id" in final
     ) else final
-    assert "partial_max(struct" in final
+    assert "partial_min(struct" in final
     assert "row_number" not in tail
+
+
+def test_keep_best_string_ids(spark):
+    """The min-id tiebreak must work for NON-numeric id types (r10
+    advice #1: the old arithmetic-negation tiebreak failed analysis on
+    string doc ids): ascending-id leg is native, so string ids order
+    lexicographically."""
+    clusters = spark.createDataFrame(
+        [("doc-b", 1), ("doc-a", 1), ("doc-c", 1), ("doc-z", 2)],
+        "doc_id string, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [("doc-b", 9.0), ("doc-a", 9.0), ("doc-c", 5.0)],
+        "doc_id string, s double",
+    )
+    got = {
+        r.cluster_id: (r.keep_id, r.best_score, r.n_members)
+        for r in keep_best_per_cluster(
+            clusters, scores, score_col="s"
+        ).collect()
+    }
+    # tie at 9.0 -> lexicographically smallest id wins
+    assert got[1] == ("doc-a", 9.0, 3)
+    # all-unscored cluster still elects its min string id
+    assert got[2] == ("doc-z", None, 1)
 
 
 # -- review-round fixes (r10 review) ------------------------------------------

@@ -148,6 +148,10 @@ def test_skyline_ties_and_nulls(spark):
 
 
 def test_skyline_broadcasts_frontier(spark):
+    # AQE sizes the frontier onto the broadcast side — the hint is NOT
+    # forced (r10 advice #4: a forced F.broadcast over an unbounded
+    # continuous min_col domain risks driver OOM); this gate proves the
+    # broadcast still happens when the frontier actually fits
     final = _final_plan(ROUND10_QUERIES["rel_skyline"](spark, SF_DIR))
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final and "CartesianProduct" not in final
