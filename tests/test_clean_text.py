@@ -83,6 +83,55 @@ def test_nfc_composes_decomposed_sequences(spark):
     assert raw[1] != raw[2]  # without NFC they stay distinct
 
 
+def test_nfc_kernel_canary_rejects_broken_pyarrow():
+    """r10 verdict #5 asked for ``pyarrow.compute.utf8_normalize`` to
+    replace the per-element ``unicodedata`` map — but this pyarrow
+    (16.1.0) ships the kernel BROKEN: 'NFC' output is the decomposed
+    sequence (NFD) for every form. The canary must detect that and keep
+    the correct fallback active; were the kernel ever fixed, the canary
+    flips to the vectorized path with no code change."""
+    import pyarrow as pa
+    from pyarrow import compute as pc
+
+    from flink_audit_sessions_example_spark.operators import text as T
+
+    assert hasattr(pc, "utf8_normalize")  # present...
+    kernel_out = pc.utf8_normalize(
+        pa.array(["e\u0301"]), form="NFC"
+    ).to_pylist()[0]
+    # ...and the canary verdict must equal the kernel's actual behavior
+    assert T._nfc_kernel_usable() == (kernel_out == "\xe9")
+
+
+def test_nfc_batch_matches_unicodedata_reference():
+    """Whichever path the canary picks, ``_nfc_batch`` must produce
+    byte-identical canonical NFC to ``unicodedata.normalize``, with NULL
+    propagation. Pandas-batch level — no Spark job needed."""
+    import unicodedata
+
+    import pandas as pd
+
+    from flink_audit_sessions_example_spark.operators.text import _nfc_batch
+
+    samples = [
+        "cafe\u0301 plain",           # decomposed -> composed
+        "caf\xe9 already",            # composed stays
+        "a\u0325\u0301 stacked",      # combining marks canonical-order
+        "d\u0307\u0323 reorder",      # NFC reorders dot-below first
+        "",                           # empty survives
+        None,                         # NULL propagates
+        "ascii only",
+    ]
+    s = pd.Series(samples, dtype=object)
+    vec = [None if not isinstance(x, str) else x for x in _nfc_batch(s)]
+    ref = [
+        None if x is None else unicodedata.normalize("NFC", x)
+        for x in samples
+    ]
+    assert vec == ref
+    assert vec[0] == "caf\xe9 plain"
+
+
 def _dirty_sql_literal(s: str) -> str:
     # embed as a DuckDB string literal: escape single quotes; the
     # non-ASCII chars ride through as UTF-8; C0 controls via chr()
