@@ -1098,10 +1098,11 @@ def pq_codebooks(
     pattern): sub-codebook ``j`` = the j-th slices of the first
     ``n_codes`` corpus vectors in ``(md5(id), id)`` order — data-derived
     but fully reproducible on any engine, which is what makes the
-    encode and the ADC search hash-checkable cross-engine. Production
-    refinement (per-subspace Lloyd iterations over the assignments,
-    exactly :func:`ivf_topk`'s k-means vs seed split) improves
-    placement without changing any downstream topology.
+    encode and the ADC search hash-checkable cross-engine. The
+    production refinement is :func:`pq_codebooks_trained`
+    (per-subspace Lloyd over the assignments, :func:`ivf_topk`'s
+    k-means-vs-seed split): better placement, identical downstream
+    topology.
     """
     if m < 1 or n_codes < 1:
         raise ValueError(f"need m >= 1 and n_codes >= 1; got {m}, {n_codes}")
@@ -1124,6 +1125,70 @@ def pq_codebooks(
         [[float(x) for x in r[0][j * sub : (j + 1) * sub]] for r in seeds]
         for j in range(m)
     ]
+
+
+def pq_codebooks_trained(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    train_iters: int = 5,
+    max_train: int = 4096,
+    seed: int = 7,
+) -> "list[list[list[float]]]":
+    """The PRODUCTION PQ trainer (r10 verdict #7): per-subspace Lloyd
+    iterations, exactly Jégou et al. 2011 §III and what FAISS's
+    ``ProductQuantizer::train`` runs — versus :func:`pq_codebooks`'s
+    deterministic-seed placement, which exists to keep the
+    encode/ADC pipeline DuckDB-hash-checkable. Same downstream
+    topology: the return value feeds :func:`pq_encode` / :func:`pq_topk`
+    unchanged, so this swaps IN at deployment without touching a plan.
+
+    Trainer contract mirrors :func:`ivf_topk`'s k-means: a
+    deterministic hash-ordered sample (``orderBy(xxhash64(id, seed))
+    .limit(max_train)`` — a distributed top-k; the driver only ever
+    holds ``max_train`` vectors no matter the corpus size), then per
+    subspace: init = the sample's first ``n_codes`` subvectors, Lloyd
+    step = argmin-squared-distance assignment (``_pq_subdists`` — the
+    SAME kernel the encoder uses, so training optimizes exactly the
+    quantizer being deployed) followed by member means; a cluster left
+    empty keeps its previous centroid (deterministic, the standard
+    Lloyd fallback). Quantization MSE is non-increasing per iteration —
+    ``tests/test_pq.py`` pins trained ≤ seed distortion and the recall
+    table in SCALING.md §r11 quantifies the placement win."""
+    import numpy as np
+
+    if m < 1 or n_codes < 1:
+        raise ValueError(f"need m >= 1 and n_codes >= 1; got {m}, {n_codes}")
+    sample = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(max_train)
+        .collect()
+    )
+    if len(sample) < n_codes:
+        raise ValueError(
+            f"corpus has only {len(sample)} vectors for {n_codes} codes"
+        )
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in sample])
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"m ({m}) must divide the dimension ({dim})")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        C = X[:n_codes, j * sub : (j + 1) * sub].copy()
+        for _ in range(train_iters):
+            assign = np.argmin(_pq_subdists(X, C, j, sub), axis=1)
+            for c in range(n_codes):
+                members = X[assign == c, j * sub : (j + 1) * sub]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
 
 
 def _pq_subdists(V, C_j, j: int, sub: int):
@@ -1333,5 +1398,130 @@ def pq_topk(
             "neighbor_id",
             "rank",
             F.round("adist", 6).alias("adist"),
+        )
+    )
+
+
+def knn_graph(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    blocks: int = 8,
+) -> DataFrame:
+    """``sim_knn_graph`` — the EXACT cosine k-nearest-neighbor graph of
+    the whole corpus: ``(src_id, neighbor_id, rank, sim)``, each
+    vector's top-``k`` neighbors (self excluded). THE artifact graph
+    clustering, kNN-classification, UMAP-style layout and
+    connectivity-based dedup all start from — ``sim_topk`` answers a
+    bounded QUERY set against the corpus; this is corpus × corpus.
+
+    Same blocked-BLAS frame as :func:`cosine_pairs_above` (every
+    unordered pair meets in exactly ONE block-pair group; shuffle is
+    n·B replication rows, never n²), plus the standard distributed
+    top-k refinement: each group emits each member's LOCAL top-k among
+    the group's counterpart vectors — a superset of its global top-k
+    contributions from that group, so the union over a vector's B
+    groups provably contains its true top-k — and one
+    WindowGroupLimit-able ranked window collapses the ≤ n·B·k candidate
+    rows to the final graph. Per-task work is one dense matmul
+    (memory-bandwidth-bound); candidate volume is k-bounded, NOT
+    threshold-dependent — the reason this beats running
+    ``cosine_pairs_above`` at a low threshold and ranking afterward.
+
+    Ranking determinism: both the local selection and the global window
+    rank by ``(round(sim, 6) DESC, neighbor_id ASC)`` — the 6dp
+    quantization makes the order robust to last-ulp float-sum noise
+    (BLAS reorders additions), so an engine computing the same cosines
+    by sequential fold (the DuckDB oracle) ranks identically. At 100 TB
+    sizing: ``blocks`` grows so a block-pair fits executor memory
+    (work per task ~ (n/B)²·dim); replication factor B keeps shuffle
+    linear.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(blocks))
+    tagged = vectors.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("blk", blk)
+    memberships = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(o)).alias("ga"),
+                F.greatest(F.col("blk"), F.lit(o)).alias("gb"),
+                F.when(F.col("blk") <= o, F.lit("a"))
+                .otherwise(F.lit("b"))
+                .alias("side"),
+            )
+            for o in range(blocks)
+        ]
+    )
+    exploded = tagged.select(
+        "id", "v", F.explode(memberships).alias("m")
+    ).select("id", "v", "m.ga", "m.gb", "m.side")
+
+    def _unit(rows: "pd.Series") -> "np.ndarray":
+        return _unit_rows(np.array(rows.tolist(), dtype=np.float64))
+
+    def _local_topk(src_ids, dst_ids, sims):
+        """Per source row of ``sims`` (rounded 6dp), its top-k among
+        dst_ids by (sim DESC, dst ASC) — the same criterion the global
+        window applies, so local pruning never drops a global winner."""
+        out_src, out_dst, out_sim = [], [], []
+        kk = min(k, sims.shape[1])
+        for i in range(len(src_ids)):
+            row = sims[i]
+            order = np.lexsort((dst_ids, -row))[:kk]
+            out_src.extend([src_ids[i]] * len(order))
+            out_dst.extend(dst_ids[order])
+            out_sim.extend(row[order])
+        return out_src, out_dst, out_sim
+
+    def cands(key, pdf):
+        ga, gb = key
+        empty = pd.DataFrame({"src_id": [], "neighbor_id": [], "sim": []})
+        a = pdf[pdf["side"] == "a"]
+        ids_a = a["id"].to_numpy(dtype=np.int64)
+        if ga == gb:
+            if len(ids_a) < 2:
+                return empty
+            ma = _unit(a["v"])
+            sims = np.round(ma @ ma.T, 6)
+            np.fill_diagonal(sims, -np.inf)  # self never a neighbor
+            s, d, v = _local_topk(ids_a, ids_a, sims)
+        else:
+            b = pdf[pdf["side"] == "b"]
+            ids_b = b["id"].to_numpy(dtype=np.int64)
+            if len(ids_a) == 0 or len(ids_b) == 0:
+                return empty
+            sims = np.round(_unit(a["v"]) @ _unit(b["v"]).T, 6)
+            s1, d1, v1 = _local_topk(ids_a, ids_b, sims)
+            s2, d2, v2 = _local_topk(ids_b, ids_a, sims.T)
+            s, d, v = s1 + s2, d1 + d2, v1 + v2
+        out = pd.DataFrame({"src_id": s, "neighbor_id": d, "sim": v})
+        # a group smaller than k can let the -inf self sentinel into a
+        # local top-k; it is never a real candidate
+        return out[np.isfinite(out["sim"])]
+
+    from pyspark.sql.window import Window
+
+    cand = exploded.groupBy("ga", "gb").applyInPandas(
+        cands, "src_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "src_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "sim",
         )
     )

@@ -13,6 +13,7 @@ from conftest import SF_DIR
 from flink_audit_sessions_example_spark.operators.similarity import (
     ivf_probe_candidates,
     pq_codebooks,
+    pq_codebooks_trained,
     pq_encode,
     pq_topk,
 )
@@ -132,6 +133,66 @@ def test_ivf_pq_composite_and_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def _quantization_mse(spark, emb, cbs):
+    """Mean squared reconstruction error of the codebooks over the
+    corpus — the objective Lloyd minimizes. Independent formulation
+    (pure python over collected rows; the fixture corpus is small)."""
+    rows = [list(r.embedding) for r in emb.collect()]
+    sub = len(cbs[0][0])
+    total = 0.0
+    for v in rows:
+        for j in range(len(cbs)):
+            dists = [
+                sum(
+                    (float(v[j * sub + i]) - c[i]) ** 2
+                    for i in range(sub)
+                )
+                for c in cbs[j]
+            ]
+            total += min(dists)
+    return total / len(rows)
+
+
+def test_trained_codebooks_beat_seed_distortion(spark):
+    """pq_codebooks_trained (per-subspace Lloyd — r10 verdict #7): the
+    trained books' quantization MSE must not exceed the deterministic
+    seed books' (Lloyd never increases the objective from any init, and
+    both see the same corpus); shapes and the downstream contract stay
+    identical; the trainer is deterministic for a fixed seed."""
+    emb = _emb(spark)
+    seed_cbs = pq_codebooks(emb, m=M, n_codes=NCODES)
+    trained = pq_codebooks_trained(emb, m=M, n_codes=NCODES)
+    assert len(trained) == M
+    assert all(len(cb) == NCODES for cb in trained)
+    assert all(len(c) == len(seed_cbs[0][0]) for cb in trained for c in cb)
+    mse_seed = _quantization_mse(spark, emb, seed_cbs)
+    mse_trained = _quantization_mse(spark, emb, trained)
+    assert mse_trained <= mse_seed, (mse_trained, mse_seed)
+    # strictly better on this corpus (not a degenerate tie)
+    assert mse_trained < mse_seed * 0.95
+    # deterministic: the trainer re-runs to the identical books
+    assert trained == pq_codebooks_trained(emb, m=M, n_codes=NCODES)
+    # and more Lloyd never hurts: 5 iters <= 1 iter distortion
+    one_iter = pq_codebooks_trained(emb, m=M, n_codes=NCODES, train_iters=1)
+    assert mse_trained <= _quantization_mse(spark, emb, one_iter) + 1e-12
+
+
+def test_trained_codebooks_drive_the_same_pipeline(spark):
+    """The trained books feed pq_encode/pq_topk unchanged — the planted
+    exact duplicate still shares its query's codes and ranks first."""
+    import pyspark.sql.functions as F
+
+    emb = _emb(spark)
+    dup = emb.where("vec_id = 3").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    cbs = pq_codebooks_trained(corpus, m=M, n_codes=NCODES)
+    codes = pq_encode(corpus, cbs)
+    out = pq_topk(codes, corpus.where("vec_id = 3"), cbs, k=3).collect()
+    assert out[0].neighbor_id == 100003 and out[0].rank == 1
+
+
 def test_validation(spark):
     emb = _emb(spark)
     with pytest.raises(ValueError, match="divide"):
@@ -140,3 +201,9 @@ def test_validation(spark):
         pq_codebooks(emb, m=0, n_codes=4)
     with pytest.raises(ValueError, match="only"):
         pq_codebooks(emb.limit(3), m=8, n_codes=16)
+    with pytest.raises(ValueError, match="divide"):
+        pq_codebooks_trained(emb, m=7, n_codes=4)
+    with pytest.raises(ValueError, match="m >= 1"):
+        pq_codebooks_trained(emb, m=0, n_codes=4)
+    with pytest.raises(ValueError, match="only"):
+        pq_codebooks_trained(emb.limit(3), m=8, n_codes=16)
