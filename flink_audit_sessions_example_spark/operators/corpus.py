@@ -951,3 +951,65 @@ def repeat_epochs(
         F.sequence(F.lit(0), n_copies - 1),
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(copy_col, F.explode(copies))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """``corpus_mixture_sample`` — temperature-smoothed source mixture:
+    downsample each source so the corpus distribution flattens toward
+    uniform with exponent α = 0.5 — the multilingual-LM sampling
+    classic (the ``p_i^α / Σ p_j^α`` smoothing of mBERT/XLM-R lineage,
+    Conneau & Lample 2019), anchored so the SMALLEST source keeps
+    everything and no source upsamples: ``keep_rate(g) =
+    sqrt(n_min / n_g)``. Head sources (CommonCrawl-sized) shrink by the
+    square root of their dominance; tail sources (the curated sliver
+    that matters) survive intact — the mixture a pretraining run
+    actually wants, produced as a FILTER, not a shuffle.
+
+    α is FIXED at 0.5 deliberately: ``sqrt`` is a correctly-rounded
+    IEEE-754 operation, so ``sqrt(n_min/n_g)`` is bit-identical in
+    Spark, DuckDB and any IEEE engine — an arbitrary-α ``pow`` rides
+    libm and is banned from the hash path (the tfidf no-log rule).
+
+    Determinism: a doc's draw is :func:`~.text.md5_draw` of
+    ``id:salt`` — content-addressed, so membership is reproducible
+    run-to-run and engine-to-engine, and re-running after appending new
+    docs never flips an old doc's verdict (only rates move). Keep iff
+    ``draw < keep_rate · 2³²`` (double compare; the draw integer is
+    ≤ 2³², exact in a double).
+
+    Plan: one tiny aggregation (per-source counts — map-side combined,
+    O(|sources|) rows), a 1-row min, then the rates BROADCAST back onto
+    the corpus scan as a filter: the data path is scan → filter, zero
+    data shuffle. The broadcast side is bounded by the SOURCE DOMAIN
+    (a curated registry, never corpus-sized) — the forced hint is safe
+    here, unlike the skyline frontier. Output: the kept rows with
+    ``keep_rate`` attached (6dp — itself hash-checkable).
+    """
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        group_col,
+        F.sqrt(
+            F.col("_n_min").cast("double") / F.col("_n").cast("double")
+        ).alias("_rate"),
+    )
+    draw = md5_draw(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .where(draw.cast("double") < F.col("_rate") * F.lit(4294967296.0))
+        .select(
+            id_col,
+            group_col,
+            F.round(F.col("_rate"), 6).alias("keep_rate"),
+        )
+    )

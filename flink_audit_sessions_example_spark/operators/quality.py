@@ -118,3 +118,60 @@ def expectations_audit(
         F.col("_rows").alias("rows_checked"),
         "violations",
     )
+
+
+def freshness_audit(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    sla_hours: int,
+) -> DataFrame:
+    """``dq_freshness`` — per-key data-freshness audit: for every key,
+    the last observed timestamp, its staleness against the NEWEST
+    timestamp anywhere in the relation, and the SLA verdict. Output
+    ``(key, last_ts, staleness_hours, is_stale)`` — the "which feeds
+    stopped updating" check every ingestion pipeline runs (the
+    freshness half of the referential/expectations audit family).
+
+    The anchor is data-derived (global ``max(ts)``) rather than
+    wall-clock ``now()`` — deliberately: the relation stays a pure
+    function of its input (reproducible, hash-checkable, the engine's
+    no-``Date.now()`` rule), and in practice batch freshness is always
+    judged against the batch's own high-water mark. ``staleness_hours``
+    is INTEGER arithmetic end-to-end (microsecond difference, integer
+    division by 3.6e9) — exact in any engine; the SLA compare is
+    strict ``>``.
+
+    Plan: one map-side-combining ``groupBy(key).max(ts)`` (the only
+    event-volume stage, shuffling O(keys) rows), then the 1-row global
+    anchor — itself an aggregate OVER THE PER-KEY MAXES, not a second
+    scan — broadcast back via the engine's 1-row crossJoin idiom. NULL
+    timestamps never advance ``max``; keys with ONLY NULL timestamps
+    are maximally stale by definition and surface with NULL ``last_ts``
+    and NULL staleness but ``is_stale = true`` (a feed that never
+    produced a valid timestamp is exactly what the audit must flag,
+    not drop).
+    """
+    if sla_hours < 1:
+        raise ValueError(f"sla_hours must be >= 1; got {sla_hours}")
+    per_key = df.groupBy(key_col).agg(F.max(ts_col).alias("last_ts"))
+    anchor = per_key.agg(F.max("last_ts").alias("_anchor"))
+    # NTZ cast (the unix_micros gotcha); FLOOR the double division on
+    # both engines, never bare double->bigint cast (Spark truncates,
+    # DuckDB rounds) — exact for the same reason as gap_sessions
+    staleness = F.floor(
+        (
+            F.unix_micros(F.col("_anchor").cast("timestamp"))
+            - F.unix_micros(F.col("last_ts").cast("timestamp"))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    return per_key.crossJoin(F.broadcast(anchor)).select(
+        key_col,
+        "last_ts",
+        staleness.alias("staleness_hours"),
+        F.when(F.col("last_ts").isNull(), F.lit(True))
+        .otherwise(staleness > F.lit(sla_hours))
+        .alias("is_stale"),
+    )

@@ -461,3 +461,155 @@ def ohlc_resample(
             "v_sum",
         )
     )
+
+
+def gap_sessions(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """``win_gap_sessions`` — gap-based sessionization: one row per
+    (key, session), where a session is a maximal run of the key's
+    events with no inter-event silence STRICTLY longer than
+    ``gap_minutes``. Output ``(key, session_seq, session_start,
+    session_end, n_events, duration_secs)`` — ``session_seq`` numbers a
+    key's sessions 1..n in time order.
+
+    This is the batch relation behind the reference's session windows
+    (flink-audit-sessions-example `App.java` keys by user and windows
+    with a session gap — reference `App.java:79-110`): the reference
+    EMITS per-window aggregates on a stream; this operator materializes
+    the same gap semantics as a table, the form analytics and
+    feature pipelines join against. The engine's streaming twin remains
+    ``operators/sessionize.py`` (same gap contract, watermarked).
+
+    Boundary semantics pinned cross-engine: the silence comparison is
+    on INTEGER microseconds (``unix_micros``) with a STRICT ``>`` —
+    an event exactly ``gap_minutes`` after its predecessor continues
+    the session; ``duration_secs`` is integer-division micros, exact in
+    any engine. NULL timestamps are excluded up front (no position in
+    time ⇒ no session; also Spark windows sort NULLS FIRST where DuckDB
+    defaults LAST — exclusion keeps the relation engine-portable, the
+    skyline rule).
+
+    Plan — ONE keyed exchange carries everything: the lag and the
+    running session-index sum share the same ``(key × ts)`` window
+    spec, so Catalyst plans a single Exchange + Sort; the closing
+    ``groupBy(key, session_seq)`` reuses that hash partitioning (key ⊂
+    grouping — subset clustering, no second exchange). Equal-timestamp
+    events need no tiebreak: their lag difference is 0 ≤ gap under ANY
+    order among the ties, so session assignment is order-invariant.
+    Skew: a hot key's rows DO colocate (windows need that); the state
+    per row is one lag + one running int — no per-key buffering.
+    """
+    if gap_minutes < 1:
+        raise ValueError(f"gap_minutes must be >= 1; got {gap_minutes}")
+    gap_us = gap_minutes * 60_000_000
+    # cast: parquet NTZ timestamps reject unix_micros directly; with the
+    # engine's UTC session the cast is wall-clock-identity, matching
+    # DuckDB's epoch_us on the NTZ value
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us)
+    silence = us - F.lag(us).over(w)
+    flag = F.when(silence > gap_us, F.lit(1)).otherwise(F.lit(0))
+    sessions = (
+        events.where(F.col(ts_col).isNotNull())
+        .withColumn("_new", flag)
+        .withColumn(
+            "session_seq",
+            (F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ) + 1).cast("bigint"),
+        )
+    )
+    return (
+        sessions.groupBy(key_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            # FLOOR the double division on BOTH engines, never bare
+            # double->bigint cast (Spark's cast truncates, DuckDB's
+            # rounds — the engine's div-cast gotcha). Exact here: the
+            # micro diff is an integer < 2^53, so when it is a whole
+            # multiple of 1e6 the division is exact, and otherwise the
+            # sub-integer remainder keeps the double strictly below the
+            # next integer (1 ulp can't bridge >= 1e-6 at these scales).
+            F.floor(
+                (F.max(us) - F.min(us)) / F.lit(1_000_000)
+            ).cast("bigint").alias("duration_secs"),
+        )
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """``win_transitions`` — the first-order Markov transition matrix of
+    an event stream: for each ordered pair of event types, how often a
+    key's event of ``from_type`` is IMMEDIATELY followed by one of
+    ``to_type``, with the row-conditional probability. Output
+    ``(from_type, to_type, n_transitions, p)`` — the
+    behavioral-analytics artifact behind "what do users do after an
+    error" and the transition prior sequence models get initialized
+    from (the funnel/pattern operators answer "does path X happen";
+    this is the full conditional matrix).
+
+    Determinism: consecutive-pair extraction depends on the TOTAL order
+    of a key's events, so ties on ``ts_col`` break by
+    ``tiebreak_cols`` (required — an untiebroken lead would make the
+    matrix run-dependent). ``p`` is one double division rounded to 6dp
+    (hash-stable); counts are exact integers.
+
+    Plan: one keyed exchange for the ``(key × (ts, tiebreaks))`` lead
+    window over a projection of just the needed columns; the pair count
+    is a map-side-combining hash agg over O(|types|²) groups; the
+    conditional divides by a broadcast-joined per-``from_type`` total
+    (two more exchanges, both over the tiny type-pair relation —
+    never the event volume).
+    """
+    if not tiebreak_cols:
+        raise ValueError(
+            "tiebreak_cols is required: equal-timestamp events would "
+            "otherwise make the transition pairs run-dependent"
+        )
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .select(key_col, ts_col, *tiebreak_cols, type_col)
+        .withColumn("_next", F.lead(type_col).over(w))
+        .where(F.col("_next").isNotNull())
+        .select(
+            F.col(type_col).alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("p"),
+        )
+    )
