@@ -991,7 +991,13 @@ def mixture_sample(
     here, unlike the skyline frontier. Output: the kept rows with
     ``keep_rate`` attached (6dp — itself hash-checkable).
     """
-    counts = docs.groupBy(group_col).agg(
+    # NULL-group rows are excluded SYMMETRICALLY: a doc without a group
+    # has no mixture share to rebalance, and counting it (groupBy keeps
+    # a NULL group that the equi-join below could never match) would
+    # let a phantom group set n_min and distort every real group's rate
+    # (review r11 #1)
+    grouped = docs.where(F.col(group_col).isNotNull())
+    counts = grouped.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("_n")
     )
     n_min = counts.agg(F.min("_n").alias("_n_min"))
@@ -1005,7 +1011,7 @@ def mixture_sample(
         F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
     )
     return (
-        docs.join(F.broadcast(rates), group_col)
+        grouped.join(F.broadcast(rates), group_col)
         .where(draw.cast("double") < F.col("_rate") * F.lit(4294967296.0))
         .select(
             id_col,

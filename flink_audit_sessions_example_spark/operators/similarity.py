@@ -1444,8 +1444,17 @@ def knn_graph(
 
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
+    if blocks < 1:
+        # blocks=0 would silently build a zero-membership array and
+        # return an empty graph — fail loudly like k does (review r11)
+        raise ValueError(f"blocks must be >= 1; got {blocks}")
     blk = F.pmod(F.xxhash64(F.col("id")), F.lit(blocks))
-    tagged = vectors.where(F.col(vec_col).isNotNull()).select(
+    # NULL ids excluded like NULL vectors: a NULL id would crash the
+    # Arrow int64 conversion mid-job on one engine while the oracle's
+    # equi-join silently drops it on the other (review r11)
+    tagged = vectors.where(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("blk", blk)
     memberships = F.array(

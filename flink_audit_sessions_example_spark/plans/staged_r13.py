@@ -98,7 +98,8 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORPUS_MIXTURE_ORACLE = """
 WITH c AS (
-  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
 ), m AS (
   SELECT MIN(n) AS n_min FROM c
 ), r AS (

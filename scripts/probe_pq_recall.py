@@ -49,17 +49,24 @@ def main() -> None:
     for r in brute_force_topk(emb, queries, k=k).collect():
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
 
-    rows = [list(r.embedding) for r in emb.collect()]
+    from flink_audit_sessions_example_spark.operators.similarity import (
+        _pq_subdists,
+    )
+
+    X = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
 
     def mse(cbs) -> float:
-        X = np.array(rows, dtype=np.float64)
+        # built on the SAME kernel the encoder deploys (_pq_subdists) —
+        # no third formulation of the objective to drift from the one
+        # the pipeline and its tests already trust (review r11 #5; the
+        # test-side python reference stays deliberately independent)
         sub = len(cbs[0][0])
         total = np.zeros(len(X))
         for j in range(len(cbs)):
-            C = np.array(cbs[j], dtype=np.float64)
-            S = X[:, j * sub : (j + 1) * sub]
-            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            total += d.min(axis=1)
+            C = np.asarray(cbs[j], dtype=np.float64)
+            total += _pq_subdists(X, C, j, sub).min(axis=1)
         return float(total.mean())
 
     print(f"# sf_dir={sf_dir} corpus={len(rows)} queries={len(truth)} k={k}")

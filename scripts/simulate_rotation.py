@@ -111,20 +111,13 @@ def main() -> None:
 
     # model the POST-drain registry: staged-queue keys consume future
     # slots the moment they register, so capacity planning must include
-    # them (same queue discovery as window_math.main)
-    import importlib
+    # them (glob discovery shared with window_math — plans/staging.py)
+    from flink_audit_sessions_example_spark.plans.staging import (
+        staged_queues,
+    )
 
     registry = list(queries())
-    for rnd in (11, 12, 13):
-        mod = f"flink_audit_sessions_example_spark.plans.staged_r{rnd}"
-        try:
-            staged = getattr(
-                importlib.import_module(mod), f"STAGED_R{rnd}_QUERIES"
-            )
-        except ModuleNotFoundError as exc:
-            if exc.name != mod:
-                raise
-            continue
+    for _rnd, staged, _oracles in staged_queues():
         registry.extend(k for k in staged if k not in registry)
     history = load_history()
     print(f"# ladder calibration over {rounds} rounds, "

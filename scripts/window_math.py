@@ -170,23 +170,15 @@ def main() -> None:
             "window — tighten by staleness order above"
         )
     # staged queues: suggest drains for the free slots, in queue order.
-    # Only a MISSING staged module means "queue drained and retired" — a
-    # transitive ModuleNotFoundError raised INSIDE a staged module (e.g.
-    # a typo'd operator import) must surface, not silently report an
-    # empty queue (r10 advice).
-    import importlib
+    # Glob-discovered (plans/staging.py) so a new staged_r<N>.py is
+    # covered the day it lands and import errors inside one PROPAGATE
+    # instead of reading as an empty queue (r10 advice / r11 review).
+    from flink_audit_sessions_example_spark.plans.staging import (
+        staged_queues,
+    )
 
     queue = []
-    for rnd in (11, 12, 13):
-        mod = f"flink_audit_sessions_example_spark.plans.staged_r{rnd}"
-        try:
-            staged = getattr(
-                importlib.import_module(mod), f"STAGED_R{rnd}_QUERIES"
-            )
-        except ModuleNotFoundError as exc:
-            if exc.name != mod:
-                raise
-            continue  # this queue drained and its module retired
+    for _rnd, staged, _oracles in staged_queues():
         queue.extend(k for k in staged if k not in registry)
     if queue and free > 0:
         print(f"\n# drain suggestions for the {free} free slots "

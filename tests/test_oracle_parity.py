@@ -33,18 +33,13 @@ def test_no_oracle_produces_hugeint():
     # waits). `.types` only plans/binds the relation — no execution.
     from oracle_utils import duckdb_conn
 
-    import importlib
+    from flink_audit_sessions_example_spark.plans.staging import (
+        staged_queues,
+    )
 
     all_oracles = dict(ORACLES)
-    for rnd in (11, 12, 13):
-        mod = f"flink_audit_sessions_example_spark.plans.staged_r{rnd}"
-        try:
-            all_oracles.update(
-                getattr(importlib.import_module(mod), f"STAGED_R{rnd}_ORACLES")
-            )
-        except ModuleNotFoundError as exc:
-            if exc.name != mod:
-                raise  # a transitive import defect, not a retired queue
+    for _rnd, _queries, oracles in staged_queues():
+        all_oracles.update(oracles)
     con = duckdb_conn(SF_DIR)
     try:
         offenders = {}

@@ -127,6 +127,23 @@ def test_mixture_sample_zero_shuffle_data_path(spark):
     assert "SortMergeJoin" not in final and "CartesianProduct" not in final
 
 
+def test_mixture_sample_null_group_excluded_symmetrically(spark):
+    """A NULL-group doc has no mixture share: it must neither survive
+    sampling NOR count into the per-group sizes (a phantom NULL 'group'
+    setting n_min would distort every real group's rate — review r11)."""
+    rows = (
+        [(i, "big") for i in range(300)]
+        + [(1000 + i, "small") for i in range(100)]
+        + [(2000 + i, None) for i in range(10)]  # smaller than 'small'
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df).collect()
+    rates = {r.source: r.keep_rate for r in out}
+    assert None not in rates             # NULL-group docs never emitted
+    assert rates["small"] == 1.0         # n_min is 100, NOT the NULL 10
+    assert rates["big"] == pytest.approx((100 / 300) ** 0.5, abs=1e-6)
+
+
 # -- freshness ----------------------------------------------------------------
 
 
@@ -201,6 +218,29 @@ def test_knn_graph_exact_vs_bruteforce(spark):
     assert len(got) == n * k
     with pytest.raises(ValueError, match="k must be"):
         knn_graph(df, k=0)
+    with pytest.raises(ValueError, match="blocks must be"):
+        # blocks=0 used to silently return an empty graph (review r11)
+        knn_graph(df, k=2, blocks=0)
+
+
+def test_knn_graph_null_id_and_null_vector_excluded(spark):
+    """NULL ids crashed the Arrow int64 conversion mid-job while the
+    oracle's equi-join silently dropped them (review r11): both NULL
+    ids and NULL vectors are now excluded up front on both engines."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (None, [1.0, 0.0]),   # NULL id
+            (3, None),            # NULL vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_graph(df, k=2, blocks=2).collect()
+    ids = {r.src_id for r in out} | {r.neighbor_id for r in out}
+    assert None not in ids and 3 not in ids
+    assert {r.src_id for r in out} == {0, 1, 2}
 
 
 def test_knn_graph_candidate_volume_is_k_bounded(spark):

@@ -30,3 +30,18 @@ def test_staged_r13_sets_are_consistent():
 def test_staged_r13_pair_matches_duckdb_and_is_nonvacuous(spark, key):
     df = STAGED_R13_QUERIES[key](spark, SF_DIR)
     assert_parity(df, STAGED_R13_ORACLES[key], SF_DIR, min_rows=1)
+
+
+def test_staged_queue_discovery_covers_all_modules():
+    """plans/staging.py glob discovery (review r11 #2): every
+    staged_r<N>.py present is yielded with consistent query/oracle key
+    sets — the HUGEINT gate, window math and the capacity simulator all
+    iterate THIS, so a new queue is covered the day its module lands."""
+    from flink_audit_sessions_example_spark.plans.staging import (
+        staged_queues,
+    )
+
+    found = {rnd: (q, o) for rnd, q, o in staged_queues()}
+    assert 13 in found  # this round's queue is discoverable
+    for rnd, (q, o) in found.items():
+        assert set(q) == set(o), f"r{rnd} queue/oracle key mismatch"
