@@ -1,0 +1,124 @@
+"""Market-basket association mining.
+
+``association_rules`` — size-2 association rules (the Apriori-1 /
+frequent-pair tier: the workhorse of recommendation seeds, "customers
+who bought X", and feature co-occurrence screens) with exact support,
+confidence and lift. The engine's ``rel_copurchase`` relation is the
+pair-COUNT half of this; rules add the directional conditional
+(confidence) and the independence-normalized strength (lift), which is
+what actually ranks a pair's usefulness — raw pair counts just rank
+popular items.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import bounded_posting_lists
+
+
+def association_rules(
+    baskets: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket_size: "int | None" = 256,
+) -> DataFrame:
+    """Directional size-2 rules ``antecedent → consequent`` over a
+    ``(basket, item)`` relation. Output ``(antecedent, consequent,
+    n_pair, n_antecedent, n_consequent, support, confidence, lift)``:
+    support = n_pair/N baskets, confidence = n_pair/n_antecedent, lift
+    = confidence / (n_consequent/N) — all exact counting ratios, one
+    IEEE division each (products computed in DOUBLE: two bigint counts
+    can overflow a long multiply — the engine's long*long rule), each
+    rounded to 6dp. Both directions of a pair are emitted (rules are
+    directional; their confidences differ).
+
+    Plan — the pairs-from-postings pattern (``rel_copurchase``'s
+    shape), never a self-join: distinct (basket, item) collapses
+    map-side; :func:`~.dedup.bounded_posting_lists` builds per-basket
+    sorted item lists with the aggregation BUFFER itself capped
+    (``max_basket_size`` — a degenerate everything-basket would
+    otherwise be one OOM-sized buffer row); unordered pairs are emitted
+    in-place from each list and counted (map-side combine); item
+    supports and the basket total are two more counting aggregations,
+    all broadcast back onto the pair relation. The only corpus-sized
+    shuffles carry (basket, item) distinct rows and pair-count partials.
+    """
+    b = F.col(basket_col)
+    it = F.col(item_col)
+    distinct = (
+        baskets.where(b.isNotNull() & it.isNotNull())
+        .select(b.alias("_basket"), it.alias("_item"))
+        .distinct()
+    )
+    n_baskets = distinct.select("_basket").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_baskets")
+    )
+    item_support = distinct.groupBy("_item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_item")
+    )
+    lists = bounded_posting_lists(
+        distinct,
+        ["_basket"],
+        "_item",
+        max_size=max_basket_size,
+        min_size=2,
+    )
+    # in-place unordered pair emission from the sorted list: i < j
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("_p")
+    ).select(F.col("_p.a").alias("_a"), F.col("_p.b").alias("_b"))
+    pair_counts = (
+        pairs.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    # directional: each unordered pair yields both rules
+    directed = pair_counts.select(
+        F.col("_a").alias("antecedent"),
+        F.col("_b").alias("consequent"),
+        "n_pair",
+    ).unionByName(
+        pair_counts.select(
+            F.col("_b").alias("antecedent"),
+            F.col("_a").alias("consequent"),
+            "n_pair",
+        )
+    )
+    ante = item_support.select(
+        F.col("_item").alias("antecedent"),
+        F.col("_n_item").alias("n_antecedent"),
+    )
+    cons = item_support.select(
+        F.col("_item").alias("consequent"),
+        F.col("_n_item").alias("n_consequent"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        directed.join(F.broadcast(ante), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            "n_antecedent",
+            "n_consequent",
+            F.round(d("n_pair") / d("_n_baskets"), 6).alias("support"),
+            F.round(d("n_pair") / d("n_antecedent"), 6).alias("confidence"),
+            F.round(
+                (d("n_pair") * d("_n_baskets"))
+                / (d("n_antecedent") * d("n_consequent")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -158,3 +158,56 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """``graph_triangles`` — per-node triangle participation counts over
+    an undirected graph given as CANONICAL edges (``src < dst``, one row
+    per unordered pair — the near-dup pair relations' native shape).
+    Output ``(node, n_triangles)``, nodes in ≥1 triangle only. The
+    cluster-density / community-cohesion primitive: near-dup clusters
+    that are cliques (every member pairwise similar) are true duplicate
+    groups, while triangle-free stars are usually threshold artifacts —
+    and on co-occurrence graphs triangles are the classic
+    clustering-coefficient numerator.
+
+    Plan — the ordered-wedge join (the id-ordering plays the role of
+    the classic degree-ordering orientation): each triangle a<b<c is
+    found EXACTLY ONCE as wedge (a→b, b→c) closed by edge (a→c), so
+    two equi-joins on the edge relation, no direction explosion, no
+    dedup pass. Then one Expand-style union charges the triangle to
+    each of its three corners and a counting aggregation collapses.
+    Shuffle: both joins key on edge endpoints — O(E) rows each; the
+    wedge stream is Σ_b deg⁺(b)·deg⁻(b), the standard bound, kept
+    honest upstream by the pair relations' df/band caps (this engine's
+    near-dup graphs bound degree by construction). For a general
+    power-law graph at 100 TB the production refinement is re-orienting
+    by (degree, id) instead of raw id — same plan shape, provably
+    O(E^1.5) wedges (Schank & Wagner 2005); id-orientation is kept here
+    because it is what the cross-engine oracle can reproduce exactly.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    wedge = e.alias("e1").join(
+        e.alias("e2"), F.col("e1._d") == F.col("e2._s")
+    ).select(
+        F.col("e1._s").alias("_a"),
+        F.col("e1._d").alias("_b"),
+        F.col("e2._d").alias("_c"),
+    )
+    tri = wedge.join(
+        e.alias("e3"),
+        (F.col("_a") == F.col("e3._s")) & (F.col("_c") == F.col("e3._d")),
+    ).select("_a", "_b", "_c")
+    corners = tri.select(
+        F.explode(F.array("_a", "_b", "_c")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -70,3 +70,65 @@ def profile_columns(
         ),
         F.col("_n").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def json_key_stats(
+    df: DataFrame,
+    *,
+    json_col: str,
+) -> DataFrame:
+    """``xform_props_schema`` — schema discovery over a semi-structured
+    JSON column: for every TOP-LEVEL key, how many rows carry it, its
+    presence share, and how many distinct (stringified) values it
+    takes. THE first question against an events/props payload nobody
+    wrote a schema for ("which keys exist, which are constant, which
+    are high-cardinality ids"), and the input to promote-to-column
+    decisions in ingestion pipelines.
+
+    Output ``(key, n_present, share, n_distinct_values)``, share =
+    n_present / n_rows_with_parsable_json rounded to 6dp. Rows whose
+    payload does not parse as a JSON object are excluded (and excluded
+    from the share denominator — a malformed-payload audit is
+    ``dq_expectations``' job, not this relation's).
+
+    Cross-engine contract: values compare as COUNT DISTINCT of the
+    engine's string form — a bijection of the underlying JSON values
+    (DuckDB keeps value quoting, Spark's map parse strips it; distinct
+    COUNTS agree even though the strings differ), which is why the
+    relation exposes the count and never the value strings themselves.
+
+    Plan: one scan-side ``from_json`` to ``map<string,string>`` +
+    ``explode`` (JVM, no Python), then ONE distinct-style aggregation
+    on (key, value) and a count rollup — the same two-exchange shape as
+    every distinct-count relation here; the (key, value) partial
+    collapses map-side so a constant-valued hot key ships one row per
+    task.
+    """
+    parsed = df.select(
+        F.from_json(F.col(json_col), "map<string,string>").alias("_m")
+    ).where(F.col("_m").isNotNull())
+    total = parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_rows")
+    )
+    kv = parsed.select(F.explode("_m").alias("key", "_value"))
+    per_kv = kv.groupBy("key", "_value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    return (
+        per_kv.groupBy("key")
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_present"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_values"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            F.round(
+                F.col("n_present").cast("double")
+                / F.col("_n_rows").cast("double"),
+                6,
+            ).alias("share"),
+            "n_distinct_values",
+        )
+    )

@@ -175,3 +175,103 @@ def freshness_audit(
         .otherwise(staleness > F.lit(sla_hours))
         .alias("is_stale"),
     )
+
+
+def regularity_audit(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    min_events: int = 20,
+    top_gap_share_threshold: float = 0.5,
+) -> DataFrame:
+    """``dq_bot_regularity`` — behavioral-regularity audit: humans emit
+    events with messy inter-arrival gaps; schedulers, scrapers and
+    replay loops emit the SAME gap over and over. Per key: event/gap
+    counts, how concentrated the gap distribution is
+    (``top_gap_share`` — the modal gap's share of all gaps; a perfectly
+    periodic bot scores 1.0), how concentrated the hour-of-day profile
+    is (``top_hour_share``), and the suspect verdict
+    (``n_events ≥ min_events AND top_gap_share > threshold``).
+
+    Signal design follows the engine's exact-math rule (the
+    Simpson-not-Shannon decision in char_diversity): regularity is
+    measured by COUNTING RATIOS — modal-share = max(count)/total, one
+    IEEE division rounded to 6dp — not by gap-variance (whose
+    sum-of-squares rides each engine's aggregation order) or entropy
+    (libm). Gaps compare as exact integer microseconds, so "the same
+    gap" is byte-precise.
+
+    Plan: one keyed window exchange computes lag gaps; the gap-modal
+    and hour-modal shares are each a (key, value) counting aggregation
+    + an argmax rollup — both partial-aggregate map-side, and all three
+    post-window aggregations reuse the window's key partitioning
+    (subset clustering). NULL timestamps are excluded up front (the
+    engine-portable rule); single-event keys have no gaps and report
+    ``top_gap_share`` NULL, never suspect.
+    """
+    if min_events < 2:
+        raise ValueError(f"min_events must be >= 2; got {min_events}")
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # the window orders by the MATERIALIZED _us column: ordering by the
+    # ts-derived expression would reference a column the projection
+    # below already dropped
+    w = Window.partitionBy(key_col).orderBy(F.col("_us"))
+    base = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            key_col,
+            us.alias("_us"),
+            F.hour(F.col(ts_col).cast("timestamp")).alias("_hour"),
+        )
+        .withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
+    )
+    events = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    gap_counts = (
+        base.where(F.col("_gap").isNotNull())
+        .groupBy(key_col, "_gap")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    gap_stats = gap_counts.groupBy(key_col).agg(
+        F.sum("_c").cast("bigint").alias("n_gaps"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_gaps"),
+        F.max("_c").cast("bigint").alias("_modal"),
+    )
+    hour_counts = base.groupBy(key_col, "_hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_hc")
+    )
+    hour_stats = hour_counts.groupBy(key_col).agg(
+        F.sum("_hc").cast("bigint").alias("_htotal"),
+        F.max("_hc").cast("bigint").alias("_hmodal"),
+    )
+    share = F.round(
+        F.col("_modal").cast("double") / F.col("n_gaps").cast("double"), 6
+    )
+    return (
+        events.join(gap_stats, key_col, "left")
+        .join(hour_stats, key_col)
+        .select(
+            key_col,
+            "n_events",
+            F.coalesce(F.col("n_gaps"), F.lit(0).cast("bigint")).alias(
+                "n_gaps"
+            ),
+            F.coalesce(
+                F.col("n_distinct_gaps"), F.lit(0).cast("bigint")
+            ).alias("n_distinct_gaps"),
+            share.alias("top_gap_share"),
+            F.round(
+                F.col("_hmodal").cast("double")
+                / F.col("_htotal").cast("double"),
+                6,
+            ).alias("top_hour_share"),
+            (
+                (F.col("n_events") >= F.lit(min_events))
+                & (share > F.lit(top_gap_share_threshold))
+            ).alias("is_suspect"),
+        )
+    )

@@ -1534,3 +1534,62 @@ def knn_graph(
             "sim",
         )
     )
+
+
+def knn_classify(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    blocks: int = 8,
+) -> DataFrame:
+    """``sim_knn_classify`` — leave-one-out k-NN majority-vote
+    classification over a labeled vector corpus: each vector's
+    predicted label is the most frequent label among its exact top-``k``
+    cosine neighbors (self excluded by :func:`knn_graph`'s contract).
+    Output ``(vec_id, predicted_label, n_votes, n_neighbors)`` — THE
+    standard embedding-quality evaluation (a representation is good
+    exactly to the degree neighbors share labels) and the cheap
+    label-propagation baseline for semi-supervised corpus labeling.
+
+    Composition, not re-implementation: the graph is :func:`knn_graph`
+    verbatim (the expensive artifact — in production it is built once
+    and consumed by many such passes); this adds one broadcast-eligible
+    label join on the neighbor side and a majority vote as an
+    argmin-by-struct aggregation — ``min(struct(-votes, label))`` —
+    ties to the SMALLEST label (deterministic, the keep-best rule: an
+    agg, never a ranked window; label negation is safe because votes
+    are counts). Unlabeled neighbors (NULL label) abstain: they are
+    dropped before voting but never remove the voter from the graph.
+    """
+    g = knn_graph(
+        vectors, id_col=id_col, vec_col=vec_col, k=k, blocks=blocks
+    )
+    labels = vectors.where(
+        F.col(label_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_nid"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        g.join(labels, g["neighbor_id"] == F.col("_nid"))
+        .groupBy("src_id", "_lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_votes"))
+    )
+    best = F.min(
+        F.struct((-F.col("_votes")).alias("_neg"), F.col("_lbl").alias("_l"))
+    )
+    return (
+        votes.groupBy("src_id")
+        .agg(
+            best.alias("_best"),
+            F.sum("_votes").cast("bigint").alias("n_neighbors"),
+        )
+        .select(
+            F.col("src_id").alias(id_col),
+            F.col("_best._l").alias("predicted_label"),
+            (-F.col("_best._neg")).cast("bigint").alias("n_votes"),
+            "n_neighbors",
+        )
+    )

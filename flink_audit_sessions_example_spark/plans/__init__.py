@@ -71,6 +71,12 @@ from .staged_r12 import STAGED_R12_ORACLES, STAGED_R12_QUERIES
 #: pre-registration sf0.1 baselines in BASELINE.md. Drain them into the
 #: r12 window's free slots (``scripts/window_math.py 12``) exactly like
 #: the r11 drain above; none joins bench.py's ITERATIVE_QUERIES.
+#: r14 QUEUE behind it: ``plans/staged_r14.py`` (xform_props_schema /
+#: graph_triangles / dq_bot_regularity / sim_knn_classify /
+#: rel_assoc_rules), same gate in ``tests/test_staged_r14.py``; both
+#: queues are glob-discovered by ``plans/staging.py``, so the HUGEINT
+#: oracle gate, window math and the capacity simulator cover them
+#: automatically.
 #: Every name in _FRONT_KEYS MUST resolve in _ALL_QUERIES — enforced
 #: below; add keys only after their q_/oracle entries land (r6 lesson:
 #: phantom names silently lose their slot). test_staged_registrations

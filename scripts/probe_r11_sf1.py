@@ -10,7 +10,9 @@ embeddings (10× vectors).
 Ops: gap_sessions, mixture, freshness, knn (also ``knn16`` — the
 blocks=16 re-sizing arm: at 10× vectors per-block-pair work grows 100×
 at fixed blocks, so the production move is growing ``blocks`` with the
-corpus; the pair shows the re-sized cost), transitions.
+corpus; the pair shows the re-sized cost), transitions; r14 families:
+props_schema, triangles, regularity, classify (blocks=16 at sf1, the
+re-sized point), assoc.
 """
 
 from __future__ import annotations
@@ -120,6 +122,67 @@ def main() -> None:
             ev, key_col="user_id", type_col="event_type", ts_col="ts",
             tiebreak_cols=["event_id"],
         ).write.format("noop").mode("overwrite").save()
+    elif op == "props_schema":
+        warm("events")
+        from flink_audit_sessions_example_spark.plans.staged_r14 import (
+            q_xform_props_schema,
+        )
+
+        t0 = time.perf_counter()
+        q_xform_props_schema(spark, base).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    elif op == "triangles":
+        warm("embeddings")
+        from flink_audit_sessions_example_spark.plans.staged_r14 import (
+            q_graph_triangles,
+        )
+
+        t0 = time.perf_counter()
+        q_graph_triangles(spark, base).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    elif op == "regularity":
+        warm("events")
+        from flink_audit_sessions_example_spark.plans.staged_r14 import (
+            q_dq_bot_regularity,
+        )
+
+        t0 = time.perf_counter()
+        q_dq_bot_regularity(spark, base).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    elif op in ("classify", "classify16"):
+        warm("embeddings")
+        from flink_audit_sessions_example_spark.operators.similarity import (
+            knn_classify,
+        )
+
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, base, "embeddings", spread=False)
+        if "label" not in emb.columns:
+            # the r8 generated-sf1 artifact carries no label column;
+            # a synthesized label leaves the scale shape untouched
+            # (the vote is a broadcast join + agg regardless of values)
+            emb = emb.withColumn(
+                "label", (F.col("vec_id") % 10).cast("int")
+            )
+        blocks = 16 if op == "classify16" else 8
+        t0 = time.perf_counter()
+        knn_classify(emb, k=5, blocks=blocks).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    elif op == "assoc":
+        warm("lineitem")
+        from flink_audit_sessions_example_spark.plans.staged_r14 import (
+            q_rel_assoc_rules,
+        )
+
+        t0 = time.perf_counter()
+        q_rel_assoc_rules(spark, base).write.format("noop").mode(
+            "overwrite"
+        ).save()
     else:
         raise SystemExit(f"unknown op {op}")
     print(f"{op} {scale} {time.perf_counter() - t0:.2f}", flush=True)
