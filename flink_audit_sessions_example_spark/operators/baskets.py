@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import bounded_posting_lists
+from .dedup import _pair_explode, bounded_posting_lists
 
 
 def association_rules(
@@ -60,6 +60,13 @@ def association_rules(
     item_support = distinct.groupBy("_item").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_item")
     )
+    # pin_keyed=True (the default) is MEASURED here, not assumed:
+    # review r11b #6 proposed no-pin by analogy with q_rel_copurchase,
+    # but that plan consumes the distinct subtree ONCE — this one feeds
+    # it to THREE consumers (basket total, item supports, posting
+    # lists), and the A/B at sf0.1 reads pin 2.32 s vs no-pin 3.51 s
+    # (min-of-2, warmed): recompute-cheap stops being cheap at three
+    # recomputes.
     lists = bounded_posting_lists(
         distinct,
         ["_basket"],
@@ -67,16 +74,11 @@ def association_rules(
         max_size=max_basket_size,
         min_size=2,
     )
-    # in-place unordered pair emission from the sorted list: i < j
+    # in-place unordered pair emission from the sorted list (i < j) —
+    # ONE definition engine-wide (dedup._pair_explode, review r11b #5)
     pairs = lists.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("_p")
-    ).select(F.col("_p.a").alias("_a"), F.col("_p.b").alias("_b"))
+        F.explode(_pair_explode()).alias("_p")
+    ).select(F.col("_p.id_a").alias("_a"), F.col("_p.id_b").alias("_b"))
     pair_counts = (
         pairs.groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))

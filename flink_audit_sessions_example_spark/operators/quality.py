@@ -240,20 +240,31 @@ def regularity_audit(
         F.sum("_c").cast("bigint").alias("n_gaps"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_gaps"),
         F.max("_c").cast("bigint").alias("_modal"),
-    )
+    ).withColumnRenamed(key_col, "_gk")
     hour_counts = base.groupBy(key_col, "_hour").agg(
         F.count(F.lit(1)).cast("bigint").alias("_hc")
     )
     hour_stats = hour_counts.groupBy(key_col).agg(
         F.sum("_hc").cast("bigint").alias("_htotal"),
         F.max("_hc").cast("bigint").alias("_hmodal"),
+    ).withColumnRenamed(key_col, "_hk")
+    # the verdict compares the UNROUNDED ratio (one IEEE division —
+    # identical in any engine); only the REPORTED share is 6dp-rounded.
+    # Rounding inside the comparison would flip verdicts in the
+    # (threshold, threshold + 5e-7] band once a key accumulates ~1M
+    # gaps (review r11b #1 — the paired oracle compares unrounded too).
+    raw_share = F.col("_modal").cast("double") / F.col("n_gaps").cast(
+        "double"
     )
-    share = F.round(
-        F.col("_modal").cast("double") / F.col("n_gaps").cast("double"), 6
-    )
+    # null-safe joins: a NULL-key cohort (events behind a missing id —
+    # often the MOST suspicious traffic) must be audited, not silently
+    # dropped by the equi-join (review r11b #3; the oracle mirrors with
+    # IS NOT DISTINCT FROM)
     return (
-        events.join(gap_stats, key_col, "left")
-        .join(hour_stats, key_col)
+        events.join(
+            gap_stats, F.col(key_col).eqNullSafe(F.col("_gk")), "left"
+        )
+        .join(hour_stats, F.col(key_col).eqNullSafe(F.col("_hk")))
         .select(
             key_col,
             "n_events",
@@ -263,7 +274,7 @@ def regularity_audit(
             F.coalesce(
                 F.col("n_distinct_gaps"), F.lit(0).cast("bigint")
             ).alias("n_distinct_gaps"),
-            share.alias("top_gap_share"),
+            F.round(raw_share, 6).alias("top_gap_share"),
             F.round(
                 F.col("_hmodal").cast("double")
                 / F.col("_htotal").cast("double"),
@@ -271,7 +282,7 @@ def regularity_audit(
             ).alias("top_hour_share"),
             (
                 (F.col("n_events") >= F.lit(min_events))
-                & (share > F.lit(top_gap_share_threshold))
+                & (raw_share > F.lit(top_gap_share_threshold))
             ).alias("is_suspect"),
         )
     )

@@ -80,15 +80,23 @@ WITH built AS (
       || '}' AS props2
   FROM events
 ), parsed AS (
-  SELECT props2 FROM built WHERE json_valid(props2)
+  -- OBJECT check, not just validity: '123', '[1,2]' and 'null' are
+  -- valid JSON that Spark's from_json-to-map rejects (NULL map), so
+  -- they must leave the share denominator here too (review r11b #2)
+  SELECT props2 FROM built
+  WHERE json_valid(props2) AND json_type(props2) = 'OBJECT'
 ), total AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM parsed
 ), keys AS (
   SELECT unnest(json_keys(props2)) AS key, props2 FROM parsed
 ), kv AS (
   -- json_extract_string strips value quoting, matching Spark's
-  -- map<string,string> parse byte-for-byte ('69', 'view', 'true')
-  SELECT key, json_extract_string(props2, '$.' || key) AS v FROM keys
+  -- map<string,string> parse byte-for-byte ('69', 'view', 'true').
+  -- The path segment is QUOTED so a key containing '.' or '[' is one
+  -- key, not a nested navigation (review r11b #4); keys containing a
+  -- literal '"' remain out of contract on the oracle side.
+  SELECT key, json_extract_string(props2, '$."' || key || '"') AS v
+  FROM keys
 ), per_kv AS (
   SELECT key, v, CAST(COUNT(*) AS BIGINT) AS c FROM kv GROUP BY 1, 2
 )
@@ -174,6 +182,11 @@ def q_dq_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # long cast: the sequence index is int32 and
                 # 199 * 600e6 overflows an ANSI int multiply
                 + F.col("_i").cast("long") * F.lit(BOT_PERIOD_S * 1_000_000)
+                # the NTZ cast is LOAD-BEARING: the loader's events.ts
+                # is TIMESTAMP_NTZ, and without it the union coerces
+                # BOTH sides to LTZ (verified). Wall-clock identity
+                # holds under the engine-wide pinned-UTC session
+                # contract (conftest/bench/driver all pin UTC).
             ).cast("timestamp_ntz").alias("ts"),
         )
     )
@@ -234,8 +247,9 @@ SELECT ev.user_id, ev.n_events,
         AND CAST(gs.modal AS DOUBLE) / CAST(gs.n_gaps AS DOUBLE)
             > {REG_SHARE_THRESHOLD}) AS is_suspect
 FROM ev
-LEFT JOIN gs ON gs.user_id = ev.user_id
-JOIN hs ON hs.user_id = ev.user_id
+-- null-safe: the operator audits NULL-key cohorts too (review r11b #3)
+LEFT JOIN gs ON gs.user_id IS NOT DISTINCT FROM ev.user_id
+JOIN hs ON hs.user_id IS NOT DISTINCT FROM ev.user_id
 """
 
 # --------------------------------------------------------------------------

@@ -34,7 +34,10 @@ def main() -> None:
     )
     from flink_audit_sessions_example_spark.sources import load_table
 
-    for t in "documents events embeddings".split():
+    # warm exactly the tables the five keys read (events, embeddings,
+    # lineitem) — review r11b #7: documents was dead warm-up work and
+    # rel_assoc_rules paid cold lineitem I/O on its first sample
+    for t in "events embeddings lineitem".split():
         load_table(spark, sf_dir, t).write.format("noop").mode(
             "overwrite"
         ).save()

@@ -135,6 +135,26 @@ def test_regularity_planted_bot_vs_human(spark):
         regularity_audit(df, key_col="k", ts_col="ts", min_events=1)
 
 
+def test_regularity_null_key_cohort_is_audited(spark):
+    """A NULL-key cohort (events behind a missing id — often the MOST
+    suspicious traffic) must be audited, not silently dropped by an
+    equi-join (review r11b: the joins are null-safe on both engines)."""
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (None, base + dt.timedelta(seconds=600 * i)) for i in range(25)
+    ] + [(1, base), (1, base + dt.timedelta(seconds=123))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        r.k: (r.n_events, r.top_gap_share, r.is_suspect)
+        for r in regularity_audit(
+            df, key_col="k", ts_col="ts",
+            min_events=20, top_gap_share_threshold=0.5,
+        ).collect()
+    }
+    assert got[None] == (25, 1.0, True)  # the bot hiding behind NULL
+    assert got["1"][2] is False
+
+
 def test_regularity_registered_plants_detected(spark):
     out = {
         r.user_id: r.is_suspect
