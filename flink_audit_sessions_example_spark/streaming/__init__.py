@@ -28,6 +28,7 @@ from .pipeline import (
 )
 from .quantile_sketch import stream_quantile_sketch
 from .time_decay import stream_time_decay
+from .transitions import stream_transitions
 
 __all__ = [
     "stream_quantile_sketch",
@@ -38,6 +39,7 @@ __all__ = [
     "stream_funnel_stages",
     "stream_pit_enrich",
     "stream_time_decay",
+    "stream_transitions",
     "denied_near_allowed",
     "stream_interval_join",
     "stream_denied_sessions",
