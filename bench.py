@@ -110,17 +110,31 @@ def main() -> int:
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # self-record: the driver's BENCH artifact keeps only the LAST
+    # ~2,000 chars of stdout, which truncates the per-query map past
+    # ~60 keys (r10 verdict watch item) — the full JSON is therefore
+    # also written into the repo so cross-round per-key comparison
+    # never depends on the truncated artifact. SF-suffixed so a quick
+    # sf0.01 iteration run can never clobber the sf0.1 anchor (review
+    # r11c); the sf0.1 record is committed at end of round.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f"BENCH_SELF_sf{sf}.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
     return 0
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+from conftest import FakeState
+
 from flink_audit_sessions_example_spark.streaming.attribution import (
     _first_touch_fn,
 )
@@ -18,34 +20,6 @@ from flink_audit_sessions_example_spark.streaming.dedup_stream import (
     _make_bucket_fn,
     stream_minhash_candidates,
 )
-
-
-class FakeState:
-    """Minimal GroupState stand-in for driving the bucket fn directly."""
-
-    def __init__(self, value=None, timed_out=False):
-        self._value = value
-        self.hasTimedOut = timed_out
-        self.removed = False
-        self.timeout_set = None
-
-    @property
-    def exists(self):
-        return self._value is not None
-
-    @property
-    def get(self):
-        return self._value
-
-    def update(self, v):
-        self._value = v
-
-    def remove(self):
-        self._value = None
-        self.removed = True
-
-    def setTimeoutDuration(self, ms):
-        self.timeout_set = ms
 
 
 def _batch(rows):

@@ -17,27 +17,12 @@ from collections import Counter
 import pandas as pd
 import pytest
 
+from conftest import FakeState
+
 from flink_audit_sessions_example_spark.streaming.heavy_hitters import (
     _make_hh_fn,
     stream_heavy_hitters,
 )
-
-
-class FakeState:
-    def __init__(self, value=None):
-        self._value = value
-        self.hasTimedOut = False
-
-    @property
-    def exists(self):
-        return self._value is not None
-
-    @property
-    def get(self):
-        return self._value
-
-    def update(self, v):
-        self._value = v
 
 
 def _drive(fn, state, values):

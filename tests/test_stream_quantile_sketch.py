@@ -7,6 +7,8 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+from conftest import FakeState
+
 from flink_audit_sessions_example_spark.operators.sketches import (
     quantile_sketch_estimate,
     quantile_sketch_table,
@@ -18,22 +20,6 @@ from flink_audit_sessions_example_spark.streaming.quantile_sketch import (
 )
 
 K = 64
-
-
-class FakeState:
-    def __init__(self):
-        self._value = None
-
-    @property
-    def exists(self):
-        return self._value is not None
-
-    @property
-    def get(self):
-        return self._value
-
-    def update(self, v):
-        self._value = v
 
 
 def _pdf(rows):

@@ -11,6 +11,8 @@ import math
 import pandas as pd
 import pytest
 
+from conftest import FakeState
+
 from flink_audit_sessions_example_spark.operators.timeseries import (
     time_decay_stats,
 )
@@ -21,22 +23,6 @@ from flink_audit_sessions_example_spark.streaming.time_decay import (
 
 H = 24
 BUCKET_S = 3600 * H
-
-
-class FakeState:
-    def __init__(self):
-        self._value = None
-
-    @property
-    def exists(self):
-        return self._value is not None
-
-    @property
-    def get(self):
-        return self._value
-
-    def update(self, v):
-        self._value = v
 
 
 def _pdf(rows):

@@ -6,6 +6,7 @@ batch event_transitions over the real events table."""
 from __future__ import annotations
 
 import pandas as pd
+from conftest import FakeState
 
 from flink_audit_sessions_example_spark.operators.timeseries import (
     event_transitions,
@@ -14,22 +15,6 @@ from flink_audit_sessions_example_spark.streaming.transitions import (
     _make_transitions_fn,
     stream_transitions,
 )
-
-
-class FakeState:
-    def __init__(self):
-        self._value = None
-
-    @property
-    def exists(self):
-        return self._value is not None
-
-    @property
-    def get(self):
-        return self._value
-
-    def update(self, v):
-        self._value = v
 
 
 def _pdf(rows):
@@ -94,6 +79,8 @@ def test_stream_counts_equal_batch_exactly(spark, tmp_path):
     """Two micro-batches over the real events table: the summed
     increments must equal event_transitions' n_transitions EXACTLY
     (integer counts — no floating-point regime to scope)."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -115,16 +102,25 @@ def test_stream_counts_equal_batch_exactly(spark, tmp_path):
          ("event_id", pa.int64()), ("event_type", pa.string())]
     )
     half = len(rows) // 2
-    for name, chunk in (("b1.parquet", rows[:half]),
-                        ("b2.parquet", rows[half:])):
+    for i, (name, chunk) in enumerate(
+        (("b1.parquet", rows[:half]), ("b2.parquet", rows[half:]))
+    ):
+        path = str(d / name)
         pq.write_table(
             pa.Table.from_pylist(
                 [dict(zip(("user_id", "ts", "event_id", "event_type"), r))
                  for r in chunk],
                 sch,
             ),
-            str(d / name),
+            path,
         )
+        # FileStreamSource orders batches by MODIFICATION TIME, and two
+        # back-to-back writes can share an mtime at the source's
+        # granularity — pin distinct mtimes so b1 always precedes b2
+        # (wrong order here changes INTEGER counts: the state would
+        # carry the newest event before the older half arrives —
+        # review r11c)
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
     stream = (
         spark.readStream.schema(
             "user_id bigint, ts timestamp, event_id bigint, "
