@@ -17,6 +17,7 @@ from .custom_state import audit_denied_sessions_custom_state
 from .dedup_stream import stream_minhash_candidates
 from .enrichment import stream_pit_enrich
 from .funnel import stream_funnel_stages
+from .gap_sessions import stream_gap_sessions
 from .heavy_hitters import stream_heavy_hitters
 from .joins import denied_near_allowed, stream_interval_join
 from .pipeline import (
@@ -37,6 +38,7 @@ __all__ = [
     "stream_heavy_hitters",
     "stream_minhash_candidates",
     "stream_funnel_stages",
+    "stream_gap_sessions",
     "stream_pit_enrich",
     "stream_time_decay",
     "stream_transitions",
