@@ -46,32 +46,46 @@ def stream_gap_sessions(
     """Finalized ``(key, session_start, session_end, n_events,
     duration_secs)`` rows in append mode (see the module docstring for
     the boundary/finalization/late-data contracts — columns match the
-    batch twin minus ``session_seq``)."""
+    batch twin minus ``session_seq``).
+
+    Type parity (review r11d): ``ts_col`` must be a true timestamp
+    column (TIMESTAMP or TIMESTAMP_NTZ — the loader's parquet native
+    types). Spark's event-time machinery REJECTS NTZ
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``), so the watermark/window
+    necessarily run on an LTZ cast — but ``session_start`` /
+    ``session_end`` are cast BACK to the input's flavor on output, so
+    consumers see the batch twin's dtypes; under the engine-wide
+    pinned-UTC session contract the round-trip is wall-clock identity.
+    The row-exclusion filter is the batch twin's raw ``isNotNull``,
+    same rows on both sides by construction (a raw-null and a cast-null
+    coincide for true timestamp columns, the stated input contract).
+    """
     if gap_minutes < 1:
         raise ValueError(f"gap_minutes must be >= 1; got {gap_minutes}")
     gap = f"{gap_minutes} minutes"
-    ts = F.col(ts_col).cast("timestamp")
-    us = F.unix_micros(F.col("session_end"))
+    gap_interval = F.expr(f"INTERVAL '{gap_minutes}' MINUTE")
+    out_type = df.schema[ts_col].dataType.simpleString()
     windowed = (
-        df.where(ts.isNotNull())
-        .select(F.col(key_col), ts.alias("_ts"))
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col), F.col(ts_col).cast("timestamp").alias("_ts")
+        )
         .withWatermark("_ts", watermark_delay)
         .groupBy(key_col, F.session_window("_ts", gap).alias("_w"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+    # a session window ends at last-event + gap by definition;
+    # subtracting the gap recovers the last event's ts EXACTLY
+    # (integer interval arithmetic)
+    session_end = F.col("_w.end") - gap_interval
     return windowed.select(
         key_col,
-        F.col("_w.start").alias("session_start"),
-        # a session window ends at last-event + gap by definition;
-        # subtracting the gap recovers the last event's ts EXACTLY
-        (
-            F.col("_w.end") - F.expr(f"INTERVAL {gap_minutes} MINUTES")
-        ).alias("session_end"),
+        F.col("_w.start").cast(out_type).alias("session_start"),
+        session_end.cast(out_type).alias("session_end"),
         "n_events",
-    ).withColumn(
-        "duration_secs",
+        # same floor-div the batch twin uses (the div-cast gotcha)
         F.floor(
-            (us - F.unix_micros(F.col("session_start")))
+            (F.unix_micros(session_end) - F.unix_micros(F.col("_w.start")))
             / F.lit(1_000_000)
-        ).cast("bigint"),
+        ).cast("bigint").alias("duration_secs"),
     )

@@ -79,12 +79,10 @@ def test_stream_counts_equal_batch_exactly(spark, tmp_path):
     """Two micro-batches over the real events table: the summed
     increments must equal event_transitions' n_transitions EXACTLY
     (integer counts — no floating-point regime to scope)."""
-    import os
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from conftest import SF_DIR
+    from stream_utils import collect_stream_batches
     from flink_audit_sessions_example_spark.sources import load_table
 
     events = (
@@ -95,55 +93,30 @@ def test_stream_counts_equal_batch_exactly(spark, tmp_path):
         .collect()
     )
     rows = [(r.user_id, r.ts, r.event_id, r.event_type) for r in events]
-    d = tmp_path / "ev"
-    d.mkdir()
     sch = pa.schema(
         [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
          ("event_id", pa.int64()), ("event_type", pa.string())]
     )
+    cols = ("user_id", "ts", "event_id", "event_type")
     half = len(rows) // 2
-    for i, (name, chunk) in enumerate(
-        (("b1.parquet", rows[:half]), ("b2.parquet", rows[half:]))
-    ):
-        path = str(d / name)
-        pq.write_table(
-            pa.Table.from_pylist(
-                [dict(zip(("user_id", "ts", "event_id", "event_type"), r))
-                 for r in chunk],
-                sch,
-            ),
-            path,
-        )
-        # FileStreamSource orders batches by MODIFICATION TIME, and two
-        # back-to-back writes can share an mtime at the source's
-        # granularity — pin distinct mtimes so b1 always precedes b2
-        # (wrong order here changes INTEGER counts: the state would
-        # carry the newest event before the older half arrives —
-        # review r11c)
-        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
-    stream = (
-        spark.readStream.schema(
+    collected = collect_stream_batches(
+        spark,
+        tmp_path,
+        pa_schema=sch,
+        ddl_schema=(
             "user_id bigint, ts timestamp, event_id bigint, "
             "event_type string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(d))
-    )
-    collected = []
-    q = (
-        stream_transitions(
-            stream, key_col="user_id", type_col="event_type",
+        ),
+        chunks=[
+            [dict(zip(cols, r)) for r in rows[:half]],
+            [dict(zip(cols, r)) for r in rows[half:]],
+        ],
+        make_query=lambda s: stream_transitions(
+            s, key_col="user_id", type_col="event_type",
             ts_col="ts", tiebreak_col="event_id",
-        )
-        .writeStream.foreachBatch(
-            lambda df, _id: collected.extend(df.collect())
-        )
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        ),
+        output_mode="append",
     )
-    assert q.awaitTermination(600), "stream did not drain"
     summed: dict = {}
     for r in collected:
         summed[(r.from_type, r.to_type)] = (
