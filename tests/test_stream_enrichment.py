@@ -4,6 +4,8 @@ across micro-batches — and preserve LEFT row counts."""
 
 from __future__ import annotations
 
+import os
+
 from conftest import SF_DIR
 
 import pyspark.sql.functions as F
@@ -38,8 +40,8 @@ def test_stream_pit_equals_batch_pit(spark, tmp_path):
          ("user_id", pa.int64()), ("value", pa.float64())]
     )
     half = len(rows) // 2
-    for name, chunk in (("b1.parquet", rows[:half]),
-                        ("b2.parquet", rows[half:])):
+    for _i, (name, chunk) in enumerate((("b1.parquet", rows[:half]),
+                        ("b2.parquet", rows[half:]))):
         pq.write_table(
             pa.Table.from_pylist(
                 [dict(zip(("event_id", "ts", "user_id", "value"), r))
@@ -48,6 +50,13 @@ def test_stream_pit_equals_batch_pit(spark, tmp_path):
             ),
             str(d / name),
         )
+        # FileStreamSource orders batches by MODIFICATION time;
+        # back-to-back writes can share an mtime at its granularity,
+        # so pin ascending mtimes (the stream_utils rule) to make
+        # batch order — and any order-dependent state — deterministic
+        _p = str(d / name)
+        os.utime(_p, (1_700_000_000 + _i * 10,
+                      1_700_000_000 + _i * 10))
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, value double"

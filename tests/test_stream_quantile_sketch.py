@@ -4,6 +4,8 @@ re-delivery idempotence on the state fn, NULL handling, validation."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -87,7 +89,7 @@ def test_stream_equals_batch_sketch(spark, tmp_path):
          ("n_chars", pa.float64())]
     )
     half = len(docs) // 2
-    for name, rows in (("b1.parquet", docs[:half]), ("b2.parquet", docs[half:])):
+    for _i, (name, rows) in enumerate((("b1.parquet", docs[:half]), ("b2.parquet", docs[half:]))):
         pq.write_table(
             pa.Table.from_pylist(
                 [dict(zip(("doc_id", "lang", "n_chars"), r)) for r in rows],
@@ -95,6 +97,13 @@ def test_stream_equals_batch_sketch(spark, tmp_path):
             ),
             str(d / name),
         )
+        # FileStreamSource orders batches by MODIFICATION time;
+        # back-to-back writes can share an mtime at its granularity,
+        # so pin ascending mtimes (the stream_utils rule) to make
+        # batch order — and any order-dependent state — deterministic
+        _p = str(d / name)
+        os.utime(_p, (1_700_000_000 + _i * 10,
+                      1_700_000_000 + _i * 10))
     stream = (
         spark.readStream.schema("doc_id bigint, lang string, n_chars double")
         .option("maxFilesPerTrigger", 1)

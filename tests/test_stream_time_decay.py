@@ -5,6 +5,8 @@ order, and the HALF_UP emission rounding contract."""
 
 from __future__ import annotations
 
+import os
+
 import datetime as dt
 import math
 
@@ -117,8 +119,8 @@ def test_stream_equals_batch_bit_for_bit(spark, tmp_path):
          ("event_id", pa.int64()), ("value", pa.float64())]
     )
     half = len(rows) // 2
-    for name, chunk in (("b1.parquet", rows[:half]),
-                        ("b2.parquet", rows[half:])):
+    for _i, (name, chunk) in enumerate((("b1.parquet", rows[:half]),
+                        ("b2.parquet", rows[half:]))):
         pq.write_table(
             pa.Table.from_pylist(
                 [dict(zip(("user_id", "ts", "event_id", "value"), r))
@@ -127,6 +129,13 @@ def test_stream_equals_batch_bit_for_bit(spark, tmp_path):
             ),
             str(d / name),
         )
+        # FileStreamSource orders batches by MODIFICATION time;
+        # back-to-back writes can share an mtime at its granularity,
+        # so pin ascending mtimes (the stream_utils rule) to make
+        # batch order — and any order-dependent state — deterministic
+        _p = str(d / name)
+        os.utime(_p, (1_700_000_000 + _i * 10,
+                      1_700_000_000 + _i * 10))
     stream = (
         spark.readStream.schema(
             "user_id bigint, ts timestamp, event_id bigint, value double"

@@ -632,11 +632,20 @@ def test_stream_compact_latest_by_key_across_batches(spark, tmp_path):
         ]
     )
 
+    _seq = iter(range(100))
+
     def write(name, rows):
+        import os
+
+        path = str(d / name)
         pq.write_table(
             pa.Table.from_pylist([dict(zip(schema.names, r)) for r in rows], schema),
-            str(d / name),
+            path,
         )
+        # pin ascending mtimes: FileStreamSource orders batches by
+        # modification time (the stream_utils rule)
+        t = 1_700_000_000 + next(_seq) * 10
+        os.utime(path, (t, t))
 
     write("b1.parquet", [
         (1, t(2024, 1, 1, 10), 1, "login"),
