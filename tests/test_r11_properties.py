@@ -1,7 +1,8 @@
 """Hypothesis property sweeps for the r13/r14 staged operators whose
 correctness rests on a structural invariant rather than a golden: gap
-sessionization, triangle counting, association-rule ratios, and
-behavioral regularity. Each property is checked against an INDEPENDENT
+sessionization, triangle counting, association-rule ratios, behavioral
+regularity, leave-one-out k-NN classification and JSON schema
+profiling. Each property is checked against an INDEPENDENT
 pure-Python formulation (the r10 property-sweep pattern), so a
 Spark-plan regression cannot hide behind a matching oracle bug."""
 
@@ -20,8 +21,14 @@ from flink_audit_sessions_example_spark.operators.baskets import (
 from flink_audit_sessions_example_spark.operators.graph import (
     triangle_counts,
 )
+from flink_audit_sessions_example_spark.operators.profile import (
+    json_key_stats,
+)
 from flink_audit_sessions_example_spark.operators.quality import (
     regularity_audit,
+)
+from flink_audit_sessions_example_spark.operators.similarity import (
+    knn_classify,
 )
 from flink_audit_sessions_example_spark.operators.timeseries import (
     gap_sessions,
@@ -204,3 +211,134 @@ def test_regularity_modal_share_property(spark, gaps):
     assert r.is_suspect == (
         len(offs) >= 2 and max(c.values()) / len(gaps) > 0.5
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-1, max_value=1,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=4, max_size=4,
+            ),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_knn_classify_property(spark, data):
+    """Random labeled vector sets: predicted labels equal the
+    brute-force leave-one-out majority vote (round-6 cosine ranking,
+    neighbor-id ties, unlabeled abstention, smallest-label vote tie) —
+    the independent Python formulation of the whole contract."""
+    import math
+
+    from hypothesis import assume
+
+    rows = [
+        (i, list(v), lbl)
+        for i, (v, lbl) in enumerate(data)
+        if any(abs(x) > 1e-9 for x in v)  # zero vectors have no angle
+    ]
+    assume(len(rows) >= 3)
+    k = 3
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r.vec_id: (r.predicted_label, r.n_votes, r.n_neighbors)
+        for r in knn_classify(df, k=k, blocks=2).collect()
+    }
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    sims = {
+        (a, b): round(
+            sum(x * y for x, y in zip(unit(va), unit(vb))), 6
+        )
+        for a, va, _ in rows
+        for b, vb, _ in rows
+        if a != b
+    }
+    labels = {i: l for i, _, l in rows}
+    expected = {}
+    for i, _, _ in rows:
+        neigh = sorted(
+            (j for j, _, _ in rows if j != i),
+            key=lambda j: (-sims[(i, j)], j),
+        )[:k]
+        votes = Counter(
+            labels[j] for j in neigh if labels[j] is not None
+        )
+        if not votes:
+            continue  # no labeled neighbors: no classification row
+        best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected[i] = (best[0], best[1], sum(votes.values()))
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    objs=st.lists(
+        st.one_of(
+            st.none(),
+            st.just("not json"),
+            st.dictionaries(
+                st.sampled_from("abcd"),
+                st.one_of(
+                    st.integers(min_value=-9, max_value=9),
+                    st.sampled_from(["x", "y"]),
+                    st.booleans(),
+                ),
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_json_key_stats_property(spark, objs):
+    """Random JSON-object payloads (plus malformed/NULL rows): key
+    presence counts, shares and distinct-value cardinalities equal the
+    independent Python computation over the same serialization."""
+    import json
+
+    from hypothesis import assume
+
+    payloads = [
+        None if o is None
+        else o if isinstance(o, str)
+        else json.dumps(o)
+        for o in objs
+    ]
+    parsed = [o for o in objs if isinstance(o, dict)]
+    assume(any(d for d in parsed))  # at least one non-empty object
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "id long, props string"
+    )
+    got = {
+        r.key: (r.n_present, r.share, r.n_distinct_values)
+        for r in json_key_stats(df, json_col="props").collect()
+    }
+    n_rows = len(parsed)
+    per_key: dict = {}
+    for d in parsed:
+        for kk, vv in d.items():
+            per_key.setdefault(kk, []).append(
+                # Spark's map<string,string> parse stringifies values;
+                # json booleans surface as 'true'/'false'
+                "true" if vv is True
+                else "false" if vv is False
+                else str(vv)
+            )
+    expected = {
+        kk: (len(vs), round(len(vs) / n_rows, 6), len(set(vs)))
+        for kk, vs in per_key.items()
+    }
+    assert got == expected
