@@ -1438,10 +1438,23 @@ def knn_graph(
     sizing: ``blocks`` grows so a block-pair fits executor memory
     (work per task ~ (n/B)²·dim); replication factor B keeps shuffle
     linear.
+
+    Contract: ``id_col`` must be an INTEGER column (the pandas kernel
+    carries ids as int64 and the output schema is ``src_id long``) —
+    validated up front so a string/decimal id fails at plan time with a
+    clear message instead of mid-job inside an Arrow cast (review
+    r11c). Map non-integer ids through a dense surrogate (e.g.
+    ``xxhash64`` or ``zipWithIndex``-style ranks) before calling.
     """
     import numpy as np
     import pandas as pd
 
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"knn_graph requires an integer id column; {id_col!r} is "
+            f"{id_type} — map it to an int64 surrogate first"
+        )
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
     if blocks < 1:

@@ -565,7 +565,12 @@ def event_transitions(
     Determinism: consecutive-pair extraction depends on the TOTAL order
     of a key's events, so ties on ``ts_col`` break by
     ``tiebreak_cols`` (required — an untiebroken lead would make the
-    matrix run-dependent). ``p`` is one double division rounded to 6dp
+    matrix run-dependent). Rows with a NULL tiebreak are EXCLUDED, the
+    same way NULL ``ts_col``/``type_col`` rows are: a NULL tiebreak
+    cannot break a tie (and engines disagree on NULL sort placement —
+    Spark windows default NULLS FIRST, DuckDB NULLS LAST — so keeping
+    such rows would make the matrix engine-dependent, not just
+    run-dependent). ``p`` is one double division rounded to 6dp
     (hash-stable); counts are exact integers.
 
     Plan: one keyed exchange for the ``(key × (ts, tiebreaks))`` lead
@@ -582,10 +587,22 @@ def event_transitions(
         )
     order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
     w = Window.partitionBy(key_col).orderBy(*order)
+    float_cols = {
+        f.name
+        for f in events.schema.fields
+        if f.dataType.simpleString() in ("float", "double")
+    }
+    not_null = F.col(ts_col).isNotNull()
+    for c in [type_col, *tiebreak_cols]:
+        not_null = not_null & F.col(c).isNotNull()
+        # a NaN type/tiebreak is as useless for ordering/labelling as a
+        # NULL one, and pandas-side folds (the streaming twin) cannot
+        # distinguish the two — exclude symmetrically so both twins
+        # pair the identical event sequence even for float columns
+        if c in float_cols:
+            not_null = not_null & ~F.isnan(c)
     pairs = (
-        events.where(
-            F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
-        )
+        events.where(not_null)
         .select(key_col, ts_col, *tiebreak_cols, type_col)
         .withColumn("_next", F.lead(type_col).over(w))
         .where(F.col("_next").isNotNull())

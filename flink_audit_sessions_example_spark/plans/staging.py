@@ -29,11 +29,15 @@ def staged_queues() -> "Iterator[tuple[int, dict, dict]]":
     inside a staged module propagate — a broken queue must surface, not
     read as empty."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(pkg_dir, "staged_r*.py"))):
+    rounds = []
+    for path in glob.glob(os.path.join(pkg_dir, "staged_r*.py")):
         m = re.fullmatch(r"staged_r(\d+)\.py", os.path.basename(path))
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            rounds.append(int(m.group(1)))
+    # sort by the PARSED round, not the path string — lexicographic
+    # order misfiles mixed-digit-count rounds (staged_r9 after
+    # staged_r14), perturbing the queue-drain order window_math prints.
+    for rnd in sorted(rounds):
         mod = importlib.import_module(f"{__package__}.staged_r{rnd}")
         yield (
             rnd,

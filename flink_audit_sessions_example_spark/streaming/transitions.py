@@ -30,12 +30,16 @@ intra-batch disorder is repaired; CROSS-batch disorder is the
 documented arrival contract (a late event would pair with the state's
 newer last-type — the same contract every keyed fold here states).
 
-Row-exclusion contract: identical to the batch twin — NULL timestamps
-and NULL/NaN types are dropped engine-side before the Python boundary
-(and belt-and-braces inside the fold, symmetrically for BOTH fields),
-so both sides pair the same event sequence. Epoch micros are computed
-ENGINE-side (``unix_micros``) — pandas timestamps arrive session-TZ
-localized (the r10 rule).
+Row-exclusion contract: identical to the batch twin — NULL timestamps,
+NULL/NaN types AND NULL/NaN tiebreaks are dropped engine-side before
+the Python boundary (and belt-and-braces inside the fold), matching
+``event_transitions``'s filter exactly: the batch twin also excludes
+NULL tiebreaks (they cannot break a tie and engines disagree on NULL
+sort placement) and NaN values in float-typed type/tiebreak columns
+(pandas folds cannot distinguish NaN from NULL), so both sides pair
+the identical event sequence for every column type, floats included.
+Epoch micros are computed ENGINE-side (``unix_micros``) — pandas
+timestamps arrive session-TZ localized (the r10 rule).
 
 At-least-once caveat, stated plainly: increments are NOT idempotent
 under re-delivery; exactly-once sinks or upstream event-id dedup are
@@ -115,7 +119,12 @@ def stream_transitions(
     exactly as ``event_transitions`` computes it."""
     type_type = df.schema[type_col].dataType.simpleString()
     ts = F.col(ts_col).cast("timestamp")
-    keyed = df.where(ts.isNotNull() & F.col(type_col).isNotNull()).select(
+    keep = ts.isNotNull()
+    for c in (type_col, tiebreak_col):
+        keep = keep & F.col(c).isNotNull()
+        if df.schema[c].dataType.simpleString() in ("float", "double"):
+            keep = keep & ~F.isnan(c)
+    keyed = df.where(keep).select(
         F.col(key_col).alias("_k"),
         F.unix_micros(ts).alias("_us"),
         F.col(tiebreak_col).alias("_tb"),

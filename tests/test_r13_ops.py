@@ -306,3 +306,56 @@ def test_transitions_equal_ts_tiebreak_deterministic(spark):
         ).collect()
     }
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_transitions_null_and_nan_tiebreak_excluded(spark):
+    """NULL tiebreaks are excluded symmetrically with NULL ts/type
+    (review r12a: Spark windows sort NULLS FIRST, DuckDB NULLS LAST —
+    keeping them would make tied-timestamp pairs engine-dependent), and
+    NaN values in float-typed type/tiebreak columns are excluded the
+    same way the streaming fold's pandas NaN handling does."""
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1, "a"),
+            (1, _ts("2024-01-01 10:01:00"), None, "b"),  # dropped
+            (1, _ts("2024-01-01 10:02:00"), 3, "c"),
+        ],
+        "user_id int, ts timestamp, event_id int, event_type string",
+    )
+    got = {
+        (r.from_type, r.to_type)
+        for r in event_transitions(
+            df, key_col="user_id", type_col="event_type", ts_col="ts",
+            tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    assert got == {("a", "c")}
+    # float tiebreak: NaN row dropped exactly like the NULL row above
+    dff = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1.0, "a"),
+            (1, _ts("2024-01-01 10:01:00"), float("nan"), "b"),
+            (1, _ts("2024-01-01 10:02:00"), 3.0, "c"),
+        ],
+        "user_id int, ts timestamp, event_id double, event_type string",
+    )
+    got_f = {
+        (r.from_type, r.to_type)
+        for r in event_transitions(
+            dff, key_col="user_id", type_col="event_type", ts_col="ts",
+            tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    assert got_f == {("a", "c")}
+
+
+def test_knn_graph_rejects_non_integer_id(spark):
+    """The pandas kernel carries ids as int64 (output schema 'src_id
+    long'); a string id must fail at plan time with a clear message,
+    not mid-job inside an Arrow cast (review r12a)."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="integer id"):
+        knn_graph(df, id_col="vec_id", vec_col="embedding", k=1)
