@@ -76,6 +76,7 @@ def json_key_stats(
     df: DataFrame,
     *,
     json_col: str,
+    exact: bool = True,
 ) -> DataFrame:
     """``xform_props_schema`` — schema discovery over a semi-structured
     JSON column: for every TOP-LEVEL key, how many rows carry it, its
@@ -103,6 +104,20 @@ def json_key_stats(
     every distinct-count relation here; the (key, value) partial
     collapses map-side so a constant-valued hot key ships one row per
     task.
+
+    ``exact=False`` is the 100 TB mode (the :func:`profile_columns`
+    rule): the map-side (key, value) collapse bounds CONSTANT hot keys
+    but not id-like ones — a high-cardinality key (request id, session
+    id) makes the exact (key, value) distinct agg the dominant shuffle,
+    one row per distinct value. The approx mode replaces it with ONE
+    ``approx_count_distinct(value)`` per key: HLL++ sketches merge
+    map-side, so the exchange carries O(keys) sketch rows (~KB each)
+    regardless of value cardinality, and ``n_present`` folds into the
+    same single aggregation (no second rollup, one exchange total).
+    The REGISTERED ``xform_props_schema`` query stays exact — it must
+    hash-check against DuckDB; the approx twin's estimates are
+    bound-checked in pytest (tests/test_profile.py) like every sketch
+    here.
     """
     parsed = df.select(
         F.from_json(F.col(json_col), "map<string,string>").alias("_m")
@@ -111,16 +126,23 @@ def json_key_stats(
         F.count(F.lit(1)).cast("bigint").alias("_n_rows")
     )
     kv = parsed.select(F.explode("_m").alias("key", "_value"))
-    per_kv = kv.groupBy("key", "_value").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c")
-    )
-    return (
-        per_kv.groupBy("key")
-        .agg(
+    if exact:
+        per_kv = kv.groupBy("key", "_value").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+        per_key = per_kv.groupBy("key").agg(
             F.sum("_c").cast("bigint").alias("n_present"),
             F.count(F.lit(1)).cast("bigint").alias("n_distinct_values"),
         )
-        .crossJoin(F.broadcast(total))
+    else:
+        per_key = kv.groupBy("key").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_present"),
+            F.approx_count_distinct("_value")
+            .cast("bigint")
+            .alias("n_distinct_values"),
+        )
+    return (
+        per_key.crossJoin(F.broadcast(total))
         .select(
             "key",
             "n_present",

@@ -112,3 +112,42 @@ def test_profile_plan_single_scan(spark):
     )
     assert approx_plan.count("FileScan parquet") == 1
     assert "Expand" not in approx_plan
+
+
+def test_json_key_stats_approx_within_hll_bound(spark):
+    """json_key_stats exact=False (the 100 TB mode for id-like keys):
+    n_present and share stay EXACT (plain counts), n_distinct_values is
+    an HLL++ estimate within the documented 5% default error, and the
+    plan collapses to ONE exchange (no second (key, value) distinct
+    rollup)."""
+    from flink_audit_sessions_example_spark.operators.profile import (
+        json_key_stats,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("props")
+    exact = {
+        r.key: r for r in json_key_stats(ev, json_col="props").collect()
+    }
+    approx = {
+        r.key: r
+        for r in json_key_stats(ev, json_col="props", exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        a = approx[k]
+        assert (a.n_present, a.share) == (e.n_present, e.share)
+        assert abs(a.n_distinct_values - e.n_distinct_values) <= max(
+            1, 0.05 * e.n_distinct_values
+        )
+    exact_plan = (
+        json_key_stats(ev, json_col="props")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        json_key_stats(ev, json_col="props", exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exact: (key,value) agg then key rollup = 2 kv exchanges; approx:
+    # one partial-merging HLL agg = exactly 1 (plus the broadcast total)
+    assert approx_plan.count("hashpartitioning(key") == 1
+    assert exact_plan.count("hashpartitioning(key") >= 2
