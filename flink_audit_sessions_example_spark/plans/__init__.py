@@ -32,17 +32,17 @@ from .round12 import ROUND12_ORACLES, ROUND12_QUERIES
 #: the keys rotated OUT of the N-1 window), computed from
 #: CORRECTNESS_r{N-1}.json keys — the ground truth, not registry order.
 #:
-#: DRAIN PLAN (r11 ladder — the registry exceeds 2×window so strict
+#: DRAIN PLAN (r12 ladder — the registry exceeds 3×window so strict
 #: 2-round rotation is arithmetically impossible; r8 verdict #4, r10
 #: verdict #1): §2 / reference-surface keys KEEP the 2-round invariant;
 #: extended keys with a green driver-row STREAK ≥1 stretch to a 3-round
-#: cycle, streak ≥4 to a 4-round cycle. The rungs were CALIBRATED by
-#: ``scripts/simulate_rotation.py`` (staleness-greedy windows with
-#: pull-forward, replayed against the real CORRECTNESS history): the
-#: r10-verdict ladder (≥3 → 3-round, ≥5 → 4-round) still slips 76
-#: key-rounds over r11–r19 because the synchronized 36-key r10 drain
-#: cohort re-verifies en masse at strict-2 cadence, while (≥1, ≥4)
-#: slips ZERO. The ≥1 rung is sound: driver-vs-local divergence for a
+#: cycle, streak ≥3 to a 4-round cycle, streak ≥5 to a 5-round cycle.
+#: The rungs were RE-CALIBRATED r12 by ``scripts/simulate_rotation.py``
+#: (staleness-greedy windows with pull-forward, replayed against the
+#: real CORRECTNESS history): at 161 keys (r12 drain +
+#: dedup_incremental + the staged r15 queue) the r11 two-rung ladder
+#: (≥1, ≥4) slips 30 key-rounds over r13–r21, while the three-rung
+#: (≥1, ≥3, ≥5) ladder slips ZERO. The ≥1 rung is sound: driver-vs-local divergence for a
 #: (plan, oracle) pair only surfaces on its FIRST driver row (r10's
 #: sole red — the HUGEINT oracle typing — was exactly that) or after
 #: the pair CHANGES, and changed keys re-front-load as new while red

@@ -47,7 +47,11 @@ At-least-once caveat, stated plainly: the fold is NOT idempotent under
 re-delivery (a re-delivered value adds its mass twice — unlike the
 bottom-k sketch's keyed state there is no per-event key to collapse
 on). Exactly-once sinks, or an upstream dedup keyed on event id, are
-the deployment contract.
+the deployment contract — and when the input CARRIES an event id,
+``dedup_id_col`` wires that upstream dedup in here
+(``dropDuplicatesWithinWatermark`` pre-stage, state bounded by the
+``dedup_watermark`` horizon) so the at-least-once deployment stops
+silently drifting (review r11).
 
 Emission (update mode): each touched key re-emits its CURRENT stats —
 ``(key, n_events, last_ts, decayed_sum, decayed_weight, ver)`` with
@@ -149,6 +153,8 @@ def stream_time_decay(
     ts_col: str,
     value_col: str,
     half_life_hours: int = 24,
+    dedup_id_col: "str | None" = None,
+    dedup_watermark: str = "1 hour",
 ) -> DataFrame:
     """Continuously-maintained per-key time-decay stats (update mode;
     see the module docstring for the O(1)-state / bit-equality /
@@ -156,6 +162,18 @@ def stream_time_decay(
     last_ts, decayed_sum, decayed_weight, ver)`` — the batch twin's
     columns (``key`` keeps the input's native type) plus the
     latest-wins version counter.
+
+    ``dedup_id_col`` blunts the at-least-once caveat: the fold itself
+    has no per-event key to collapse re-deliveries on, so when the
+    input carries a unique event id, pass it and a
+    ``dropDuplicatesWithinWatermark([dedup_id_col])`` pre-stage (state
+    bounded by the ``dedup_watermark`` horizon) absorbs source
+    re-deliveries BEFORE they double-add mass. Scope, stated plainly:
+    this protects against upstream/source redelivery within the
+    watermark, not against replays of an already-committed micro-batch
+    after a checkpoint restart into a non-idempotent sink — the
+    exactly-once half of the contract still belongs to the sink. With
+    ``dedup_id_col=None`` (default) behavior is unchanged.
 
     NOTE on rounding: the stream rounds to 6 dp at each EMISSION (the
     state itself carries full doubles, so later emissions are never
@@ -167,6 +185,15 @@ def stream_time_decay(
         raise ValueError(
             f"half_life_hours must be >= 1, got {half_life_hours}"
         )
+    if dedup_id_col is not None:
+        # watermark on the event-time column bounds the dedup state;
+        # duplicates arriving beyond the horizon are the documented
+        # residual (same horizon trade as stream_minhash_candidates'
+        # TTL). The id column alone is the dedup key — a redelivered
+        # event reappears with the SAME id by definition.
+        df = df.withWatermark(
+            ts_col, dedup_watermark
+        ).dropDuplicatesWithinWatermark([dedup_id_col])
     key_type = df.schema[key_col].dataType.simpleString()
     val = F.col(value_col).cast("double")
     ts = F.col(ts_col).cast("timestamp")

@@ -13,27 +13,32 @@ front-loads with priority 0 and only tightens the schedule the sim
 already has to absorb). A "slip" is a due key left outside its round's
 window — a broken cadence deadline.
 
-Measured on the r1–r10 history + the r11 drain (10 queue keys):
+Measured on the r1–r10 history + the r11 drain (10 queue keys), the
+r11 calibration chose (≥1 → 3-round, ≥4 → 4-round): 0 slips at 145
+keys. RE-CALIBRATED r12: the registry reached 161 keys (the r12 drain
++ dedup_incremental + the staged r15 queue, which consumes future
+slots the moment it registers), and two-rung ladders no longer absorb
+the drain cohorts' synchronized re-verification waves:
 
-======================  =========================
-ladder (3-round, 4-round rung)  slipped key-rounds, r11–r19
-======================  =========================
-streak ≥3, ≥5 (r10 verdict)   76
-streak ≥2, ≥5                 28
-streak ≥1, ≥5                  0
-streak ≥1, ≥4                  0   ← adopted (deepest safety margin:
-                                    a 4-round rung bounds worst-case
-                                    staleness tighter than ≥5 would)
-streak ≥2, ≥4                 18
-======================  =========================
+=============================  =========================
+ladder (3-/4-/5-round rungs)   slipped key-rounds, r13–r21
+=============================  =========================
+streak ≥1, ≥4, no 5-rung (r11)   30
+streak ≥1, ≥4, ≥6                 9
+streak ≥1, ≥4, ≥5                 3
+streak ≥1, ≥3, ≥6                 6
+streak ≥1, ≥3, ≥5                 0   ← adopted
+=============================  =========================
 
-The synchronized 36-key r10 drain cohort is what breaks the
-conservative ladders: under a strict-2 first rung it re-verifies en
-masse every second round. The ≥1 rung is sound because driver-vs-local
-divergence for a (plan, oracle) pair can only surface on its FIRST
-driver row or after the pair changes (changed keys re-front-load as
-new; red rows reset the streak); unchanged pairs are replayed against
-DuckDB locally on every suite run and before every commit.
+(Re-run this script for the live numbers; the table is the r12
+snapshot.) The ≥1 rung is sound because driver-vs-local divergence for
+a (plan, oracle) pair can only surface on its FIRST driver row or
+after the pair changes (changed keys re-front-load as new; red rows
+reset the streak); the SAME argument covers the deeper rungs — a
+≥5-green key is the least likely to diverge and every unchanged pair
+is still replayed against DuckDB locally on every suite run and before
+every commit, so the 5-round cycle bounds only DRIVER-row staleness,
+not test coverage.
 
 Usage: ``python scripts/simulate_rotation.py [rounds]`` from the repo
 root. Prints the table above recomputed from the CURRENT history, so
@@ -68,6 +73,7 @@ def simulate(
     *,
     stretch_after: int,
     stretch4_after: int,
+    stretch5_after: "int | None" = None,
     rounds: int,
     verbose: bool = False,
 ) -> int:
@@ -76,15 +82,17 @@ def simulate(
     start = max(history) + 1
     slipped = 0
     for rnd in range(start, start + rounds):
-        must, may3, may4, _, never = classify(
+        must, may3, may4, may5, _, never = classify(
             registry, history, rnd,
             stretch_after=stretch_after, stretch4_after=stretch4_after,
+            stretch5_after=stretch5_after,
         )
         due = (
             never
             + [k for _, k in must]
             + [k for _, k in may3]
             + [k for _, k in may4]
+            + [k for _, k in may5]
         )
         window = due[:WINDOW]
         slipped += max(0, len(due) - WINDOW)
@@ -92,11 +100,14 @@ def simulate(
             # pull-forward: spare slots take next round's oldest dues
             hyp = dict(history)
             hyp[rnd] = {k: {"hash_match": True} for k in window}
-            m2, y3, y4, _, _ = classify(
+            m2, y3, y4, y5, _, _ = classify(
                 registry, hyp, rnd + 1,
                 stretch_after=stretch_after, stretch4_after=stretch4_after,
+                stretch5_after=stretch5_after,
             )
-            nxt = [k for _, k in sorted(m2 + y3 + y4) if k not in window]
+            nxt = [
+                k for _, k in sorted(m2 + y3 + y4 + y5) if k not in window
+            ]
             window = window + nxt[: WINDOW - len(window)]
         history[rnd] = {k: {"hash_match": True} for k in window}
         if verbose:
@@ -122,13 +133,16 @@ def main() -> None:
     history = load_history()
     print(f"# ladder calibration over {rounds} rounds, "
           f"{len(registry)} keys, window {WINDOW}")
-    for s3, s4 in [(3, 5), (2, 5), (1, 5), (1, 4), (2, 4)]:
+    for s3, s4, s5 in [
+        (1, 4, None), (1, 4, 6), (1, 4, 5), (1, 3, 6), (1, 3, 5), (2, 4, 6),
+    ]:
         total = simulate(
             registry, history,
-            stretch_after=s3, stretch4_after=s4, rounds=rounds,
+            stretch_after=s3, stretch4_after=s4, stretch5_after=s5,
+            rounds=rounds,
         )
-        print(f"3-round rung @ streak>={s3}, 4-round rung @ streak>={s4}: "
-              f"{total} slipped key-rounds")
+        print(f"rungs 3-round @ >={s3}, 4-round @ >={s4}, "
+              f"5-round @ >={s5}: {total} slipped key-rounds")
 
 
 if __name__ == "__main__":

@@ -11,6 +11,12 @@ next round's ``_FRONT_KEYS`` is computed, not hand-derived:
 - Extended keys with a green streak ≥ ``STRETCH4_AFTER`` stretch
   further to a 4-round cycle (the r11 rung — r10 verdict #1: at 135+
   live keys the 2/3 ladder alone over-subscribes the 50-slot window).
+- Extended keys with a green streak ≥ ``STRETCH5_AFTER`` stretch to a
+  5-round cycle (the r12 rung: the registry reached 161 keys incl. the
+  r15 queue — steady-state demand 11/2 + 150/4 ≈ 43 fits the window,
+  but the synchronized drain cohorts' re-verification waves no longer
+  do; the r11 ladder slips 30 key-rounds over r13–r21 at this size,
+  the 3-rung ladder slips ZERO — table in simulate_rotation.py).
 - Slots left over go first to queue registrations, then to PULL-FORWARD
   of next round's oldest due keys (printed below) — verifying them a
   round early desynchronizes the drain cohorts, whose synchronized
@@ -50,7 +56,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
 STRETCH_AFTER = 1  # green streak before a key may stretch to 3 rounds
-STRETCH4_AFTER = 4  # green streak before a key may stretch to 4 rounds
+STRETCH4_AFTER = 3  # green streak before a key may stretch to 4 rounds
+STRETCH5_AFTER = 5  # green streak before a key may stretch to 5 rounds
 
 #: reference-surface (§2) keys — never stretched past 2 rounds
 CORE_KEYS = frozenset(
@@ -68,13 +75,15 @@ def classify(
     core_keys: frozenset = CORE_KEYS,
     stretch_after: int = STRETCH_AFTER,
     stretch4_after: int = STRETCH4_AFTER,
+    stretch5_after: "int | None" = STRETCH5_AFTER,
 ):
     """Pure window arithmetic (unit-tested in tests/test_window_math.py):
-    → (must, may3, may4, failed_last, never) where ``must`` is the
-    strict 2-round due list (fresh failures FIRST), ``may3``/``may4``
-    the stretched keys at their 3-/4-round deadlines, each
-    (last_row, key)-sorted. The ladder is exclusive by streak depth:
-    a ≥``stretch4_after``-green key lives ONLY on the 4-round cycle."""
+    → (must, may3, may4, may5, failed_last, never) where ``must`` is the
+    strict 2-round due list (fresh failures FIRST), ``may3``/``may4``/
+    ``may5`` the stretched keys at their 3-/4-/5-round deadlines, each
+    (last_row, key)-sorted. The ladder is exclusive by streak depth: a
+    ≥``stretch5_after``-green key lives ONLY on the 5-round cycle
+    (``stretch5_after=None`` disables the rung — the pre-r12 ladder)."""
     last_row: dict[str, int] = {}
     rows_by_key: dict[str, list[tuple[int, bool]]] = {}
     failed_last: set[str] = set()
@@ -104,6 +113,7 @@ def classify(
     must = []   # strict 2-round keys due this round (+ fresh failures)
     may3 = []   # stretchable keys at their 3-round deadline
     may4 = []   # long-stable keys at their 4-round deadline
+    may5 = []   # deepest-streak keys at their 5-round deadline
     for k in registry:
         if k not in last_row:
             continue  # never-verified: reported via `never`, not `must`
@@ -118,13 +128,17 @@ def classify(
         elif streak < stretch4_after:
             if lr <= next_round - 3:
                 may3.append((lr, k))
-        elif lr <= next_round - 4:
-            may4.append((lr, k))
+        elif stretch5_after is None or streak < stretch5_after:
+            if lr <= next_round - 4:
+                may4.append((lr, k))
+        elif lr <= next_round - 5:
+            may5.append((lr, k))
     must.sort()
     may3.sort()
     may4.sort()
+    may5.sort()
     never = [k for k in registry if k not in last_row]
-    return must, may3, may4, failed_last, never
+    return must, may3, may4, may5, failed_last, never
 
 
 def main() -> None:
@@ -137,7 +151,7 @@ def main() -> None:
         m = re.search(r"r(\d+)", os.path.basename(path))
         history[int(m.group(1))] = json.load(open(path))
 
-    must, may3, may4, failed_last, never = classify(
+    must, may3, may4, may5, failed_last, never = classify(
         registry, history, next_round
     )
     # never-verified keys lead the prefix (they have NO driver row at
@@ -150,6 +164,7 @@ def main() -> None:
         + [k for _, k in must]
         + [k for _, k in may3]
         + [k for _, k in may4]
+        + [k for _, k in may5]
     )
     free = WINDOW - len(front)
     print(f"# r{next_round} window (size {WINDOW})")
@@ -160,6 +175,7 @@ def main() -> None:
     print(f"strict 2-round keys due (incl. red): {len(must)}")
     print(f"3-round-deadline stretched keys due: {len(may3)}")
     print(f"4-round-deadline long-stable keys due: {len(may4)}")
+    print(f"5-round-deadline deepest-streak keys due: {len(may5)}")
     print(f"free slots for new/changed + queue registrations: {free}")
     print("\n# proposed _FRONT_KEYS prefix (oldest first):")
     for k in front[:WINDOW]:
@@ -197,14 +213,14 @@ def main() -> None:
         window_now = front[:WINDOW] + queue
         hyp = dict(history)
         hyp[next_round] = {k: {"hash_match": True} for k in window_now}
-        m2, y3, y4, _, _ = classify(
+        m2, y3, y4, y5, _, _ = classify(
             registry + [k for k in queue if k not in registry],
             hyp,
             next_round + 1,
         )
         nxt = [
             k
-            for _, k in sorted(m2 + y3 + y4)
+            for _, k in sorted(m2 + y3 + y4 + y5)
             if k not in window_now
         ]
         if nxt:

@@ -215,3 +215,74 @@ def test_emission_rounding_matches_spark_half_up(spark):
     # the same value through Spark's round, as the ground truth
     got = spark.sql("SELECT round(CAST('5e-07' AS DOUBLE), 6) AS r").collect()
     assert got[0].r == 1e-06
+
+
+def test_dedup_id_pre_stage_absorbs_redelivery(spark, tmp_path):
+    """dedup_id_col (review r12): batch 2 RE-DELIVERS batch 1's rows
+    (same event ids) plus one new event. Without the pre-stage the fold
+    double-adds their mass; with it, the final emission equals the
+    batch operator over the DISTINCT events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows1 = [
+        (7, BASE, 1, 2.0),
+        (7, BASE + dt.timedelta(hours=1), 2, 4.0),
+    ]
+    rows2 = rows1 + [(7, BASE + dt.timedelta(hours=2), 3, 8.0)]
+    sch = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("event_id", pa.int64()), ("value", pa.float64())]
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    for i, chunk in enumerate((rows1, rows2)):
+        p = str(d / f"b{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(("user_id", "ts", "event_id", "value"), r))
+                 for r in chunk],
+                sch,
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    collected = []
+    q = (
+        stream_time_decay(
+            stream, key_col="user_id", ts_col="ts", value_col="value",
+            half_life_hours=H, dedup_id_col="event_id",
+            dedup_watermark="365 days",  # test horizon: absorb all
+        )
+        .writeStream.foreachBatch(
+            lambda df, _id: collected.extend(df.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not drain"
+    final = max(
+        (r for r in collected if r.key == 7), key=lambda r: r.ver
+    )
+    batch = time_decay_stats(
+        spark.createDataFrame(
+            [(u, t, e, v) for u, t, e, v in rows2],
+            "user_id bigint, ts timestamp, event_id bigint, value double",
+        ),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        half_life_hours=H,
+    ).collect()[0]
+    assert final.n_events == 3 == batch.n_events
+    assert final.decayed_sum == batch.decayed_sum
+    assert final.decayed_weight == batch.decayed_weight
