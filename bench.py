@@ -20,10 +20,11 @@ import time
 
 #: Queries whose CONSTRUCTION runs Spark actions (iterative fixpoints) —
 #: timed construction-inclusive; everything else is timed exec-only.
-#: dedup_keep_best / dedup_embed_cluster are listed ahead of their
-#: registration (r11/r12 queues) — absent keys are simply never hit.
+#: dedup_cluster_stats is listed ahead of its registration (r16 queue) —
+#: absent keys are simply never hit.
 ITERATIVE_QUERIES = frozenset(
-    {"dedup_cluster", "dedup_keep_best", "dedup_embed_cluster"}
+    {"dedup_cluster", "dedup_keep_best", "dedup_embed_cluster",
+     "dedup_cluster_stats"}
 )
 
 

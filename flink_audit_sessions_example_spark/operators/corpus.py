@@ -1019,3 +1019,51 @@ def mixture_sample(
             F.round(F.col("_rate"), 6).alias("keep_rate"),
         )
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    *,
+    key_col: str,
+    strata_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """``xform_kfold`` — EXACTLY-balanced stratified k-fold assignment:
+    within every stratum, rows rank by their content-free md5 draw
+    (ties by key) and take ``fold = (rank − 1) mod k``, so each
+    stratum's fold populations differ by at most one row — the
+    cross-validation / eval-shard split that per-row hash assignment
+    (:func:`assign_splits`) only achieves in expectation. Output
+    ``(key_col, strata_col, fold)``; NULL strata form their OWN stratum
+    (both engines window NULL partitions identically); NULL keys are
+    excluded (no draw to rank).
+
+    Contract vs :func:`assign_splits`, stated plainly: hash assignment
+    is row-stable under corpus growth (a row's split never changes —
+    what eval-set hygiene wants); rank-mod assignment is batch-stable
+    only (adding rows reshuffles ranks) but exactly balanced — use it
+    for k-fold CV and fixed-snapshot shard manifests, not for the
+    living train/eval split.
+
+    Plan: ONE keyed window per stratum (the sort is per-stratum,
+    partitionable — never a global ORDER BY), md5 computed once
+    scan-side. At 100 TB the per-stratum sort is the honest cost of
+    exact balance; the zero-shuffle approximate path remains
+    :func:`assign_splits`.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    draw = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(draw, F.col(key_col))
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(key_col, strata_col)
+        .withColumn(
+            "fold",
+            ((F.row_number().over(w) - F.lit(1)) % F.lit(k)).cast(
+                "bigint"
+            ),
+        )
+    )

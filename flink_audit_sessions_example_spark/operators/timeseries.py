@@ -630,3 +630,179 @@ def event_transitions(
             ).alias("p"),
         )
     )
+
+
+def next_touch_attribution(
+    events: DataFrame,
+    *,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    conversion_type: str = "purchase",
+    lookback_hours: int = 168,
+) -> DataFrame:
+    """``win_attribution`` — linear multi-touch attribution: every
+    non-conversion event ("touch") within ``lookback_hours`` BEFORE a
+    key's next conversion shares that conversion's credit equally.
+    Output one row per touch type — ``(event_type, n_touches,
+    linear_credit, n_last_touch)`` — the channel-credit table marketing
+    attribution starts from, and the complement of the single-pass
+    ``win_first_touch`` relation (first touch credits acquisition; this
+    credits the path to each conversion).
+
+    Semantics, pinned exactly: events order per key by the TOTAL order
+    ``(ts, tiebreak)`` (NULL ts/type/tiebreak rows excluded — the
+    ``event_transitions`` rule); each touch attributes to the first
+    conversion AT-OR-AFTER it in that order (a touch sharing a
+    conversion's timestamp attributes to it iff its tiebreak sorts
+    first); touches with no conversion inside the lookback earn
+    nothing. ``linear_credit`` = Σ 1/n_touches over attributed touches
+    of the type, rounded 6dp once at the end; ``n_last_touch`` counts
+    conversions whose LAST attributed touch (max ``(ts, tiebreak)``)
+    was of the type.
+
+    Plan — ZERO self-joins (the naive formulation is purchases ⋈
+    touches on a time-range predicate, quadratic under skew): one keyed
+    window in REVERSE ``(ts, tiebreak)`` order carries the next
+    conversion's timestamp and id to every row via running
+    ``last(..., ignorenulls)`` (both engines agree on the frame
+    semantics — spiked cross-engine); the per-conversion touch counts
+    aggregate over the already-grouped (key, conversion, type) relation
+    with a subset-clustered window sum; the final rollup is O(types).
+    Shuffles: the keyed window exchange over events + two exchanges
+    over the tiny grouped relation.
+    """
+    if lookback_hours < 1:
+        raise ValueError(
+            f"lookback_hours must be >= 1, got {lookback_hours}"
+        )
+    lookback_us = lookback_hours * 3_600_000_000
+    not_null = (
+        F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(tiebreak_col).isNotNull()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rows = events.where(not_null).select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(type_col).alias("_t"),
+    )
+    w_rev = Window.partitionBy("_k").orderBy(
+        F.desc("_us"), F.desc("_tb")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_conv = F.col("_t") == F.lit(conversion_type)
+    tagged = rows.select(
+        "_k",
+        "_us",
+        "_tb",
+        "_t",
+        F.last(F.when(is_conv, F.col("_us")), ignorenulls=True)
+        .over(w_rev)
+        .alias("_cus"),
+        F.last(F.when(is_conv, F.col("_tb")), ignorenulls=True)
+        .over(w_rev)
+        .alias("_cid"),
+    )
+    touches = tagged.where(
+        (F.col("_t") != F.lit(conversion_type))
+        & F.col("_cid").isNotNull()
+        & (F.col("_cus") - F.col("_us") <= F.lit(lookback_us))
+    )
+    # per (key, conversion, type): touch count + the latest touch of
+    # the type — ONE aggregation over the touch rows
+    grouped = touches.groupBy("_k", "_cid", "_t").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.max(F.struct(F.col("_us"), F.col("_tb"))).alias("_latest"),
+    )
+    w_conv = Window.partitionBy("_k", "_cid")
+    per_type = grouped.select(
+        "_k",
+        "_cid",
+        "_t",
+        "_cnt",
+        F.sum("_cnt").over(w_conv).alias("_n"),
+        (
+            F.max(F.struct(F.col("_latest"), F.col("_t"))).over(w_conv)
+        ).getField("_t").alias("_last_type"),
+    )
+    return (
+        per_type.groupBy(F.col("_t").alias("event_type"))
+        .agg(
+            F.sum("_cnt").cast("bigint").alias("n_touches"),
+            F.round(
+                F.sum(
+                    F.col("_cnt").cast("double")
+                    / F.col("_n").cast("double")
+                ),
+                6,
+            ).alias("linear_credit"),
+            F.sum(
+                (F.col("_t") == F.col("_last_type")).cast("int")
+            ).cast("bigint").alias("n_last_touch"),
+        )
+    )
+
+
+def rolling_distinct(
+    events: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    window_hours: int = 24,
+) -> DataFrame:
+    """``win_rolling_distinct`` — for every ACTIVE hour (an hour with
+    ≥1 event), the exact number of distinct entities seen in the
+    trailing ``window_hours`` window ``(h − window_hours, h]`` —
+    rolling DAU over an hourly tick, the liveness series every usage
+    dashboard and training-data freshness audit wants. NULL
+    entity/timestamp rows are excluded.
+
+    Plan: distinct ``(entity, hour)`` pairs first (ONE map-side-partial
+    aggregation — the raw event volume collapses to at most
+    entities × active-hours rows), then each pair fans out to the
+    ``window_hours`` ticks it contributes to (a bounded, documented
+    ×W explode of the ALREADY-COLLAPSED relation, never of the events)
+    and one count-distinct per tick; ticks restrict to active hours via
+    a broadcast semi-join (the active-hour relation is O(time-range) —
+    ~9k rows/year — broadcastable at any corpus size).
+
+    100 TB path, stated plainly: the exact form's shuffle is
+    O(entities × hours × W); when entities are web-scale users the
+    mergeable-sketch route replaces it — one HLL register table per
+    hour (``sketches.hll_table``) merged over the trailing W buckets
+    (``hll_merge``), O(hours) state and no per-entity fan-out, at the
+    documented ±1.6% (p=12). This operator is the exact twin that
+    bound-checks that path.
+    """
+    if window_hours < 1:
+        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
+    hour = F.date_trunc("hour", F.col(ts_col).cast("timestamp"))
+    pairs = (
+        events.where(
+            F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(F.col(entity_col).alias("_e"), hour.alias("_h"))
+        .distinct()
+    )
+    active = pairs.select("_h").distinct().select(
+        F.col("_h").alias("_tick")
+    )
+    fanned = pairs.select(
+        "_e",
+        F.explode(
+            F.sequence(
+                F.col("_h"),
+                F.col("_h") + F.expr(f"INTERVAL {window_hours - 1} HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("_tick"),
+    )
+    return (
+        fanned.join(F.broadcast(active), "_tick")
+        .groupBy("_tick")
+        .agg(F.count_distinct("_e").cast("bigint").alias("n_distinct"))
+        .select(F.col("_tick").alias("win_end_hour"), "n_distinct")
+    )

@@ -35,14 +35,16 @@ from .round12 import ROUND12_ORACLES, ROUND12_QUERIES
 #: DRAIN PLAN (r12 ladder — the registry exceeds 3×window so strict
 #: 2-round rotation is arithmetically impossible; r8 verdict #4, r10
 #: verdict #1): §2 / reference-surface keys KEEP the 2-round invariant;
-#: extended keys with a green driver-row STREAK ≥1 stretch to a 3-round
-#: cycle, streak ≥3 to a 4-round cycle, streak ≥5 to a 5-round cycle.
-#: The rungs were RE-CALIBRATED r12 by ``scripts/simulate_rotation.py``
-#: (staleness-greedy windows with pull-forward, replayed against the
-#: real CORRECTNESS history): at 161 keys (r12 drain +
-#: dedup_incremental + the staged r15 queue) the r11 two-rung ladder
-#: (≥1, ≥4) slips 30 key-rounds over r13–r21, while the three-rung
-#: (≥1, ≥3, ≥5) ladder slips ZERO. The ≥1 rung is sound: driver-vs-local divergence for a
+#: extended keys stretch as their green driver-row STREAK deepens —
+#: the four-rung ladder ``window_math.LADDER``: streak ≥1 → 3-round
+#: cycle, ≥3 → 4-round, ≥5 → 5-round, ≥7 → 6-round. RE-CALIBRATED r12
+#: by ``scripts/simulate_rotation.py`` (staleness-greedy windows with
+#: pull-forward, replayed against the real CORRECTNESS history): at
+#: 166 keys (r12 drain + dedup_incremental + the staged r15 AND r16
+#: queues, which consume future slots the moment they register) the
+#: r11 two-rung ladder slips 55 key-rounds over 9 rounds, a three-rung
+#: ladder still slips 8, while this four-rung ladder slips ZERO over
+#: 12 simulated rounds. The ≥1 rung is sound: driver-vs-local divergence for a
 #: (plan, oracle) pair only surfaces on its FIRST driver row (r10's
 #: sole red — the HUGEINT oracle typing — was exactly that) or after
 #: the pair CHANGES, and changed keys re-front-load as new while red
@@ -69,11 +71,15 @@ from .round12 import ROUND12_ORACLES, ROUND12_QUERIES
 #: r13's oldest due keys. 27 + 1 + 10 + 12 = 50 exactly.
 #:
 #: r15 QUEUE: ``plans/staged_r15.py`` holds the next five complete
-#: registrations, parity + non-vacuity gated every suite run by
-#: ``tests/test_staged_r15.py``, pre-registration sf0.1 baselines in
-#: BASELINE.md; glob-discovered by ``plans/staging.py`` so the HUGEINT
-#: oracle gate, window math and the capacity simulator cover it
-#: automatically.
+#: registrations (URL canonicalization, HTML strip, edit-distance
+#: join, rate anomaly, quality calibration), parity + non-vacuity
+#: gated every suite run by ``tests/test_staged_r15.py``; r16 QUEUE
+#: behind it: ``plans/staged_r16.py`` (domain stats, multi-touch
+#: attribution, rolling distinct, stratified k-fold, cluster report),
+#: gated by ``tests/test_staged_r16.py``. Both carry pre-registration
+#: sf0.1 baselines in BASELINE.md and are glob-discovered by
+#: ``plans/staging.py``, so the HUGEINT oracle gate, window math and
+#: the capacity simulator cover them automatically.
 #: Every name in _FRONT_KEYS MUST resolve in _ALL_QUERIES — enforced
 #: below; add keys only after their q_/oracle entries land (r6 lesson:
 #: phantom names silently lose their slot). test_staged_registrations

@@ -20,15 +20,14 @@ keys. RE-CALIBRATED r12: the registry reached 161 keys (the r12 drain
 slots the moment it registers), and two-rung ladders no longer absorb
 the drain cohorts' synchronized re-verification waves:
 
-=============================  =========================
-ladder (3-/4-/5-round rungs)   slipped key-rounds, r13–r21
-=============================  =========================
-streak ≥1, ≥4, no 5-rung (r11)   30
-streak ≥1, ≥4, ≥6                 9
-streak ≥1, ≥4, ≥5                 3
-streak ≥1, ≥3, ≥6                 6
-streak ≥1, ≥3, ≥5                 0   ← adopted
-=============================  =========================
+==================================  ========================
+ladder (rungs by streak → cycle)    slipped key-rounds, 12 rds
+==================================  ========================
+≥1→3, ≥4→4 (the r11 two-rung)        55 (over 9 rounds)
+≥1→3, ≥3→4, ≥5→5 (three-rung)         8
+≥1→3, ≥3→4, ≥5→5, ≥8→6               7
+≥1→3, ≥3→4, ≥5→5, ≥7→6               0   ← adopted
+==================================  ========================
 
 (Re-run this script for the live numbers; the table is the r12
 snapshot.) The ≥1 rung is sound because driver-vs-local divergence for
@@ -56,7 +55,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from window_math import WINDOW, classify  # noqa: E402
+from window_math import LADDER, WINDOW, classify  # noqa: E402
 
 
 def load_history() -> "dict[int, dict]":
@@ -71,9 +70,7 @@ def simulate(
     registry: "list[str]",
     base_history: "dict[int, dict]",
     *,
-    stretch_after: int,
-    stretch4_after: int,
-    stretch5_after: "int | None" = None,
+    ladder: "tuple[tuple[int, int], ...]",
     rounds: int,
     verbose: bool = False,
 ) -> int:
@@ -82,31 +79,23 @@ def simulate(
     start = max(history) + 1
     slipped = 0
     for rnd in range(start, start + rounds):
-        must, may3, may4, may5, _, never = classify(
-            registry, history, rnd,
-            stretch_after=stretch_after, stretch4_after=stretch4_after,
-            stretch5_after=stretch5_after,
-        )
-        due = (
-            never
-            + [k for _, k in must]
-            + [k for _, k in may3]
-            + [k for _, k in may4]
-            + [k for _, k in may5]
-        )
+        dues, _, never = classify(registry, history, rnd, ladder=ladder)
+        due = never + [
+            k for cycle in sorted(dues) for _, k in dues[cycle]
+        ]
         window = due[:WINDOW]
         slipped += max(0, len(due) - WINDOW)
         if len(window) < WINDOW:
             # pull-forward: spare slots take next round's oldest dues
             hyp = dict(history)
             hyp[rnd] = {k: {"hash_match": True} for k in window}
-            m2, y3, y4, y5, _, _ = classify(
-                registry, hyp, rnd + 1,
-                stretch_after=stretch_after, stretch4_after=stretch4_after,
-                stretch5_after=stretch5_after,
-            )
+            d2, _, _ = classify(registry, hyp, rnd + 1, ladder=ladder)
             nxt = [
-                k for _, k in sorted(m2 + y3 + y4 + y5) if k not in window
+                k
+                for _, k in sorted(
+                    t for lst in d2.values() for t in lst
+                )
+                if k not in window
             ]
             window = window + nxt[: WINDOW - len(window)]
         history[rnd] = {k: {"hash_match": True} for k in window}
@@ -133,16 +122,18 @@ def main() -> None:
     history = load_history()
     print(f"# ladder calibration over {rounds} rounds, "
           f"{len(registry)} keys, window {WINDOW}")
-    for s3, s4, s5 in [
-        (1, 4, None), (1, 4, 6), (1, 4, 5), (1, 3, 6), (1, 3, 5), (2, 4, 6),
-    ]:
+    candidates = [
+        ("r11 two-rung", ((4, 4), (1, 3))),
+        ("three-rung", ((5, 5), (3, 4), (1, 3))),
+        ("four-rung >=8->6", ((8, 6), (5, 5), (3, 4), (1, 3))),
+        ("ADOPTED four-rung >=7->6", LADDER),
+        ("five-rung >=9->7", ((9, 7), (7, 6), (5, 5), (3, 4), (1, 3))),
+    ]
+    for name, ladder in candidates:
         total = simulate(
-            registry, history,
-            stretch_after=s3, stretch4_after=s4, stretch5_after=s5,
-            rounds=rounds,
+            registry, history, ladder=ladder, rounds=rounds,
         )
-        print(f"rungs 3-round @ >={s3}, 4-round @ >={s4}, "
-              f"5-round @ >={s5}: {total} slipped key-rounds")
+        print(f"{name} {ladder}: {total} slipped key-rounds")
 
 
 if __name__ == "__main__":

@@ -6,17 +6,21 @@ next round's ``_FRONT_KEYS`` is computed, not hand-derived:
 
 - §2 / reference-surface keys keep the strict 2-round invariant
   (re-verify every key whose last driver row is round N−2).
-- Extended keys with a green STREAK ≥ ``STRETCH_AFTER`` stretch to a
-  3-round cycle; they re-enter the front at their 3-round deadline.
-- Extended keys with a green streak ≥ ``STRETCH4_AFTER`` stretch
-  further to a 4-round cycle (the r11 rung — r10 verdict #1: at 135+
-  live keys the 2/3 ladder alone over-subscribes the 50-slot window).
-- Extended keys with a green streak ≥ ``STRETCH5_AFTER`` stretch to a
-  5-round cycle (the r12 rung: the registry reached 161 keys incl. the
-  r15 queue — steady-state demand 11/2 + 150/4 ≈ 43 fits the window,
-  but the synchronized drain cohorts' re-verification waves no longer
-  do; the r11 ladder slips 30 key-rounds over r13–r21 at this size,
-  the 3-rung ladder slips ZERO — table in simulate_rotation.py).
+- Extended keys stretch to longer cycles as their green driver-row
+  STREAK deepens, per ``LADDER`` — ``((min_streak, cycle), ...)``
+  descending; a key takes the first rung its streak reaches, and a key
+  below every rung stays strict-2. The r12 ladder is
+  (≥7 → 6-round, ≥5 → 5, ≥3 → 4, ≥1 → 3): the registry reached 166
+  keys (r12 drain + dedup_incremental + the staged r15/r16 queues —
+  staged keys consume future slots the moment they register), and at
+  that size the r11 two-rung ladder slips 55 key-rounds over 9 rounds,
+  three rungs still slip 8, while this four-rung ladder slips ZERO
+  over 12 simulated rounds (table in simulate_rotation.py). Each rung
+  is sound for the same reason as the first: divergence only surfaces
+  on a pair's FIRST driver row or after it changes, deep-streak keys
+  are the least likely to change, and every unchanged pair replays
+  against DuckDB on every local suite run regardless of its driver
+  cadence.
 - Slots left over go first to queue registrations, then to PULL-FORWARD
   of next round's oldest due keys (printed below) — verifying them a
   round early desynchronizes the drain cohorts, whose synchronized
@@ -55,9 +59,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
-STRETCH_AFTER = 1  # green streak before a key may stretch to 3 rounds
-STRETCH4_AFTER = 3  # green streak before a key may stretch to 4 rounds
-STRETCH5_AFTER = 5  # green streak before a key may stretch to 5 rounds
+#: (min_green_streak, cycle_rounds), descending by streak — a key takes
+#: the FIRST rung its streak reaches; below every rung = strict 2-round.
+LADDER: "tuple[tuple[int, int], ...]" = ((7, 6), (5, 5), (3, 4), (1, 3))
 
 #: reference-surface (§2) keys — never stretched past 2 rounds
 CORE_KEYS = frozenset(
@@ -73,17 +77,14 @@ def classify(
     next_round: int,
     *,
     core_keys: frozenset = CORE_KEYS,
-    stretch_after: int = STRETCH_AFTER,
-    stretch4_after: int = STRETCH4_AFTER,
-    stretch5_after: "int | None" = STRETCH5_AFTER,
+    ladder: "tuple[tuple[int, int], ...]" = LADDER,
 ):
     """Pure window arithmetic (unit-tested in tests/test_window_math.py):
-    → (must, may3, may4, may5, failed_last, never) where ``must`` is the
-    strict 2-round due list (fresh failures FIRST), ``may3``/``may4``/
-    ``may5`` the stretched keys at their 3-/4-/5-round deadlines, each
-    (last_row, key)-sorted. The ladder is exclusive by streak depth: a
-    ≥``stretch5_after``-green key lives ONLY on the 5-round cycle
-    (``stretch5_after=None`` disables the rung — the pre-r12 ladder)."""
+    → (dues, failed_last, never) where ``dues`` maps each cycle length
+    to its (last_row, key)-sorted due list — ``dues[2]`` is the strict
+    2-round list (fresh failures FIRST, priority 0). The ladder is
+    exclusive by streak depth: a key lives ONLY on the first rung its
+    streak reaches (core keys always on the strict 2-round cycle)."""
     last_row: dict[str, int] = {}
     rows_by_key: dict[str, list[tuple[int, bool]]] = {}
     failed_last: set[str] = set()
@@ -110,35 +111,28 @@ def classify(
         if rows and not sorted(rows)[-1][1]:
             failed_last.add(k)
 
-    must = []   # strict 2-round keys due this round (+ fresh failures)
-    may3 = []   # stretchable keys at their 3-round deadline
-    may4 = []   # long-stable keys at their 4-round deadline
-    may5 = []   # deepest-streak keys at their 5-round deadline
+    cycles = sorted({2, *(c for _, c in ladder)})
+    dues: "dict[int, list]" = {c: [] for c in cycles}
     for k in registry:
         if k not in last_row:
-            continue  # never-verified: reported via `never`, not `must`
+            continue  # never-verified: reported via `never`, not dues
         lr = last_row[k]
         if k in failed_last:
-            must.append((0, k))  # red row: re-verify FIRST, never later
+            dues[2].append((0, k))  # red row: re-verify FIRST
             continue
         streak = green_streak.get(k, 0)
-        if k in core_keys or streak < stretch_after:
-            if lr <= next_round - 2:
-                must.append((lr, k))
-        elif streak < stretch4_after:
-            if lr <= next_round - 3:
-                may3.append((lr, k))
-        elif stretch5_after is None or streak < stretch5_after:
-            if lr <= next_round - 4:
-                may4.append((lr, k))
-        elif lr <= next_round - 5:
-            may5.append((lr, k))
-    must.sort()
-    may3.sort()
-    may4.sort()
-    may5.sort()
+        cycle = 2
+        if k not in core_keys:
+            for min_streak, c in ladder:
+                if streak >= min_streak:
+                    cycle = c
+                    break
+        if lr <= next_round - cycle:
+            dues[cycle].append((lr, k))
+    for c in cycles:
+        dues[c].sort()
     never = [k for k in registry if k not in last_row]
-    return must, may3, may4, may5, failed_last, never
+    return dues, failed_last, never
 
 
 def main() -> None:
@@ -151,31 +145,28 @@ def main() -> None:
         m = re.search(r"r(\d+)", os.path.basename(path))
         history[int(m.group(1))] = json.load(open(path))
 
-    must, may3, may4, may5, failed_last, never = classify(
-        registry, history, next_round
-    )
+    dues, failed_last, never = classify(registry, history, next_round)
     # never-verified keys lead the prefix (they have NO driver row at
     # all, so they outrank every merely-stale key) and consume slots —
     # pasting the output verbatim must not over-allocate the queue
     # (r9 advice: they were previously printed but excluded from both
     # the prefix and the free-slot arithmetic).
-    front = (
-        never
-        + [k for _, k in must]
-        + [k for _, k in may3]
-        + [k for _, k in may4]
-        + [k for _, k in may5]
-    )
+    front = never + [
+        k
+        for cycle in sorted(dues)
+        for _, k in dues[cycle]
+    ]
     free = WINDOW - len(front)
     print(f"# r{next_round} window (size {WINDOW})")
     if failed_last:
         print(f"RED in their latest row (front-loaded): {sorted(failed_last)}")
     if never:
         print(f"never-verified keys (front-loaded FIRST): {len(never)}")
-    print(f"strict 2-round keys due (incl. red): {len(must)}")
-    print(f"3-round-deadline stretched keys due: {len(may3)}")
-    print(f"4-round-deadline long-stable keys due: {len(may4)}")
-    print(f"5-round-deadline deepest-streak keys due: {len(may5)}")
+    for cycle in sorted(dues):
+        label = "strict 2-round keys due (incl. red)" if cycle == 2 else (
+            f"{cycle}-round-deadline stretched keys due"
+        )
+        print(f"{label}: {len(dues[cycle])}")
     print(f"free slots for new/changed + queue registrations: {free}")
     print("\n# proposed _FRONT_KEYS prefix (oldest first):")
     for k in front[:WINDOW]:
@@ -213,14 +204,16 @@ def main() -> None:
         window_now = front[:WINDOW] + queue
         hyp = dict(history)
         hyp[next_round] = {k: {"hash_match": True} for k in window_now}
-        m2, y3, y4, y5, _, _ = classify(
+        dues2, _, _ = classify(
             registry + [k for k in queue if k not in registry],
             hyp,
             next_round + 1,
         )
         nxt = [
             k
-            for _, k in sorted(m2 + y3 + y4 + y5)
+            for _, k in sorted(
+                t for lst in dues2.values() for t in lst
+            )
             if k not in window_now
         ]
         if nxt:

@@ -1,7 +1,8 @@
 """The r10+ rotation arithmetic (scripts/window_math.py::classify) —
 pure-logic pins for the drain-plan protocol: strict 2-round invariant,
-green-STREAK stretch eligibility, red-row front-loading, core-key
-exemption, never-verified detection."""
+green-STREAK ladder eligibility (r12: generalized to a
+``((min_streak, cycle), ...)`` rung table), red-row front-loading,
+core-key exemption, never-verified detection."""
 
 from __future__ import annotations
 
@@ -13,10 +14,17 @@ sys.path.insert(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  "scripts"),
 )
-from window_math import classify  # noqa: E402
+from window_math import LADDER, classify  # noqa: E402
 
 G = {"hash_match": True}
 R = {"hash_match": False}
+
+#: the historical two-rung ladders, for pinning rung-boundary semantics
+L3 = ((5, 4), (3, 3))   # 3-round at streak>=3, 4-round at streak>=5
+
+
+def _keys(dues, cycle):
+    return [k for _, k in dues.get(cycle, [])]
 
 
 def test_strict_two_round_and_stretch():
@@ -28,26 +36,23 @@ def test_strict_two_round_and_stretch():
         8: {"fresh": G, "streak3": G},
         # streak3_due last verified r7 with a 3-green streak
     }
-    must, may3, may4, may5, failed, never = classify(
-        registry, history, 10, core_keys=frozenset(), stretch_after=3,
-        stretch4_after=5, stretch5_after=None,
+    dues, failed, never = classify(
+        registry, history, 10, core_keys=frozenset(), ladder=L3
     )
-    must_keys = [k for _, k in must]
-    # stale2: only 1 green window -> strict 2-round -> due (lr=7 <= 8)
-    assert "stale2" in must_keys
+    # stale2: only 1 green row -> below every rung -> strict 2-round
+    assert "stale2" in _keys(dues, 2)
     # fresh (lr=8, 1 green): due at r10 under strict rule
-    assert "fresh" in must_keys
+    assert "fresh" in _keys(dues, 2)
     # streak3: 3-green streak, lr=8 -> stretched, due r11 not r10
-    assert "streak3" not in must_keys
-    assert "streak3" not in [k for _, k in may3]
+    assert "streak3" not in _keys(dues, 2)
+    assert "streak3" not in _keys(dues, 3)
     # streak3_due: 3-green streak but lr=7 <= 10-3 -> at its deadline
-    assert "streak3_due" in [k for _, k in may3]
+    assert "streak3_due" in _keys(dues, 3)
     assert not failed and not never
 
 
-def test_four_round_rung_for_long_stable_keys():
-    # the r11 ladder rung: ≥stretch4_after-green extended keys move to a
-    # 4-round cycle EXCLUSIVELY (they leave the 3-round list entirely)
+def test_rungs_are_exclusive_by_streak_depth():
+    # a >=5-green extended key lives ONLY on the deeper cycle
     registry = ["deep_fresh", "deep_due", "mid_streak", "core_deep"]
     history = {
         3: {"deep_due": G},
@@ -58,18 +63,17 @@ def test_four_round_rung_for_long_stable_keys():
         8: {"deep_fresh": G, "mid_streak": G, "core_deep": G},
         # deep_due: 5-green streak, last row r7 -> 4-round deadline at r11
         # deep_fresh: 5-green streak, last row r8 -> not due until r12
-        # mid_streak: 3-green streak -> stays on the 3-round cycle (due r11)
-        # core_deep: 5-green but CORE -> strict 2-round (due r10 already)
+        # mid_streak: 3-green streak -> 3-round cycle (due r11)
+        # core_deep: 5-green but CORE -> strict 2-round
     }
-    must, may3, may4, may5, failed, never = classify(
+    dues, failed, never = classify(
         registry, history, 11,
-        core_keys=frozenset({"core_deep"}),
-        stretch_after=3, stretch4_after=5, stretch5_after=None,
+        core_keys=frozenset({"core_deep"}), ladder=L3,
     )
-    assert [k for _, k in may4] == ["deep_due"]
-    assert "deep_fresh" not in [k for _, k in may4]
-    assert [k for _, k in may3] == ["mid_streak"]
-    assert [k for _, k in must] == ["core_deep"]
+    assert _keys(dues, 4) == ["deep_due"]
+    assert "deep_fresh" not in _keys(dues, 4)
+    assert _keys(dues, 3) == ["mid_streak"]
+    assert _keys(dues, 2) == ["core_deep"]
     assert not failed and not never
 
 
@@ -80,26 +84,24 @@ def test_red_row_resets_streak_and_front_loads():
         7: {"went_red": G},
         8: {"went_red": R},  # lifetime greens = 2... but latest is RED
     }
-    must, may3, may4, may5, failed, never = classify(
-        registry, history, 9, core_keys=frozenset(), stretch_after=2
+    dues, failed, never = classify(
+        registry, history, 9, core_keys=frozenset(), ladder=((2, 3),)
     )
-    # lifetime green count (2) would have stretched it; the STREAK is 0
-    # and the red latest row front-loads it with priority 0
     assert failed == {"went_red"}
-    assert must and must[0] == (0, "went_red")
-    assert not may3
+    # priority 0: ahead of every merely-stale key in the strict list
+    assert dues[2][0] == (0, "went_red")
+    assert not never
 
 
 def test_core_keys_never_stretch():
     registry = ["core1"]
     history = {r: {"core1": G} for r in (5, 6, 7, 8)}
-    must, may3, may4, may5, _, _ = classify(
+    dues, _, _ = classify(
         registry, history, 10,
-        core_keys=frozenset({"core1"}), stretch_after=3,
+        core_keys=frozenset({"core1"}), ladder=((3, 3),),
     )
-    # 4-green streak, but core keys keep the strict 2-round invariant:
-    # lr=8 <= 10-2 -> due in the strict list
-    assert [k for _, k in must] == ["core1"] and not may3
+    # 4-green streak, but core keys keep the strict 2-round invariant
+    assert "core1" in _keys(dues, 2)
 
 
 def test_never_verified_detected_and_ordering():
@@ -108,44 +110,41 @@ def test_never_verified_detected_and_ordering():
         5: {"older": G},
         6: {"old": G},
     }
-    must, may3, may4, may5, failed, never = classify(
-        registry, history, 8, core_keys=frozenset(), stretch_after=3
+    dues, failed, never = classify(
+        registry, history, 8, core_keys=frozenset(), ladder=((3, 3),)
     )
     assert never == ["brand_new"]
-    # never-verified keys live ONLY in `never` (main() prepends them to
-    # the prefix and charges them against the free-slot count — the r9
-    # advice fix); must holds keys WITH history, staleness order:
-    # older (lr=5) before old (lr=6)
-    assert [k for _, k in must] == ["older", "old"]
+    # staleness order inside the strict list: older (lr=5) before old
+    assert _keys(dues, 2) == ["older", "old"]
+    assert not failed
 
 
-def test_five_round_rung_for_deepest_streak_keys():
-    """The r12 rung: >=stretch5_after-green extended keys move to a
-    5-round cycle EXCLUSIVELY (they leave the 4-round list), and
-    stretch5_after=None restores the two-rung r11 ladder."""
-    registry = ["deepest_due", "deepest_fresh", "four_cycle"]
-    history = {
-        r: {"deepest_due": G, "deepest_fresh": G, "four_cycle": G}
-        for r in (3, 4, 5, 6, 7)
-    }
-    history[8] = {"deepest_fresh": G, "four_cycle": G}
-    # deepest_due: 5-green streak, lr=7 -> 5-round deadline at r12
-    # deepest_fresh: 6-green streak, lr=8 -> not due until r13
-    # four_cycle gets only a 4-green streak via a red at r4
-    history[4] = dict(history[4]); history[4]["four_cycle"] = R
-    must, may3, may4, may5, failed, never = classify(
-        registry, history, 12, core_keys=frozenset(),
-        stretch_after=1, stretch4_after=3, stretch5_after=5,
-    )
-    assert [k for _, k in may5] == ["deepest_due"]
-    assert "deepest_fresh" not in [k for _, k in may5]
-    # four_cycle: streak 4 (>=3, <5) -> 4-round cycle, lr=8 -> due r12
-    assert [k for _, k in may4] == ["four_cycle"]
-    assert not must and not may3 and not failed and not never
-    # rung disabled -> both deep keys fold back into the 4-round list
-    m2, y3, y4, y5, _, _ = classify(
-        registry, history, 12, core_keys=frozenset(),
-        stretch_after=1, stretch4_after=3, stretch5_after=None,
-    )
-    assert not y5
-    assert "deepest_due" in [k for _, k in y4]
+def test_r12_four_rung_ladder_depths():
+    """The adopted LADDER: streak 1/3/5/7 -> cycles 3/4/5/6; a key takes
+    the FIRST rung its streak reaches, exclusively."""
+    assert LADDER == ((7, 6), (5, 5), (3, 4), (1, 3))
+    registry = [f"s{n}" for n in (0, 1, 3, 5, 7)]
+    history = {}
+    # build exact streaks: key s{n} gets n consecutive green rows ending
+    # at round 8 (so last_row=8 for all verified keys)
+    for n in (1, 3, 5, 7):
+        for r in range(9 - n, 9):
+            history.setdefault(r, {})[f"s{n}"] = G
+    expected_cycle = {"s1": 3, "s3": 4, "s5": 5, "s7": 6}
+    for key, cyc in expected_cycle.items():
+        # one round BEFORE the deadline: not due anywhere
+        dues, _, _ = classify(
+            registry, history, 8 + cyc - 1, core_keys=frozenset()
+        )
+        assert all(key not in _keys(dues, c) for c in dues), (key, cyc)
+        # at the deadline: due on exactly its own cycle
+        dues, _, _ = classify(
+            registry, history, 8 + cyc, core_keys=frozenset()
+        )
+        assert key in _keys(dues, cyc), (key, cyc)
+        assert all(
+            key not in _keys(dues, c) for c in dues if c != cyc
+        ), (key, cyc)
+    # s0 never verified
+    _, _, never = classify(registry, history, 9, core_keys=frozenset())
+    assert never == ["s0"]
