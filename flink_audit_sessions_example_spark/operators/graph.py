@@ -45,6 +45,7 @@ def pagerank(
     max_iter: int = 20,
     tol: "float | None" = None,
     init_ranks: "DataFrame | None" = None,
+    round_dp: "int | None" = None,
 ) -> DataFrame:
     """Ranks over the directed graph ``edges`` (duplicate edges count as
     parallel links — pre-``distinct()`` them for simple-graph semantics;
@@ -66,6 +67,17 @@ def pagerank(
     the incremental re-rank when the graph grew by a day of edges.
     Vertices absent from ``init_ranks`` (new pages) start at 1.0;
     ``init_ranks`` rows for vertices no longer in the graph are ignored.
+
+    ``round_dp``: when set, every iteration's rank vector is rounded
+    in-engine to this many decimal places before it feeds the next
+    iteration. Power iteration amplifies last-ulp float-summation noise
+    across rounds (BLAS-order sums differ run to run with AQE
+    re-partitioning), so an UNROUNDED 5-iteration sweep is only
+    reproducible to ~1e-12 — per-iteration quantization resets the
+    drift each round, which is what lets the ``graph_pagerank``
+    registration hash-check against an unrolled-CTE DuckDB oracle at
+    6dp. Production leaves ``None``: ranks feed thresholds/ordering,
+    where trailing-ulp noise is irrelevant.
     """
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
@@ -94,6 +106,11 @@ def pagerank(
     dangling_verts = vertices.join(
         outdeg, vertices["vertex"] == outdeg["src"], "left_anti"
     ).localCheckpoint()
+    # symmetric / out-degree-closed graphs have NO dangling vertices;
+    # detect that once (one cheap action on the checkpointed relation)
+    # and skip the per-iteration dangling aggregate entirely — 5 of the
+    # loop's 10 actions on the graph_pagerank registration's graph
+    has_dangling = dangling_verts.limit(1).count() > 0
 
     if init_ranks is not None:
         ranks = (
@@ -115,11 +132,14 @@ def pagerank(
     for i in range(max_iter):
         # mass parked on vertices with no out-edges, redistributed
         # uniformly
-        dangling = (
-            ranks.join(dangling_verts, "vertex")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
+        if has_dangling:
+            dangling = (
+                ranks.join(dangling_verts, "vertex")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        else:
+            dangling = 0.0
         contribs = (
             ranks.join(ew, ranks["vertex"] == ew["src"])
             .select(
@@ -140,9 +160,18 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # checkpoint EVERY iteration: the next round's dangling collect
-        # (and the tol delta) are actions — on lazy lineage they would
-        # re-execute every uncheckpointed iteration before them
+        if round_dp is not None:
+            new_ranks = new_ranks.withColumn(
+                "rank", F.round(F.col("rank"), round_dp)
+            )
+        # checkpoint EVERY iteration, EAGERLY: the next round's dangling
+        # collect (and the tol delta) are actions — on lazy lineage they
+        # would re-execute every uncheckpointed iteration before them.
+        # Measured alternative (lazy marks + one terminal action when
+        # the loop body has no actions of its own): the 5-iteration
+        # nested plan costs MORE in optimizer/AQE re-planning time than
+        # the 5 shallow jobs it saves (8.7–42 s vs 7–8 s at sf0.1) —
+        # keep the shallow-job shape.
         new_ranks = new_ranks.localCheckpoint()
         if tol is not None:
             delta = (

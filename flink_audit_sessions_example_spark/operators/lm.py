@@ -203,30 +203,38 @@ def _gram_rows(
     return grams
 
 
-def score_documents(
+def _model_scored_tokens(
     docs: DataFrame,
     model: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-document stupid-backoff score against a
-    :func:`train_ngram_counts` model (order 3): ``(id_col, n_tokens,
-    avg_logprob, perplexity)``. Documents with no tokens are absent.
-
-    Per token at position i: trigram ratio if the trigram was seen,
-    else BACKOFF · bigram ratio, else BACKOFF² · unigram MLE, else the
-    OOV floor BACKOFF²/(N+1). The first two tokens of a document score
-    through the same chain (their higher-order grams simply don't
-    exist). All five gram lookups are LEFT joins on the model relation,
-    keyed by ``xxhash64(gram)`` — the dedup_ngram lesson: the token-side
-    relation is the widest in the job (five gram columns per token), so
-    shipping 8-byte hash keys instead of up-to-trigram STRINGS cuts its
-    shuffle volume ~20× (measured: the string formulation, not the model
-    size, dominated the sf1 probe). A hash collision mis-counts one
-    lookup with probability ~(tokens·model)/2^64 — the same accepted
-    odds as every hashed join key in the engine. A ``min_count``-pruned
-    model broadcasts and the whole score is scan-side."""
+    """The shared five-way gram-lookup relation both
+    :func:`score_documents` and :func:`backoff_tier_counts` aggregate
+    over: one row per token with the model counts it resolved —
+    ``(id_col, _c3, _cb, _c2, _cu, _c1, _N)`` where ``_c3``/``_cb`` are
+    the trigram and its context-bigram counts, ``_c2``/``_cu`` the
+    bigram and its context-unigram counts, ``_c1`` the unigram count
+    and ``_N`` the total token mass. All five lookups are LEFT joins on
+    the model relation, keyed by ``xxhash64(gram)`` — the dedup_ngram
+    lesson: the token-side relation is the widest in the job (five gram
+    columns per token), so shipping 8-byte hash keys instead of
+    up-to-trigram STRINGS cuts its shuffle volume ~20× (measured: the
+    string formulation, not the model size, dominated the sf1 probe).
+    A hash collision mis-counts one lookup with probability
+    ~(tokens·model)/2^64 — the same accepted odds as every hashed join
+    key in the engine. A ``min_count``-pruned model broadcasts and the
+    whole lookup is scan-side."""
+    # the model relation feeds SIX consumers here (three n-slices, two
+    # of them aliased twice, plus the unigram total): left inline, each
+    # consumer re-runs the model's whole scan+explode+agg subtree
+    # (Catalyst does not dedup aggregation subtrees across join
+    # branches — the r9 doubly-consumed rule; measured 16.6 s → 3 s at
+    # sf0.1 for the tier registration). One lazy localCheckpoint
+    # materializes O(model) rows once, and the now-statted tiny
+    # relation lets AQE broadcast every lookup side.
+    model = model.localCheckpoint(eager=False)
     hg = F.xxhash64(F.col("gram"))
     uni = model.where("n = 1").select(
         hg.alias("_g1"), F.col("cnt").alias("_c1")
@@ -241,7 +249,16 @@ def score_documents(
         F.sum("cnt").alias("_N")
     )
 
-    ws = _words(text_col)
+    # materialize the token ARRAY in its own projection before any
+    # lambda touches it: the transform below references it ~8 times
+    # from INSIDE a higher-order lambda body, where codegen
+    # subexpression elimination does not reach — left inline, the
+    # tokenizing regex re-runs per reference per ELEMENT, turning an
+    # O(tokens) projection into O(tokens · doc_len) regex work
+    # (measured: 15.7 s → ~2 s for the sf0.1 token relation).
+    # CollapseProject keeps the split: a non-cheap alias referenced
+    # more than once is never inlined back.
+    ws = F.col("_ws")
     gram_structs = F.transform(
         F.sequence(F.lit(0), F.size(ws) - 1),
         lambda i: F.struct(
@@ -275,6 +292,7 @@ def score_documents(
     # the widest relation of the job (the 5-way gram join) unused
     tok = (
         docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), _words(text_col).alias("_ws"))
         .select(F.col(id_col), F.explode(guarded).alias("g"))
         .select(id_col, "g.*")
     )
@@ -295,6 +313,31 @@ def score_documents(
             "left",
         )
         .crossJoin(F.broadcast(n_total))
+    )
+    return scored.select(
+        id_col, "_c3", "_cb", "_c2", "_cu", "_c1", "_N"
+    )
+
+
+def score_documents(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document stupid-backoff score against a
+    :func:`train_ngram_counts` model (order 3): ``(id_col, n_tokens,
+    avg_logprob, perplexity)``. Documents with no tokens are absent.
+
+    Per token at position i: trigram ratio if the trigram was seen,
+    else BACKOFF · bigram ratio, else BACKOFF² · unigram MLE, else the
+    OOV floor BACKOFF²/(N+1). The first two tokens of a document score
+    through the same chain (their higher-order grams simply don't
+    exist). Lookup plumbing (hashed-gram LEFT joins) is
+    :func:`_model_scored_tokens`."""
+    scored = _model_scored_tokens(
+        docs, model, id_col=id_col, text_col=text_col
     )
     score = (
         F.when(
@@ -321,4 +364,52 @@ def score_documents(
     )
     return per_doc.withColumn(
         "perplexity", F.pow(F.lit(10.0), -F.col("avg_logprob"))
+    )
+
+
+def backoff_tier_counts(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document backoff-TIER histogram under the model: ``(id_col,
+    n_tokens, n_tri, n_bi, n_uni, n_oov, hit_rate)`` — how many tokens
+    resolved at each rung of the stupid-backoff chain and the fraction
+    the model covered at all (``hit_rate = 1 − n_oov/n_tokens``, one
+    exact-integer division). Documents with no tokens are absent.
+
+    This is the hash-checkable face of LM scoring: the tier decision
+    per token is exactly :func:`score_documents`'s CASE chain (same
+    five-way join relation — :func:`_model_scored_tokens`), but the
+    output is integer counts, so cross-engine parity is exact where
+    ``avg_logprob`` would put libm's ``log10`` in the oracle path (the
+    tfidf no-log rule). As a curation signal, tier coverage is what the
+    perplexity number is a proxy FOR: a document the model scores
+    mostly at the trigram rung is in-distribution; one living on the
+    OOV floor is noise regardless of its absolute logprob."""
+    scored = _model_scored_tokens(
+        docs, model, id_col=id_col, text_col=text_col
+    )
+    tri_hit = F.col("_c3").isNotNull() & F.col("_cb").isNotNull()
+    bi_hit = (
+        ~tri_hit & F.col("_c2").isNotNull() & F.col("_cu").isNotNull()
+    )
+    uni_hit = ~tri_hit & ~bi_hit & F.col("_c1").isNotNull()
+    oov = ~tri_hit & ~bi_hit & ~uni_hit
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(tri_hit.cast("long")).alias("n_tri"),
+        F.sum(bi_hit.cast("long")).alias("n_bi"),
+        F.sum(uni_hit.cast("long")).alias("n_uni"),
+        F.sum(oov.cast("long")).alias("n_oov"),
+    )
+    return per_doc.withColumn(
+        "hit_rate",
+        F.round(
+            (F.col("n_tokens") - F.col("n_oov"))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ),
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def referential_audit(
@@ -285,4 +286,104 @@ def regularity_audit(
                 & (raw_share > F.lit(top_gap_share_threshold))
             ).alias("is_suspect"),
         )
+    )
+
+
+#: Benford expected first-digit shares log10(1 + 1/d), d = 1..9 —
+#: INLINED literals (computed once, pinned here) so the Spark plan and
+#: the DuckDB oracle consume bit-identical constants instead of each
+#: calling its own libm log10 (the tfidf no-log rule applies to the
+#: oracle path; a constant table is how a log-DEFINED quantity crosses
+#: it). Sum is 1 up to representation error.
+BENFORD_SHARES = {
+    1: 0.30102999566398114,
+    2: 0.17609125905568124,
+    3: 0.12493873660829985,
+    4: 0.09691001300805639,
+    5: 0.07918124604762478,
+    6: 0.06694678963061318,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """First-significant-digit distribution audit (Benford's law): per
+    group and digit 1-9, ``(group_cols..., digit, n_obs, obs_share,
+    benford_share, abs_dev, chi2)`` — observed share, the Benford
+    expectation, their absolute gap, and the group's total χ² statistic
+    Σ_d (obs_d − n·p_d)²/(n·p_d) repeated on each of its rows. The
+    fraud/fabrication screen for value columns that SHOULD be
+    scale-invariant (prices, populations, file sizes): conforming data
+    hugs the log-uniform shares, generated or clamped data shows up as
+    a large χ² — either answer is the audit's point.
+
+    Digit extraction is string-slicing an exact integer — ``floor`` to
+    BIGINT, cast to string, first char — never ``log10(x)``/``pow``:
+    integer-to-string is bit-exact on every engine while float log is
+    libm-dependent (the BENFORD_SHARES rule, applied to data this
+    time). Rows with NULL, non-finite, or |x| < 1 values are excluded
+    (their first significant digit would need the log path; for audit
+    purposes sub-unit values are a separate population anyway —
+    document the exclusion, don't guess digits).
+
+    Scale shape: one scan with a map-side-combining count into
+    O(groups × 9) rows; the shares/χ² ride that bounded relation as
+    two tiny windows. Group-key skew is irrelevant — the hot group
+    collapses scan-side like every counting aggregate here.
+    """
+    group_cols = list(group_cols or [])
+    x = F.abs(F.col(value_col))
+    ok = (
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+        & (x >= 1)
+        & (x != float("inf"))
+    )
+    digit = F.substring(
+        F.floor(x).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counted = (
+        df.where(ok)
+        .groupBy(*group_cols, digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    shares = F.create_map(
+        *[
+            F.lit(v)
+            for kv in BENFORD_SHARES.items()
+            for v in kv
+        ]
+    )
+    grp = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    n_total = F.sum("n_obs").over(grp)
+    exp_n = F.col("benford_share") * n_total
+    with_share = counted.select(
+        *group_cols,
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / n_total, 6).alias("obs_share"),
+        shares[F.col("digit")].alias("benford_share"),
+    )
+    contrib = (F.col("n_obs") - exp_n) ** 2 / exp_n
+    return with_share.select(
+        *group_cols,
+        "digit",
+        "n_obs",
+        "obs_share",
+        "benford_share",
+        F.round(
+            F.abs(F.col("obs_share") - F.col("benford_share")), 6
+        ).alias("abs_dev"),
+        F.round(F.sum(contrib).over(grp), 6).alias("chi2"),
     )

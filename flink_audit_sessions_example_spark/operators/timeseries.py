@@ -806,3 +806,126 @@ def rolling_distinct(
         .agg(F.count_distinct("_e").cast("bigint").alias("n_distinct"))
         .select(F.col("_tick").alias("win_end_hour"), "n_distinct")
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Level-shift detection per key — the classic CUSUM statistic over
+    each key's bucketed count series: ``(key_col, n_buckets, mean_rate,
+    cusum_up, up_bucket, cusum_down, down_bucket)`` where ``cusum_up``
+    is the peak of the one-sided upward CUSUM S⁺_t = max(0, S⁺_{t-1} +
+    (x_t − x̄)) over the series (and ``up_bucket`` the bucket where it
+    peaks; ``cusum_down`` / ``down_bucket`` the mirrored downward
+    drift). A sustained rate shift makes deviations accumulate — the
+    peak CUSUM is the standard "did the level change, and when" audit
+    over pipeline telemetry (error-rate regressions, traffic-mix
+    shifts), which a plain max-vs-mean scan misses because it only sees
+    single-bucket spikes.
+
+    The recursion is NOT iterated: S⁺_t = P_t − min_{j≤t} P_j (and
+    S⁻_t = max_{j≤t} P_j − P_t) for the deviation prefix sums P — two
+    running-extreme windows over the bucketed relation, no fixpoint, no
+    UDF. Deviations are integer-SCALED (d_t = n·x_t − Σx, exact BIGINT
+    arithmetic: summation order cannot perturb a bit), so the only
+    float op is the final divide-by-n back to count units, rounded 6dp
+    — hash-exact across engines by construction rather than by
+    rounding-tolerance luck.
+
+    Scale shape: the count aggregation collapses event volume map-side
+    to O(keys × buckets); every window below it rides that bounded
+    relation, partitioned by key. Peak election is a rounded-argmax
+    window ordered ``(scaled value DESC, bucket ASC)`` — deterministic
+    under ties by the earliest-peak rule.
+    """
+    if bucket not in _STEPS:
+        raise ValueError(
+            f"bucket must be one of {sorted(_STEPS)}; got {bucket!r}"
+        )
+    hourly = (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+        )
+        .groupBy(
+            F.col(key_col).alias("_k"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    per_key = Window.partitionBy("_k")
+    scaled = hourly.select(
+        "_k",
+        "_b",
+        F.count(F.lit(1)).over(per_key).alias("_n"),
+        F.sum("_x").over(per_key).alias("_sum"),
+        (
+            F.col("_x") * F.count(F.lit(1)).over(per_key)
+            - F.sum("_x").over(per_key)
+        ).alias("_d"),
+    )
+    ordered = Window.partitionBy("_k").orderBy("_b")
+    pre = scaled.withColumn("_p", F.sum("_d").over(ordered))
+    cus = pre.select(
+        "_k",
+        "_b",
+        "_n",
+        "_sum",
+        # the running extremes include P_0 = 0 (the empty prefix):
+        # S+_t = P_t - min_{0<=j<=t} P_j, so a first-bucket positive
+        # deviation already registers as drift
+        (
+            F.col("_p")
+            - F.least(F.min("_p").over(ordered), F.lit(0).cast("long"))
+        ).alias("_su"),
+        (
+            F.greatest(F.max("_p").over(ordered), F.lit(0).cast("long"))
+            - F.col("_p")
+        ).alias("_sd"),
+    )
+    up_w = Window.partitionBy("_k").orderBy(
+        F.col("_su").desc(), F.col("_b").asc()
+    )
+    dn_w = Window.partitionBy("_k").orderBy(
+        F.col("_sd").desc(), F.col("_b").asc()
+    )
+    ranked = cus.select(
+        "_k",
+        "_b",
+        "_n",
+        "_sum",
+        "_su",
+        "_sd",
+        F.row_number().over(up_w).alias("_ru"),
+        F.row_number().over(dn_w).alias("_rd"),
+    )
+    up = ranked.where(F.col("_ru") == 1).select(
+        "_k",
+        F.col("_n").alias("n_buckets"),
+        F.round(F.col("_sum") / F.col("_n").cast("double"), 6).alias(
+            "mean_rate"
+        ),
+        F.round(F.col("_su") / F.col("_n").cast("double"), 6).alias(
+            "cusum_up"
+        ),
+        F.col("_b").alias("up_bucket"),
+    )
+    dn = ranked.where(F.col("_rd") == 1).select(
+        "_k",
+        F.round(F.col("_sd") / F.col("_n").cast("double"), 6).alias(
+            "cusum_down"
+        ),
+        F.col("_b").alias("down_bucket"),
+    )
+    return up.join(dn, "_k").select(
+        F.col("_k").alias(key_col),
+        "n_buckets",
+        "mean_rate",
+        "cusum_up",
+        "up_bucket",
+        "cusum_down",
+        "down_bucket",
+    )
