@@ -101,6 +101,56 @@ def _pairs(syms: Column) -> Column:
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
 
+def _vocab_syms(words: DataFrame, end_token: str) -> DataFrame:
+    """``(syms, freq)`` — each word as its character sequence plus the
+    end-of-word sentinel, the round-0 symbol state of BPE learning."""
+    return words.where(
+        F.col("word").isNotNull() & (F.length("word") > 0)
+    ).select(
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(end_token))
+        ).alias("syms"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )
+
+
+def _pair_count_rows(vocab: DataFrame) -> DataFrame:
+    """``(a, b, cnt)`` — frequency-weighted adjacent-symbol pair counts
+    over a ``(syms, freq)`` vocabulary relation: the aggregation every
+    BPE learning round ranks (Sennrich et al. 2016's inner loop)."""
+    return (
+        vocab.select(F.explode(_pairs(F.col("syms"))).alias("p"), "freq")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(
+    words: DataFrame,
+    *,
+    min_count: int = 1,
+    end_token: str = END_TOKEN,
+) -> DataFrame:
+    """Round-0 BPE pair statistics over a ``(word, freq)`` relation
+    (:func:`word_freq_table`): ``(a, b, cnt)`` for every adjacent
+    symbol pair of the char+sentinel sequences, weighted by word
+    frequency — the relation whose argmax is the first learned merge.
+    This is the hash-checkable face of BPE learning (integer counts
+    over a relation bounded by |alphabet|² + |alphabet| sentinel
+    pairs); the iterative merge LOOP stays
+    :func:`learn_bpe_merges`/pytest (each round's fold rewrites the
+    symbol state — the documented non-SQL-expressible class).
+
+    Scale shape: one scan of the word relation (itself O(vocabulary),
+    already collapsed from the corpus), per-word pair explode bounded
+    by word length, map-side-combining sum into the tiny pair
+    relation."""
+    out = _pair_count_rows(_vocab_syms(words, end_token))
+    if min_count > 1:
+        out = out.where(F.col("cnt") >= min_count)
+    return out
+
+
 def learn_bpe_merges(
     words: DataFrame,
     *,
@@ -117,24 +167,11 @@ def learn_bpe_merges(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    vocab = (
-        words.where(F.col("word").isNotNull() & (F.length("word") > 0))
-        .select(
-            F.concat(
-                F.split(F.col("word"), ""), F.array(F.lit(end_token))
-            ).alias("syms"),
-            F.col("freq").cast("bigint").alias("freq"),
-        )
-        .localCheckpoint()
-    )
+    vocab = _vocab_syms(words, end_token).localCheckpoint()
     merges: "list[tuple[str, str]]" = []
     for _ in range(n_merges):
         top = (
-            vocab.select(
-                F.explode(_pairs(F.col("syms"))).alias("p"), "freq"
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("cnt"))
+            _pair_count_rows(vocab)
             .orderBy(F.desc("cnt"), "a", "b")
             .limit(1)
             .collect()

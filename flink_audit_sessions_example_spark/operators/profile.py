@@ -154,3 +154,75 @@ def json_key_stats(
             "n_distinct_values",
         )
     )
+
+
+def profile_drift(
+    base: DataFrame,
+    new: DataFrame,
+    cols: "list[str]",
+    *,
+    exact: bool = True,
+) -> DataFrame:
+    """Side-by-side :func:`profile_columns` of two drops of the same
+    table — the schema-drift gate an ingest pipeline runs between
+    yesterday's accepted snapshot and tonight's candidate: one row per
+    column with both profiles and their deltas — ``null_rate_base`` /
+    ``null_rate_new`` / ``null_rate_delta`` (absolute-rate gap, 6dp
+    exact-integer divisions), ``distinct_ratio`` (new/base cardinality,
+    NULL when the base column had none), and ``range_changed`` (either
+    string-cast extreme moved — the cheap "did the domain shift"
+    tripwire; NULL-safe so an all-null column compares equal to
+    itself).
+
+    Scale shape: exactly two :func:`profile_columns` scans (each one
+    wide aggregation) joined on the O(len(cols)) profile relations —
+    drift never touches row-level data a third time. ``exact=False``
+    flips both profiles to HLL++ cardinalities for very wide tables
+    (the profile_columns rule); the drift arithmetic is unchanged.
+    """
+    pb = profile_columns(base, cols, exact=exact)
+    pn = profile_columns(new, cols, exact=exact)
+    b = pb.select(
+        "column",
+        F.col("n_rows").alias("n_rows_base"),
+        F.col("n_nulls").alias("_nulls_b"),
+        F.col("n_distinct").alias("n_distinct_base"),
+        F.col("min_val").alias("_min_b"),
+        F.col("max_val").alias("_max_b"),
+    )
+    n = pn.select(
+        "column",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nulls").alias("_nulls_n"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_val").alias("_min_n"),
+        F.col("max_val").alias("_max_n"),
+    )
+    rate_b = F.when(
+        F.col("n_rows_base") > 0,
+        F.round(F.col("_nulls_b") / F.col("n_rows_base"), 6),
+    )
+    rate_n = F.when(
+        F.col("n_rows_new") > 0,
+        F.round(F.col("_nulls_n") / F.col("n_rows_new"), 6),
+    )
+    return b.join(n, "column").select(
+        "column",
+        "n_rows_base",
+        "n_rows_new",
+        "n_distinct_base",
+        "n_distinct_new",
+        rate_b.alias("null_rate_base"),
+        rate_n.alias("null_rate_new"),
+        F.round(F.abs(rate_n - rate_b), 6).alias("null_rate_delta"),
+        F.when(
+            F.col("n_distinct_base") > 0,
+            F.round(
+                F.col("n_distinct_new") / F.col("n_distinct_base"), 6
+            ),
+        ).alias("distinct_ratio"),
+        (
+            ~(F.col("_min_b").eqNullSafe(F.col("_min_n")))
+            | ~(F.col("_max_b").eqNullSafe(F.col("_max_n")))
+        ).alias("range_changed"),
+    )

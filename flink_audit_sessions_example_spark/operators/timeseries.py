@@ -929,3 +929,73 @@ def cusum_changepoints(
         "cusum_down",
         "down_bucket",
     )
+
+
+def ewma_smooth(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    alpha: float = 0.25,
+    window: int = 12,
+) -> DataFrame:
+    """Exponentially-weighted moving average of each key's bucketed
+    count series: ``(key_col, bucket, n, ewma)`` — the standard
+    telemetry smoother (y_t = (1−α)·y_{t-1} + α·x_t, seeded y_1 = x_1)
+    evaluated over a BOUNDED trailing window of ``window`` buckets, so
+    the recursion is a finite left fold instead of unbounded state.
+
+    Exactly reproducible across engines WITHOUT rounding tolerance
+    games: the fold runs in bucket order on both sides (Spark
+    ``F.aggregate`` over the ordered frame's ``collect_list``; DuckDB
+    ``list_reduce`` over the same frame list — both seed the
+    accumulator with the frame's first element), so every multiply/add
+    is the same IEEE-754 op on the same operands in the same order.
+    The output rounds to 6dp only as harness convention. The bounded
+    frame also caps the numerical difference vs the infinite-history
+    EWMA at (1−α)^window (≈3% of a unit step at the defaults) — the
+    truncation every streaming EWMA with TTL'd state makes anyway.
+
+    Scale shape: the count aggregation collapses event volume map-side
+    to O(keys × buckets); the frame/collect/fold ride that bounded
+    relation. ``window`` bounds per-row array state at W elements.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if bucket not in _STEPS:
+        raise ValueError(
+            f"bucket must be one of {sorted(_STEPS)}; got {bucket!r}"
+        )
+    counts = (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+        )
+        .groupBy(
+            F.col(key_col).alias("_k"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    frame = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    arr = F.collect_list(F.col("_x").cast("double")).over(frame)
+    fold = F.aggregate(
+        F.slice(F.col("_l"), 2, F.size(F.col("_l")) - 1),
+        F.element_at(F.col("_l"), 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    return (
+        counts.withColumn("_l", arr)
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_b").alias("bucket"),
+            F.col("_x").alias("n"),
+            F.round(fold, 6).alias("ewma"),
+        )
+    )

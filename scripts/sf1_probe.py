@@ -151,7 +151,10 @@ def generate() -> None:
     # (parts grow with sf). Only the columns the operator reads.
     li_src = pq.read_table(
         os.path.join(SF01, "lineitem.parquet"),
-        columns=["l_orderkey", "l_partkey"],
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+            "l_returnflag", "l_shipdate",
+        ],
     ).to_pydict()
     baskets: dict[int, set] = {}
     for o, p in zip(li_src["l_orderkey"], li_src["l_partkey"]):
@@ -161,14 +164,85 @@ def generate() -> None:
     sizes = rng.choice(basket_sizes, n_orders)
     okeys = np.repeat(np.arange(n_orders, dtype=np.int64), sizes)
     pkeys = rng.integers(0, n_part, okeys.size)
+
+    # orders at 10× + the lineitem columns the r17/r18 families read
+    # (supplier-delay, pagerank, kmv-intersect, benford): every
+    # non-key column RESAMPLES the real empirical distribution —
+    # orderdates, statuses, prices, return flags, and the per-line
+    # ship LAG (shipdate − orderdate), so date-window selectivities
+    # and delay rates match the real table's at 10× volume.
+    o_src = pq.read_table(
+        os.path.join(SF01, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus", "o_custkey"],
+    ).to_pydict()
+    real_dates = np.array(o_src["o_orderdate"], dtype="datetime64[us]")
+    odates = rng.choice(real_dates, n_orders)
+    statuses = np.array(o_src["o_orderstatus"])
+    n_cust = 10 * len(set(o_src["o_custkey"]))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.arange(n_orders, dtype=np.int64), pa.int64()
+                ),
+                "o_custkey": pa.array(
+                    rng.integers(0, n_cust, n_orders), pa.int64()
+                ),
+                "o_orderdate": pa.array(odates, pa.timestamp("us")),
+                "o_orderstatus": pa.array(
+                    rng.choice(statuses, n_orders), pa.string()
+                ),
+            }
+        ),
+        os.path.join(OUT, "orders.parquet"),
+    )
+    date_of = dict(zip(o_src["o_orderkey"], real_dates))
+    lags = np.array(
+        [
+            np.datetime64(s, "us") - date_of[o]
+            for o, s in zip(li_src["l_orderkey"], li_src["l_shipdate"])
+            if s is not None and o in date_of
+        ]
+    )
+    n_supp = 10 * len(set(li_src["l_suppkey"]))
+    shipdates = odates[okeys] + rng.choice(lags, okeys.size)
     pq.write_table(
         pa.table(
             {
                 "l_orderkey": pa.array(okeys, pa.int64()),
                 "l_partkey": pa.array(pkeys, pa.int64()),
+                "l_suppkey": pa.array(
+                    rng.integers(0, n_supp, okeys.size), pa.int64()
+                ),
+                "l_extendedprice": pa.array(
+                    rng.choice(
+                        np.array(li_src["l_extendedprice"], dtype=np.float64),
+                        okeys.size,
+                    ),
+                    pa.float64(),
+                ),
+                "l_returnflag": pa.array(
+                    rng.choice(np.array(li_src["l_returnflag"]), okeys.size),
+                    pa.string(),
+                ),
+                "l_shipdate": pa.array(shipdates, pa.timestamp("us")),
             }
         ),
         os.path.join(OUT, "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(
+                    np.arange(n_supp, dtype=np.int64), pa.int64()
+                ),
+                "s_name": pa.array(
+                    [f"Supplier#{i:09d}" for i in range(n_supp)],
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(OUT, "supplier.parquet"),
     )
 
     emb_src = pq.read_table(os.path.join(SF01, "embeddings.parquet"))
@@ -275,6 +349,8 @@ _REQUIRED_FILES = (
     "embeddings.parquet",
     "part.parquet",
     "lineitem.parquet",
+    "orders.parquet",
+    "supplier.parquet",
 )
 
 if __name__ == "__main__":
