@@ -814,6 +814,7 @@ def cusum_changepoints(
     key_col: str = "event_type",
     ts_col: str = "ts",
     bucket: str = "hour",
+    target_rate: "int | None" = None,
 ) -> DataFrame:
     """Level-shift detection per key — the classic CUSUM statistic over
     each key's bucketed count series: ``(key_col, n_buckets, mean_rate,
@@ -841,10 +842,24 @@ def cusum_changepoints(
     relation, partitioned by key. Peak election is a rounded-argmax
     window ordered ``(scaled value DESC, bucket ASC)`` — deterministic
     under ties by the earliest-peak rule.
-    """
+
+    ``target_rate`` (must be an integer — the exact-arithmetic
+    contract): monitor drift against a FIXED reference rate instead of
+    the series' own mean — the industrial CUSUM configuration (the
+    reference comes from an SLO or a trained baseline, not from the
+    window under test), and the only configuration a SINGLE-PASS
+    stream can compute (the series mean needs the whole series; see
+    ``streaming/cusum.py::stream_cusum``, whose state folds to exactly
+    this mode's output). Deviations are then unscaled BIGINTs
+    (d_t = x_t − target) and ``mean_rate`` reports the target."""
     if bucket not in _STEPS:
         raise ValueError(
             f"bucket must be one of {sorted(_STEPS)}; got {bucket!r}"
+        )
+    if target_rate is not None and target_rate != int(target_rate):
+        raise ValueError(
+            f"target_rate must be an integer (exact-arithmetic "
+            f"contract); got {target_rate!r}"
         )
     hourly = (
         events.where(
@@ -857,15 +872,25 @@ def cusum_changepoints(
         .agg(F.count(F.lit(1)).alias("_x"))
     )
     per_key = Window.partitionBy("_k")
+    n_col = F.count(F.lit(1)).over(per_key)
+    sum_col = F.sum("_x").over(per_key)
+    if target_rate is None:
+        # deviations from the series mean, integer-scaled by n
+        d_col = F.col("_x") * n_col - sum_col
+        div_col = n_col
+        mean_col = F.round(sum_col / n_col.cast("double"), 6)
+    else:
+        # fixed-reference mode: unscaled exact deviations
+        d_col = F.col("_x") - F.lit(int(target_rate))
+        div_col = F.lit(1).cast("long")
+        mean_col = F.lit(float(target_rate))
     scaled = hourly.select(
         "_k",
         "_b",
-        F.count(F.lit(1)).over(per_key).alias("_n"),
-        F.sum("_x").over(per_key).alias("_sum"),
-        (
-            F.col("_x") * F.count(F.lit(1)).over(per_key)
-            - F.sum("_x").over(per_key)
-        ).alias("_d"),
+        n_col.alias("_n"),
+        mean_col.alias("_mean"),
+        div_col.alias("_div"),
+        d_col.alias("_d"),
     )
     ordered = Window.partitionBy("_k").orderBy("_b")
     pre = scaled.withColumn("_p", F.sum("_d").over(ordered))
@@ -873,7 +898,8 @@ def cusum_changepoints(
         "_k",
         "_b",
         "_n",
-        "_sum",
+        "_mean",
+        "_div",
         # the running extremes include P_0 = 0 (the empty prefix):
         # S+_t = P_t - min_{0<=j<=t} P_j, so a first-bucket positive
         # deviation already registers as drift
@@ -896,7 +922,8 @@ def cusum_changepoints(
         "_k",
         "_b",
         "_n",
-        "_sum",
+        "_mean",
+        "_div",
         "_su",
         "_sd",
         F.row_number().over(up_w).alias("_ru"),
@@ -905,17 +932,15 @@ def cusum_changepoints(
     up = ranked.where(F.col("_ru") == 1).select(
         "_k",
         F.col("_n").alias("n_buckets"),
-        F.round(F.col("_sum") / F.col("_n").cast("double"), 6).alias(
-            "mean_rate"
-        ),
-        F.round(F.col("_su") / F.col("_n").cast("double"), 6).alias(
+        F.col("_mean").alias("mean_rate"),
+        F.round(F.col("_su") / F.col("_div").cast("double"), 6).alias(
             "cusum_up"
         ),
         F.col("_b").alias("up_bucket"),
     )
     dn = ranked.where(F.col("_rd") == 1).select(
         "_k",
-        F.round(F.col("_sd") / F.col("_n").cast("double"), 6).alias(
+        F.round(F.col("_sd") / F.col("_div").cast("double"), 6).alias(
             "cusum_down"
         ),
         F.col("_b").alias("down_bucket"),

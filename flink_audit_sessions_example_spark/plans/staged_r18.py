@@ -50,13 +50,6 @@ KMV_I_YEAR_A = ("1995-01-01", "1996-01-01")
 KMV_I_YEAR_B = ("1996-01-01", "1997-01-01")
 
 
-def _year_parts(ev: DataFrame, lo: str, hi: str) -> DataFrame:
-    return ev.where(
-        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
-    )
-
-
 def q_agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``agg_kmv_intersect`` — estimated |A ∩ B| from two KMV/theta
     sketches (:func:`~..operators.sketches.kmv_intersect_estimate`):
@@ -77,19 +70,39 @@ def q_agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = li.join(
         orders, F.col("l_orderkey") == F.col("o_orderkey")
     ).select("l_partkey", "o_orderdate")
-    a = _year_parts(ev, *KMV_I_YEAR_A)
-    b = _year_parts(ev, *KMV_I_YEAR_B)
+    # ONE pass over the fact join: tag each line with its year window,
+    # collapse to the distinct (part, window) relation, and checkpoint
+    # THAT (O(parts) rows) — sketches, exact intersect and cards are
+    # six consumers, and left inline each would re-run the
+    # lineitem⨝orders join (the r9 doubly-consumed rule; measured
+    # 41 s → ~6 s at generated sf1)
+    def _in(lo: str, hi: str):
+        return (
+            F.col("o_orderdate") >= F.lit(lo).cast("timestamp")
+        ) & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+
+    parts = (
+        ev.select(
+            "l_partkey",
+            F.when(_in(*KMV_I_YEAR_A), F.lit("a"))
+            .when(_in(*KMV_I_YEAR_B), F.lit("b"))
+            .alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = parts.where(F.col("w") == "a").select("l_partkey")
+    b = parts.where(F.col("w") == "b").select("l_partkey")
     sk_a = kmv_table(a, "l_partkey", k=KMV_I_K)
     sk_b = kmv_table(b, "l_partkey", k=KMV_I_K)
     est = kmv_intersect_estimate(sk_a, sk_b, k=KMV_I_K)
-    exact = (
-        a.select("l_partkey")
-        .intersect(b.select("l_partkey"))
-        .agg(F.count(F.lit(1)).alias("true_common"))
+    exact = a.intersect(b).agg(
+        F.count(F.lit(1)).alias("true_common")
     )
-    cards = a.agg(
-        F.count_distinct("l_partkey").alias("n_a")
-    ).crossJoin(b.agg(F.count_distinct("l_partkey").alias("n_b")))
+    cards = a.agg(F.count(F.lit(1)).alias("n_a")).crossJoin(
+        b.agg(F.count(F.lit(1)).alias("n_b"))
+    )
     bound = F.lit(2.0) + F.lit(5.0) * F.sqrt(
         F.greatest(
             F.lit(1.0),

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Generated-sf1 (10× sf0.1) scale points for the r17/r18 staged
+"""Generated-sf1 (10× sf0.1) scale points for the r17/r18/r19 staged
 families, measured in r12 BEFORE their drains (the probe_r11 protocol:
 process-per-arm, cold-session times so each arm carries the same fixed
 overhead; the warmed marginal costs are the BASELINE.md staged
@@ -47,6 +47,16 @@ ARMS = {
                       ["events"], False),
     "phash_cluster": (("staged_r18", "q_multimodal_phash_cluster"),
                       ["documents"], True),
+    # r19
+    "quantile_merge": (("staged_r19", "q_agg_quantile_merge"),
+                       ["events"], False),
+    "small_quantity": (("staged_r19", "q_rel_small_quantity"),
+                       ["lineitem", "part"], False),
+    "soft_dedup": (("staged_r19", "q_corpus_soft_dedup"),
+                   ["documents"], True),
+    "zscore": (("staged_r19", "q_win_zscore"), ["events"], False),
+    "degree_stats": (("staged_r19", "q_graph_degree_stats"),
+                     ["lineitem", "orders"], False),
 }
 
 

@@ -107,6 +107,22 @@ def test_ewma_matches_direct_recursion(spark, window):
         assert r.ewma == pytest.approx(e, abs=1e-6)
 
 
+def test_ewma_is_partition_invariant(spark):
+    """The exactness claim rests on collect_list preserving the ordered
+    frame's row order — pin that the fold result is bit-identical
+    across input partitionings (1 vs 7 partitions)."""
+    df = _hourly(spark, [5, 8, 2, 9, 9, 1, 7, 3, 6, 4])
+    one = {
+        (r.event_type, r.bucket): r.ewma
+        for r in ewma_smooth(df.coalesce(1), alpha=0.25).collect()
+    }
+    seven = {
+        (r.event_type, r.bucket): r.ewma
+        for r in ewma_smooth(df.repartition(7), alpha=0.25).collect()
+    }
+    assert one == seven
+
+
 def test_ewma_constant_series_is_identity(spark):
     got = ewma_smooth(_hourly(spark, [4] * 6), alpha=0.25).collect()
     assert all(r.ewma == 4.0 for r in got)
