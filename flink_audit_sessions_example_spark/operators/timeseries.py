@@ -839,9 +839,12 @@ def cusum_changepoints(
 
     Scale shape: the count aggregation collapses event volume map-side
     to O(keys × buckets); every window below it rides that bounded
-    relation, partitioned by key. Peak election is a rounded-argmax
-    window ordered ``(scaled value DESC, bucket ASC)`` — deterministic
-    under ties by the earliest-peak rule.
+    relation, partitioned by key. Peak election is ONE conditional
+    aggregation — min over ``(−scaled value, bucket)`` structs, i.e.
+    the exact-integer argmax with the earliest-peak tie rule — so both
+    peaks come out of a single pass (a per-peak ranked-window + join
+    formulation would make Catalyst re-run the whole pipeline per
+    branch; the plan gate pins one scan).
 
     ``target_rate`` (must be an integer — the exact-arithmetic
     contract): monitor drift against a FIXED reference rate instead of
@@ -912,47 +915,40 @@ def cusum_changepoints(
             - F.col("_p")
         ).alias("_sd"),
     )
-    up_w = Window.partitionBy("_k").orderBy(
-        F.col("_su").desc(), F.col("_b").asc()
+    # BOTH peak elections in ONE aggregation: min of (−value, bucket)
+    # structs is the (max value, earliest bucket) argmax in exact
+    # integer order. The previous formulation — two row_number windows
+    # filtered to rank 1 and self-joined — made Catalyst re-run the
+    # whole scan+window pipeline per branch (subtrees are not deduped
+    # across join sides; the plan gate counts scans), i.e. TWO passes
+    # over the events table for one answer.
+    agg = cus.groupBy("_k").agg(
+        F.max("_n").alias("_n"),          # constant per key
+        F.max("_mean").alias("_mean"),
+        F.max("_div").alias("_divc"),
+        F.min(
+            F.struct(
+                (-F.col("_su")).alias("neg"), F.col("_b").alias("b")
+            )
+        ).alias("_up"),
+        F.min(
+            F.struct(
+                (-F.col("_sd")).alias("neg"), F.col("_b").alias("b")
+            )
+        ).alias("_dn"),
     )
-    dn_w = Window.partitionBy("_k").orderBy(
-        F.col("_sd").desc(), F.col("_b").asc()
-    )
-    ranked = cus.select(
-        "_k",
-        "_b",
-        "_n",
-        "_mean",
-        "_div",
-        "_su",
-        "_sd",
-        F.row_number().over(up_w).alias("_ru"),
-        F.row_number().over(dn_w).alias("_rd"),
-    )
-    up = ranked.where(F.col("_ru") == 1).select(
-        "_k",
+    return agg.select(
+        F.col("_k").alias(key_col),
         F.col("_n").alias("n_buckets"),
         F.col("_mean").alias("mean_rate"),
-        F.round(F.col("_su") / F.col("_div").cast("double"), 6).alias(
-            "cusum_up"
-        ),
-        F.col("_b").alias("up_bucket"),
-    )
-    dn = ranked.where(F.col("_rd") == 1).select(
-        "_k",
-        F.round(F.col("_sd") / F.col("_div").cast("double"), 6).alias(
-            "cusum_down"
-        ),
-        F.col("_b").alias("down_bucket"),
-    )
-    return up.join(dn, "_k").select(
-        F.col("_k").alias(key_col),
-        "n_buckets",
-        "mean_rate",
-        "cusum_up",
-        "up_bucket",
-        "cusum_down",
-        "down_bucket",
+        F.round(
+            -F.col("_up.neg") / F.col("_divc").cast("double"), 6
+        ).alias("cusum_up"),
+        F.col("_up.b").alias("up_bucket"),
+        F.round(
+            -F.col("_dn.neg") / F.col("_divc").cast("double"), 6
+        ).alias("cusum_down"),
+        F.col("_dn.b").alias("down_bucket"),
     )
 
 

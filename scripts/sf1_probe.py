@@ -152,8 +152,8 @@ def generate() -> None:
     li_src = pq.read_table(
         os.path.join(SF01, "lineitem.parquet"),
         columns=[
-            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
-            "l_returnflag", "l_shipdate",
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_shipdate",
         ],
     ).to_pydict()
     baskets: dict[int, set] = {}
@@ -213,6 +213,13 @@ def generate() -> None:
                 "l_partkey": pa.array(pkeys, pa.int64()),
                 "l_suppkey": pa.array(
                     rng.integers(0, n_supp, okeys.size), pa.int64()
+                ),
+                "l_quantity": pa.array(
+                    rng.choice(
+                        np.array(li_src["l_quantity"], dtype=np.float64),
+                        okeys.size,
+                    ),
+                    pa.float64(),
                 ),
                 "l_extendedprice": pa.array(
                     rng.choice(

@@ -1,0 +1,87 @@
+"""Plan-shape gates for the r17–r19 staged keys (the test_lm_plan_gates
+pattern): the scale claims each registration's docstring makes —
+single scans, broadcast dims, no cartesian products, no row-at-a-time
+Python — asserted against the EXECUTED plan so a regression in any
+upstream operator surfaces here, not in a 100 TB run. Explain-only:
+nothing executes."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from flink_audit_sessions_example_spark.plans.staged_r17 import (
+    q_dq_benford,
+    q_lm_backoff_tiers,
+    q_rel_supplier_delay,
+    q_win_changepoint,
+)
+from flink_audit_sessions_example_spark.plans.staged_r18 import (
+    q_text_bpe_pairs,
+    q_win_ewma,
+)
+from flink_audit_sessions_example_spark.plans.staged_r19 import (
+    q_graph_degree_stats,
+    q_rel_small_quantity,
+    q_win_zscore,
+)
+
+
+def _plan(spark, fn) -> str:
+    return (
+        fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def _no_python_no_cartesian(plan: str) -> None:
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_single_scan_window_keys(spark):
+    """The three bucketed-count keys each read events ONCE; everything
+    downstream rides the O(types × hours) relation."""
+    for fn in (q_win_changepoint, q_win_zscore, q_win_ewma):
+        plan = _plan(spark, fn)
+        assert plan.count("FileScan parquet") == 1, fn.__name__
+        _no_python_no_cartesian(plan)
+
+
+def test_benford_is_one_scan_one_counting_exchange(spark):
+    plan = _plan(spark, q_dq_benford)
+    assert plan.count("FileScan parquet") == 1
+    # exactly two hash exchanges: the counting aggregation (the only
+    # one that sees event volume) and the share/χ² window's group
+    # re-partition of the 27-row counted relation
+    assert plan.count("Exchange hashpartitioning") == 2
+    _no_python_no_cartesian(plan)
+
+
+def test_bpe_pairs_is_one_scan(spark):
+    plan = _plan(spark, q_text_bpe_pairs)
+    assert plan.count("FileScan parquet") == 1
+    _no_python_no_cartesian(plan)
+
+
+def test_supplier_delay_broadcasts_the_dim(spark):
+    plan = _plan(spark, q_rel_supplier_delay)
+    assert "BroadcastHashJoin" in plan
+    _no_python_no_cartesian(plan)
+
+
+def test_small_quantity_broadcasts_threshold_and_dim(spark):
+    plan = _plan(spark, q_rel_small_quantity)
+    # per-part thresholds AND the part dim both broadcast: the big
+    # lineitem side is never shuffled for either join
+    assert plan.count("BroadcastHashJoin") >= 2
+    _no_python_no_cartesian(plan)
+
+
+def test_lm_tiers_stays_jvm_side(spark):
+    plan = _plan(spark, q_lm_backoff_tiers)
+    _no_python_no_cartesian(plan)
+    assert "MapInPandas" not in plan
+
+
+def test_degree_stats_no_cartesian(spark):
+    plan = _plan(spark, q_graph_degree_stats)
+    _no_python_no_cartesian(plan)
