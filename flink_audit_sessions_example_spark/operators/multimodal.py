@@ -576,3 +576,137 @@ def phash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# -- audio (PCM/WAV) -------------------------------------------------------
+
+WAV_MEDIA_TYPE = "audio/wav"
+#: synthetic-clip geometry: fixed sample count keeps the RIFF header a
+#: compile-time constant byte string (every size field depends only on
+#: N); 8 kHz mono 16-bit.
+AUDIO_N_SAMPLES = 256
+AUDIO_SAMPLE_RATE = 8000
+
+
+def _wav_header_hex(n_samples: int, rate: int) -> str:
+    """The 44-byte canonical PCM WAV header as hex — little-endian
+    fields packed host-side once (the payload builder concats it as a
+    constant; Catalyst never does int→LE-bytes arithmetic)."""
+    import struct
+
+    data_size = n_samples * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", data_size)
+    assert len(hdr) == 44
+    return hdr.hex()
+
+
+def with_wav_payload(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize a REAL mono 16-bit PCM WAV clip per row (the
+    ``with_pgm_payload`` recipe for the audio modality): a constant
+    44-byte RIFF header + ``AUDIO_N_SAMPLES`` little-endian int16
+    samples whose bytes come straight from md5 hex of ``id:k`` — a
+    deterministic synthetic waveform any wav reader parses
+    (``wave``/ffmpeg/np.frombuffer), built entirely in Catalyst
+    (md5/substring/concat/unhex), so a SQL oracle reconstructs the
+    identical sample values from the same md5 calls. Each consecutive
+    4-hex-digit group becomes one LE sample: first byte pair = low
+    byte. One md5 per 8 samples (32 hex digits), not one per sample —
+    the derivation stays O(samples) with a 1/8 constant."""
+    from pyspark.sql import functions as F
+
+    per_md5 = 8  # 32 hex chars -> 8 four-hex samples
+    n_hashes = AUDIO_N_SAMPLES // per_md5
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda j: F.md5(
+                F.concat_ws(":", F.col(id_col).cast("string"), j.cast("string"))
+            ),
+        ),
+        "",
+    )
+    payload = F.concat(
+        F.unhex(F.lit(_wav_header_hex(AUDIO_N_SAMPLES, AUDIO_SAMPLE_RATE))),
+        F.unhex(sample_hex),
+    )
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(WAV_MEDIA_TYPE).alias("media_type"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha"),
+        ),
+    )
+
+
+def audio_frame_features(
+    media: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame: int = 64,
+) -> DataFrame:
+    """Per-frame PCM features over a WAV payload column: ``(id_col,
+    frame_id, n_samples, energy, zero_crossings, peak)`` — frame energy
+    Σv² (exact int64), sign-change count within the frame, and peak
+    |v|. The front half of every VAD / silence-trim / loudness-bucket
+    pipeline, expressed as the standard Arrow batch pass: payloads
+    arrive as binary, ``np.frombuffer`` unpacks each clip zero-copy,
+    features are integer reductions — all EXACT, so the registration
+    hash-checks against an oracle that re-derives the samples
+    arithmetically. Rows whose payload is NULL, too short for the
+    44-byte header, or odd-length are dropped (a malformed clip has no
+    frames; count them upstream via ``media_meta.n_bytes``).
+
+    Scale shape: one ``mapInPandas`` pass, no shuffle — output rows
+    fan out ≤ n_samples/frame per clip; the decode never leaves the
+    Arrow batch. ``frame`` must divide ``AUDIO_N_SAMPLES``-style clip
+    lengths or the tail partial frame is emitted with its true
+    ``n_samples`` (features stay exact either way)."""
+    if frame < 2:
+        raise ValueError(f"frame must be >= 2, got {frame}")
+    import numpy as np
+    import pandas as pd
+
+    def _frames(batches):
+        for pdf in batches:
+            out = {
+                "_id": [], "frame_id": [], "n_samples": [],
+                "energy": [], "zero_crossings": [], "peak": [],
+            }
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None or len(payload) <= 44:
+                    continue
+                body = bytes(payload)[44:]
+                if len(body) % 2:
+                    continue
+                v = np.frombuffer(body, dtype="<i2").astype(np.int64)
+                for f0 in range(0, len(v), frame):
+                    w = v[f0:f0 + frame]
+                    nonneg = w >= 0
+                    out["_id"].append(i)
+                    out["frame_id"].append(f0 // frame)
+                    out["n_samples"].append(len(w))
+                    out["energy"].append(int((w * w).sum()))
+                    out["zero_crossings"].append(
+                        int((nonneg[1:] != nonneg[:-1]).sum())
+                    )
+                    out["peak"].append(int(np.abs(w).max()))
+            yield pd.DataFrame(out)
+
+    id_type = media.schema[id_col].dataType.simpleString()
+    return (
+        media.select(id_col, payload_col)
+        .mapInPandas(
+            _frames,
+            schema=(
+                f"_id {id_type}, frame_id int, n_samples int, "
+                "energy long, zero_crossings int, peak int"
+            ),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

@@ -57,6 +57,16 @@ ARMS = {
     "zscore": (("staged_r19", "q_win_zscore"), ["events"], False),
     "degree_stats": (("staged_r19", "q_graph_degree_stats"),
                      ["lineitem", "orders"], False),
+    # r20
+    "audio_energy": (("staged_r20", "q_multimodal_audio_energy"),
+                     ["documents"], False),
+    "langid_confusion": (("staged_r20", "q_dq_langid_confusion"),
+                         ["documents"], False),
+    "part_variety": (("staged_r20", "q_rel_part_variety"),
+                     ["lineitem", "orders", "part"], False),
+    "autocorr": (("staged_r20", "q_win_autocorr"), ["events"], False),
+    "vocab_growth": (("staged_r20", "q_text_vocab_growth"),
+                     ["documents"], False),
 }
 
 

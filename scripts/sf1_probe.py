@@ -113,11 +113,13 @@ def generate() -> None:
     # brands uniform over the real brand set — per-brand-pair exact-name
     # match density then scales like the real catalog's
     part_src = pq.read_table(
-        os.path.join(SF01, "part.parquet"), columns=["p_name", "p_brand"]
+        os.path.join(SF01, "part.parquet"),
+        columns=["p_name", "p_brand", "p_type"],
     ).to_pylist()
     adjs = sorted({r["p_name"].split()[0] for r in part_src})
     nouns = sorted({r["p_name"].split()[-1] for r in part_src})
     brands = sorted({r["p_brand"] for r in part_src})
+    types = sorted({r["p_type"] for r in part_src})
     n_part = 10 * len(part_src)
     pq.write_table(
         pa.table(
@@ -134,6 +136,13 @@ def generate() -> None:
                 "p_brand": pa.array(
                     [
                         brands[int(rng.integers(len(brands)))]
+                        for _ in range(n_part)
+                    ],
+                    pa.string(),
+                ),
+                "p_type": pa.array(
+                    [
+                        types[int(rng.integers(len(types)))]
                         for _ in range(n_part)
                     ],
                     pa.string(),
