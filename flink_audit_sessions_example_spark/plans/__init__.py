@@ -76,10 +76,20 @@ from .round12 import ROUND12_ORACLES, ROUND12_QUERIES
 #: gated every suite run by ``tests/test_staged_r15.py``; r16 QUEUE
 #: behind it: ``plans/staged_r16.py`` (domain stats, multi-touch
 #: attribution, rolling distinct, stratified k-fold, cluster report),
-#: gated by ``tests/test_staged_r16.py``. Both carry pre-registration
-#: sf0.1 baselines in BASELINE.md and are glob-discovered by
-#: ``plans/staging.py``, so the HUGEINT oracle gate, window math and
-#: the capacity simulator cover them automatically.
+#: gated by ``tests/test_staged_r16.py``. r12 ADDED FOUR MORE QUEUES
+#: behind those: r17 (oracled PageRank, LM backoff tiers, CUSUM
+#: changepoints, the Q21 only-late-supplier shape, Benford), r18 (KMV
+#: intersect, BPE pair counts, exact-fold EWMA, profile drift, phash
+#: clusters), r19 (quantile-merge invariant, Q17 small-quantity, soft
+#: dedup weights, z-score anomalies, degree stats) and r20 (the audio
+#: modality, langid confusion, Q16 part variety, lag-1 autocorr,
+#: shingle vocab growth) — 30 staged pairs total, each queue with its
+#: own gate test, sf0.1 baselines in BASELINE.md and sf1 exponents in
+#: SCALING.md. All are glob-discovered by ``plans/staging.py``, so the
+#: HUGEINT oracle gate, window math, the partition sweep and the
+#: capacity simulator cover them automatically; the rotation ladder
+#: was re-calibrated for the 186-key horizon (window_math.py LADDER —
+#: first rung (1, 4) since r12).
 #: Every name in _FRONT_KEYS MUST resolve in _ALL_QUERIES — enforced
 #: below; add keys only after their q_/oracle entries land (r6 lesson:
 #: phantom names silently lose their slot). test_staged_registrations

@@ -324,7 +324,13 @@ def q_rel_supplier_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-order aggregation collapses lineitem volume
     map-side; the join back carries only late rows of qualifying
-    orders; supplier is a broadcast dim."""
+    orders; supplier is a broadcast dim. Honest cost note: the ``d``
+    relation feeds both the aggregation and the late-row probe, so
+    the lineitem⨝orders join evaluates twice — the right trade at
+    this shape (d is O(lineitem); materializing it to save a
+    scan-bound second pass costs more than it saves — the opposite
+    call from ``agg_kmv_intersect``, whose consumers collapse to an
+    O(parts) relation worth checkpointing)."""
     return only_late_supplier_counts(
         load_table(spark, sf_dir, "lineitem", spread=False),
         load_table(spark, sf_dir, "orders", spread=False),
