@@ -67,6 +67,16 @@ ARMS = {
     "autocorr": (("staged_r20", "q_win_autocorr"), ["events"], False),
     "vocab_growth": (("staged_r20", "q_text_vocab_growth"),
                      ["documents"], False),
+    # r21 (arms registered r12; run them before the r21 drain — the
+    # sf1 corpus has no customer/nation tables, so returned_items
+    # probes at sf0.1 only unless the generator grows them)
+    "dow_profile": (("staged_r21", "q_win_dow_profile"),
+                    ["events"], False),
+    "token_budget": (("staged_r21", "q_corpus_token_budget"),
+                     ["documents"], False),
+    "hll_union": (("staged_r21", "q_agg_hll_union"), ["events"], False),
+    "week_rollup": (("staged_r21", "q_xform_week_rollup"),
+                    ["events"], False),
 }
 
 
