@@ -46,6 +46,7 @@ def pagerank(
     tol: "float | None" = None,
     init_ranks: "DataFrame | None" = None,
     round_dp: "int | None" = None,
+    exact_scale: "int | None" = None,
 ) -> DataFrame:
     """Ranks over the directed graph ``edges`` (duplicate edges count as
     parallel links — pre-``distinct()`` them for simple-graph semantics;
@@ -72,17 +73,50 @@ def pagerank(
     in-engine to this many decimal places before it feeds the next
     iteration. Power iteration amplifies last-ulp float-summation noise
     across rounds (BLAS-order sums differ run to run with AQE
-    re-partitioning), so an UNROUNDED 5-iteration sweep is only
-    reproducible to ~1e-12 — per-iteration quantization resets the
-    drift each round, which is what lets the ``graph_pagerank``
-    registration hash-check against an unrolled-CTE DuckDB oracle at
-    6dp. Production leaves ``None``: ranks feed thresholds/ordering,
-    where trailing-ulp noise is irrelevant.
+    re-partitioning); per-iteration rounding resets the drift each
+    round, which makes repeated runs agree WITH HIGH PROBABILITY — not
+    by construction: within one iteration the contribution sums still
+    carry ~1e-12 summation-order noise, and a value that lands within
+    that noise of a rounding boundary can round apart (engines' ROUND
+    edge semantics also differ on exact halves). For guaranteed
+    bit-stability use ``exact_scale``. Production leaves both ``None``:
+    ranks feed thresholds/ordering, where trailing-ulp noise is
+    irrelevant.
+
+    ``exact_scale``: when set (e.g. ``10**9``), the ENTIRE iteration
+    runs in scaled-integer arithmetic — ranks are BIGINTs counting
+    units of 1/scale, the per-edge contribution is the integral
+    division ``rank_s div outdeg`` and the per-vertex sum is a BIGINT
+    sum (integer addition is associative: summation order CANNOT
+    perturb a bit, unlike the float path), and the only float op per
+    iteration is one correctly-rounded IEEE multiply by ``damping`` of
+    an integer every engine holds identically, floored straight back
+    to BIGINT. The fixpoint differs from true PageRank by < 1/scale
+    per edge term (quantization truncation) — irrelevant at 1e-9 —
+    and the result is REPRODUCIBLE BY CONSTRUCTION across engines,
+    partitionings and AQE plans, which is what lets the
+    ``graph_pagerank`` registration hash-check against an unrolled-CTE
+    DuckDB oracle exactly. Mutually exclusive with ``round_dp``.
+    Returned ranks are DOUBLE (``rank_s / scale``).
     """
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
+    if exact_scale is not None:
+        if round_dp is not None:
+            raise ValueError(
+                "round_dp and exact_scale are mutually exclusive"
+            )
+        if exact_scale != int(exact_scale) or int(exact_scale) < 1:
+            raise ValueError(
+                f"exact_scale must be a positive integer; got "
+                f"{exact_scale!r}"
+            )
+    scale = int(exact_scale) if exact_scale is not None else None
+    # the (1-d) teleport term as a pinned integer literal — computed
+    # once driver-side so both engines consume the identical constant
+    base_s = round((1.0 - damping) * scale) if scale is not None else None
 
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -112,6 +146,12 @@ def pagerank(
     # loop's 10 actions on the graph_pagerank registration's graph
     has_dangling = dangling_verts.limit(1).count() > 0
 
+    if scale is not None:
+        _one = F.lit(scale).cast("long")
+        _init_expr = F.floor(F.col("_init") * F.lit(scale)).cast("long")
+    else:
+        _one = F.lit(1.0)
+        _init_expr = F.col("_init")
     if init_ranks is not None:
         ranks = (
             vertices.join(
@@ -123,42 +163,66 @@ def pagerank(
             )
             .select(
                 "vertex",
-                F.coalesce(F.col("_init"), F.lit(1.0)).alias("rank"),
+                F.coalesce(_init_expr, _one).alias("rank"),
             )
             .localCheckpoint()
         )
     else:
-        ranks = vertices.withColumn("rank", F.lit(1.0)).localCheckpoint()
+        ranks = vertices.withColumn("rank", _one).localCheckpoint()
     for i in range(max_iter):
         # mass parked on vertices with no out-edges, redistributed
         # uniformly
         if has_dangling:
             dangling = (
                 ranks.join(dangling_verts, "vertex")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .agg(
+                    F.coalesce(
+                        F.sum("rank"),
+                        F.lit(0).cast("long") if scale is not None
+                        else F.lit(0.0),
+                    )
+                )
                 .collect()[0][0]
             )
         else:
-            dangling = 0.0
+            dangling = 0
+        if scale is not None:
+            # ENTIRELY integer per-iteration arithmetic: integral
+            # division per edge, exact BIGINT sums (order-independent
+            # by associativity), one IEEE multiply by `damping` of an
+            # integer both engines hold identically, floored back to
+            # BIGINT — bit-stable across engines/partitionings by
+            # construction (see the exact_scale docstring)
+            contrib_expr = F.expr("rank div outdeg").alias("c")
+            dangling_term = int(dangling) // n
+            rank_expr = (
+                F.lit(base_s)
+                + F.floor(
+                    F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0).cast("long"))
+                        + F.lit(dangling_term)
+                    )
+                )
+            ).alias("rank")
+        else:
+            contrib_expr = (F.col("rank") / F.col("outdeg")).alias("c")
+            rank_expr = (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.lit(dangling / n)
+                )
+            ).alias("rank")
         contribs = (
             ranks.join(ew, ranks["vertex"] == ew["src"])
-            .select(
-                F.col("dst").alias("vertex"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
-            )
+            .select(F.col("dst").alias("vertex"), contrib_expr)
             .groupBy("vertex")
             .agg(F.sum("c").alias("c"))
         )
-        new_ranks = (
-            vertices.join(contribs, "vertex", "left")
-            .select(
-                "vertex",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-            )
+        new_ranks = vertices.join(contribs, "vertex", "left").select(
+            "vertex", rank_expr
         )
         if round_dp is not None:
             new_ranks = new_ranks.withColumn(
@@ -182,10 +246,21 @@ def pagerank(
                 .collect()[0][0]
             )
             ranks = new_ranks
+            if scale is not None and delta is not None:
+                delta = delta / scale  # back to rank units
             if delta is not None and delta < tol:
                 break
         else:
             ranks = new_ranks
+    if scale is not None:
+        # unscale once at the end: BIGINT -> exact double (< 2^53) ->
+        # one IEEE divide — identical bits on every engine
+        return ranks.select(
+            "vertex",
+            (F.col("rank").cast("double") / F.lit(float(scale))).alias(
+                "rank"
+            ),
+        )
     return ranks
 
 

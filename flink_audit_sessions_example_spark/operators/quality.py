@@ -324,6 +324,14 @@ def benford_audit(
     hugs the log-uniform shares, generated or clamped data shows up as
     a large χ² — either answer is the audit's point.
 
+    Every group emits ALL NINE digit rows: digits absent from the data
+    appear with ``n_obs = 0`` so their χ² terms — (0 − n·p_d)²/(n·p_d)
+    = n·p_d — are counted, not silently dropped. That matters exactly
+    when the data is most anomalous (fabricated values that skip whole
+    digits would otherwise UNDERSTATE χ², inverting the audit's
+    verdict), so the statistic is the full Σ_d over the 1–9 domain,
+    never an observed-support subset.
+
     Digit extraction is string-slicing an exact integer — ``floor`` to
     BIGINT, cast to string, first char — never ``log10(x)``/``pow``:
     integer-to-string is bit-exact on every engine while float log is
@@ -331,12 +339,20 @@ def benford_audit(
     time). Rows with NULL, non-finite, or |x| < 1 values are excluded
     (their first significant digit would need the log path; for audit
     purposes sub-unit values are a separate population anyway —
-    document the exclusion, don't guess digits).
+    document the exclusion, don't guess digits). So are |x| ≥ 9.2e18
+    values: past Long.MaxValue the double→BIGINT cast SATURATES in
+    Spark (digit '9') where ANSI engines raise — excluding the band
+    keeps the digit exact on every engine rather than an artifact of
+    one engine's overflow policy.
 
-    Scale shape: one scan with a map-side-combining count into
-    O(groups × 9) rows; the shares/χ² ride that bounded relation as
-    two tiny windows. Group-key skew is irrelevant — the hot group
-    collapses scan-side like every counting aggregate here.
+    Scale shape: ONE scan, ONE map-side-combining conditional
+    aggregation into nine counting columns per group (O(groups) rows);
+    the domain fill, n_total, χ² and the 9-row explode are all
+    projections over that bounded wide relation — no windows, no
+    domain join, and the χ² summation order is an explicit
+    left-associated expression both engines evaluate identically.
+    Group-key skew is irrelevant — the hot group collapses scan-side
+    like every counting aggregate here.
     """
     group_cols = list(group_cols or [])
     x = F.abs(F.col(value_col))
@@ -344,46 +360,68 @@ def benford_audit(
         F.col(value_col).isNotNull()
         & ~F.isnan(F.col(value_col).cast("double"))
         & (x >= 1)
-        & (x != float("inf"))
+        # < 9.2e18, not just finite: beyond Long.MaxValue the
+        # double->long cast saturates (non-ANSI Spark) or raises (ANSI
+        # engines) — either way the digit is no longer the data's
+        & (x < 9.2e18)
     )
     digit = F.substring(
         F.floor(x).cast("long").cast("string"), 1, 1
     ).cast("int")
-    counted = (
-        df.where(ok)
-        .groupBy(*group_cols, digit.alias("digit"))
-        .agg(F.count(F.lit(1)).alias("n_obs"))
-    )
-    shares = F.create_map(
+    # ONE conditional aggregation carries the whole 1..9 domain as nine
+    # counting columns (absent digits are exact zeros, never dropped
+    # rows), so the domain fill, n_total, and chi2 are all PROJECTIONS
+    # over the O(groups)-row wide relation: one scan, one exchange, no
+    # windows, no domain join. The chi2 sum is an EXPLICIT
+    # left-associated 9-term expression — the oracle spells out the
+    # identical parenthesization, so the float summation order is
+    # pinned by construction (a window SUM would leave it to each
+    # engine's partition order).
+    wide = df.where(ok).groupBy(*group_cols).agg(
         *[
-            F.lit(v)
-            for kv in BENFORD_SHARES.items()
-            for v in kv
+            # coalesce: the UNGROUPED aggregate over zero ok-rows still
+            # emits its one row — zeros, not NULLs
+            F.coalesce(F.sum(F.when(digit == d, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_n{d}")
+            for d in range(1, 10)
         ]
     )
-    grp = (
-        Window.partitionBy(*group_cols)
-        if group_cols
-        else Window.partitionBy(F.lit(1))
-    )
-    n_total = F.sum("n_obs").over(grp)
-    exp_n = F.col("benford_share") * n_total
-    with_share = counted.select(
+    n_total = sum((F.col(f"_n{d}") for d in range(2, 10)), F.col("_n1"))
+    chi2 = None
+    for d in range(1, 10):
+        exp_d = F.lit(BENFORD_SHARES[d]) * n_total
+        diff = F.col(f"_n{d}") - exp_d
+        # explicit multiply, not `** 2`: squaring must be the same
+        # single IEEE op on both engines, not a libm pow
+        term = diff * diff / exp_d
+        chi2 = term if chi2 is None else chi2 + term
+    wide = wide.select(
         *group_cols,
-        "digit",
-        "n_obs",
-        F.round(F.col("n_obs") / n_total, 6).alias("obs_share"),
-        shares[F.col("digit")].alias("benford_share"),
+        n_total.alias("_nt"),
+        F.round(chi2, 6).alias("_chi2"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("digit"),
+                        F.col(f"_n{d}").alias("n_obs"),
+                        F.lit(BENFORD_SHARES[d]).alias("benford_share"),
+                    )
+                    for d in range(1, 10)
+                ]
+            )
+        ).alias("_e"),
     )
-    contrib = (F.col("n_obs") - exp_n) ** 2 / exp_n
-    return with_share.select(
+    obs_share = F.round(F.col("_e.n_obs") / F.col("_nt"), 6)
+    return wide.select(
         *group_cols,
-        "digit",
-        "n_obs",
-        "obs_share",
-        "benford_share",
+        F.col("_e.digit").alias("digit"),
+        F.col("_e.n_obs").alias("n_obs"),
+        obs_share.alias("obs_share"),
+        F.col("_e.benford_share").alias("benford_share"),
         F.round(
-            F.abs(F.col("obs_share") - F.col("benford_share")), 6
+            F.abs(obs_share - F.col("_e.benford_share")), 6
         ).alias("abs_dev"),
-        F.round(F.sum(contrib).over(grp), 6).alias("chi2"),
+        F.col("_chi2").alias("chi2"),
     )

@@ -821,8 +821,9 @@ def cusum_changepoints(
     cusum_up, up_bucket, cusum_down, down_bucket)`` where ``cusum_up``
     is the peak of the one-sided upward CUSUM S⁺_t = max(0, S⁺_{t-1} +
     (x_t − x̄)) over the series (and ``up_bucket`` the bucket where it
-    peaks; ``cusum_down`` / ``down_bucket`` the mirrored downward
-    drift). A sustained rate shift makes deviations accumulate — the
+    peaks — NULL when the peak is 0, i.e. the drift never rose above
+    zero and there is no meaningful argmax; ``cusum_down`` /
+    ``down_bucket`` the mirrored downward drift). A sustained rate shift makes deviations accumulate — the
     peak CUSUM is the standard "did the level change, and when" audit
     over pipeline telemetry (error-rate regressions, traffic-mix
     shifts), which a plain max-vs-mean scan misses because it only sees
@@ -937,6 +938,10 @@ def cusum_changepoints(
             )
         ).alias("_dn"),
     )
+    # zero peak -> NULL bucket: "the drift never rose above 0" has no
+    # argmax (the integer argmax would otherwise report the earliest
+    # bucket — an arbitrary answer the streaming twin, whose
+    # strictly-greater update never fires, correctly refuses to give)
     return agg.select(
         F.col("_k").alias(key_col),
         F.col("_n").alias("n_buckets"),
@@ -944,11 +949,13 @@ def cusum_changepoints(
         F.round(
             -F.col("_up.neg") / F.col("_divc").cast("double"), 6
         ).alias("cusum_up"),
-        F.col("_up.b").alias("up_bucket"),
+        F.when(-F.col("_up.neg") > 0, F.col("_up.b")).alias("up_bucket"),
         F.round(
             -F.col("_dn.neg") / F.col("_divc").cast("double"), 6
         ).alias("cusum_down"),
-        F.col("_dn.b").alias("down_bucket"),
+        F.when(-F.col("_dn.neg") > 0, F.col("_dn.b")).alias(
+            "down_bucket"
+        ),
     )
 
 

@@ -38,11 +38,14 @@ from ..sources.tables import load_table
 
 PR_ITERS = 5
 PR_DAMPING = 0.85
-#: per-iteration quantization (see pagerank round_dp): 9dp pins each
-#: iteration's rank vector across engines AND across Spark's own
-#: AQE-dependent summation orders; the final projection rounds to the
-#: harness's 6dp.
-PR_ROUND_DP = 9
+#: scaled-integer iteration (see pagerank ``exact_scale``): ranks are
+#: BIGINTs in units of 1e-9, per-edge contributions are integral
+#: divisions and per-vertex sums exact BIGINT sums — summation order
+#: cannot perturb a bit, so cross-engine hash parity holds BY
+#: CONSTRUCTION (the former per-iteration 9dp rounding pinned ranks
+#: only with high probability: a contribution sum within float noise
+#: of a rounding boundary could round apart — r12 advice #2).
+PR_SCALE = 10**9
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,10 +54,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers, ``2·partkey+1`` for parts; every distinct (customer,
     part) order relationship contributes both directions). Symmetric
     by construction means NO dangling vertices, so the dangling-mass
-    scalar is exactly 0.0 on both engines and the whole per-iteration
-    recurrence is rank' = 0.15 + 0.85·Σ rank/outdeg — the unrolled-CTE
-    oracle replays it term for term at 9dp
-    (:func:`~..operators.graph.pagerank` with ``round_dp``;
+    scalar is exactly 0 on both engines and the whole per-iteration
+    recurrence is rank_s' = 150000000 + floor(0.85·Σ rank_s div
+    outdeg) in exact scaled-BIGINT arithmetic — the unrolled-CTE
+    oracle replays it term for term bit-exactly
+    (:func:`~..operators.graph.pagerank` with ``exact_scale``;
     iterative-construction bench class, like ``dedup_cluster``).
 
     Scale: per iteration ONE keyed shuffle join (O(V) ranks ⨝ O(E)
@@ -84,7 +88,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges,
         damping=PR_DAMPING,
         max_iter=PR_ITERS,
-        round_dp=PR_ROUND_DP,
+        exact_scale=PR_SCALE,
     )
     return ranks.select(
         "vertex", F.round(F.col("rank"), 6).alias("rank")
@@ -104,34 +108,41 @@ WITH cp AS (
 ), outdeg AS (
   SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
 ), r0 AS (
-  SELECT vertex, CAST(1.0 AS DOUBLE) AS rank FROM vertices
+  SELECT vertex, CAST({scale} AS BIGINT) AS rank FROM vertices
 )"""
+    # scaled-BIGINT recurrence, term for term the exact_scale loop:
+    # integral division per edge (DuckDB `//` == Spark `div` for
+    # nonnegative ranks), BIGINT sums (cast back down: DuckDB types
+    # SUM(BIGINT) as HUGEINT — the r10 red-row class), one
+    # correctly-rounded double multiply, FLOOR back to BIGINT.
     step = """
 , r{k} AS (
   SELECT v.vertex,
-         ROUND(CAST({base} AS DOUBLE)
-               + CAST({damping} AS DOUBLE) * COALESCE(c.c, 0.0),
-               {dp}) AS rank
+         CAST({base_s} AS BIGINT)
+           + CAST(FLOOR(CAST({damping} AS DOUBLE)
+                        * COALESCE(c.c, CAST(0 AS BIGINT)))
+                  AS BIGINT) AS rank
   FROM vertices v
   LEFT JOIN (
-    SELECT e.dst AS vertex, SUM(r.rank / o.outdeg) AS c
+    SELECT e.dst AS vertex, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS c
     FROM r{p} r
     JOIN edges e ON r.vertex = e.src
     JOIN outdeg o ON o.src = e.src
     GROUP BY e.dst
   ) c ON c.vertex = v.vertex
 )"""
-    sql = base
+    sql = base.format(scale=PR_SCALE)
     for k in range(1, PR_ITERS + 1):
         sql += step.format(
             k=k,
             p=k - 1,
-            base=1.0 - PR_DAMPING,
+            base_s=round((1.0 - PR_DAMPING) * PR_SCALE),
             damping=PR_DAMPING,
-            dp=PR_ROUND_DP,
         )
     sql += (
-        f"\nSELECT vertex, ROUND(rank, 6) AS rank FROM r{PR_ITERS}"
+        f"\nSELECT vertex, "
+        f"ROUND(rank / CAST({PR_SCALE} AS DOUBLE), 6) AS rank "
+        f"FROM r{PR_ITERS}"
     )
     return sql
 
@@ -291,9 +302,9 @@ SELECT u.event_type,
        u.n AS n_buckets,
        ROUND(u.sx / CAST(u.n AS DOUBLE), 6) AS mean_rate,
        ROUND(u.su / CAST(u.n AS DOUBLE), 6) AS cusum_up,
-       u.hr AS up_bucket,
+       CASE WHEN u.su > 0 THEN u.hr END AS up_bucket,
        ROUND(d.sd / CAST(d.n AS DOUBLE), 6) AS cusum_down,
-       d.hr AS down_bucket
+       CASE WHEN d.sd > 0 THEN d.hr END AS down_bucket
 FROM ranked u JOIN ranked d
   ON u.event_type = d.event_type AND u.ru = 1 AND d.rd = 1
 """
@@ -417,57 +428,74 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     share per digit plus the per-group χ². Digits come from
     string-slicing the floored BIGINT (never ``log10`` of data); the
     expected shares are the pinned BENFORD_SHARES literal table both
-    engines consume verbatim. Digits absent from a group are reported
-    absent (observed-support audit; both formulations agree by
-    construction)."""
+    engines consume verbatim. Every group carries the FULL 1–9 digit
+    domain (absent digits emit ``n_obs = 0`` and contribute their
+    n·p_d χ² terms — dropping them would understate χ² exactly on
+    fabricated data that skips digits)."""
     li = load_table(spark, sf_dir, "lineitem", spread=False)
     return benford_audit(
         li, value_col="l_extendedprice", group_cols=["l_returnflag"]
     )
 
 
-# CAST to DOUBLE: a bare decimal literal in VALUES binds as DECIMAL in
-# DuckDB, and the χ² squaring then overflows DECIMAL(38) — the shares
-# must be the same IEEE doubles Spark's F.lit produces anyway.
-_BENFORD_VALUES = ", ".join(
-    f"({d}, CAST({share!r} AS DOUBLE))"
-    for d, share in sorted(BENFORD_SHARES.items())
-)
-
-_DQ_BENFORD_ORACLE = f"""
-WITH ben(digit, benford_share) AS (
-  VALUES {_BENFORD_VALUES}
-), counted AS (
+# CAST to DOUBLE everywhere a share appears: a bare decimal literal
+# binds as DECIMAL in DuckDB, and the χ² squaring then overflows
+# DECIMAL(38) — the shares must be the same IEEE doubles Spark's
+# F.lit produces anyway.
+def _benford_oracle() -> str:
+    """Mirror of benford_audit's wide-aggregation plan, term for term:
+    nine SUM(CASE) counting columns (CAST BIGINT — DuckDB types
+    SUM(INT) as HUGEINT, the r10 red-row class), n_total as the same
+    left-associated integer sum, chi2 as the IDENTICAL left-associated
+    9-term double expression (explicit multiply, no POWER), and the
+    9-row explode as a UNION ALL over the wide relation."""
+    share = {d: f"CAST({s!r} AS DOUBLE)" for d, s in BENFORD_SHARES.items()}
+    counts = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN digit = {d} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS n{d}"
+        for d in range(1, 10)
+    )
+    nt = " + ".join(f"n{d}" for d in range(1, 10))
+    chi2 = " + ".join(
+        f"((n{d} - {share[d]} * nt) * (n{d} - {share[d]} * nt)"
+        f" / ({share[d]} * nt))"
+        for d in range(1, 10)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT l_returnflag, {d} AS digit, n{d} AS n_obs,\n"
+        f"       ROUND(n{d} / CAST(nt AS DOUBLE), 6) AS obs_share,\n"
+        f"       {share[d]} AS benford_share,\n"
+        f"       ROUND(ABS(ROUND(n{d} / CAST(nt AS DOUBLE), 6)"
+        f" - {share[d]}), 6) AS abs_dev,\n"
+        f"       chi2\nFROM proj"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH obs AS (
   SELECT l_returnflag,
          CAST(SUBSTRING(CAST(CAST(FLOOR(ABS(l_extendedprice)) AS BIGINT)
-           AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-         COUNT(*) AS n_obs
+           AS VARCHAR), 1, 1) AS INTEGER) AS digit
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL
     AND NOT isnan(l_extendedprice)
-    AND NOT isinf(l_extendedprice)
     AND ABS(l_extendedprice) >= 1
-  GROUP BY 1, 2
-), with_share AS (
-  SELECT c.l_returnflag, c.digit, c.n_obs,
-         ROUND(
-           c.n_obs / CAST(SUM(c.n_obs) OVER (PARTITION BY c.l_returnflag)
-             AS DOUBLE), 6
-         ) AS obs_share,
-         b.benford_share,
-         SUM(c.n_obs) OVER (PARTITION BY c.l_returnflag) AS n_tot
-  FROM counted c JOIN ben b ON b.digit = c.digit
+    AND ABS(l_extendedprice) < 9.2e18
+), wide AS (
+  SELECT l_returnflag,
+         {counts}
+  FROM obs
+  GROUP BY 1
+), proj AS (
+  SELECT l_returnflag, {nt} AS nt,
+         ROUND({chi2}, 6) AS chi2,
+         {", ".join(f"n{d}" for d in range(1, 10))}
+  FROM wide
 )
-SELECT l_returnflag, digit, n_obs, obs_share, benford_share,
-       ROUND(ABS(obs_share - benford_share), 6) AS abs_dev,
-       ROUND(
-         SUM(
-           (n_obs - benford_share * n_tot) * (n_obs - benford_share * n_tot)
-           / (benford_share * n_tot)
-         ) OVER (PARTITION BY l_returnflag), 6
-       ) AS chi2
-FROM with_share
+{rows}
 """
+
+
+_DQ_BENFORD_ORACLE = _benford_oracle()
 
 # --------------------------------------------------------------------------
 

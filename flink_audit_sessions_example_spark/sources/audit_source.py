@@ -94,6 +94,25 @@ def stream_audit_lines(
     Spark's file stream source picks up newly appearing files every
     micro-batch; pair with ``trigger(processingTime=f"{poll} seconds")`` for
     the reference's ``audit.poll`` cadence.
+
+    **Appended-file delta (the one semantic the analog does NOT carry
+    over):** Flink's ``PROCESS_CONTINUOUSLY`` re-processes an already
+    -seen file when its modification time changes — appending to a
+    monitored log RE-EMITS the whole file (hence the reference's
+    duplicate caveat in the FileProcessingMode javadoc). Spark's file
+    stream source instead treats every file as IMMUTABLE ONCE VISIBLE:
+    a path is processed exactly once (tracked in the checkpoint's seen
+    -files log) and later appends to it are silently ignored — neither
+    re-emitted nor tailed. For audit trees written append-then-close
+    this is the better contract (exactly-once per line, no dedup pass
+    downstream), but a tree whose files are APPENDED IN PLACE needs
+    the standard rotate-into-place recipe: writers append to a dotfile
+    or sibling staging name the glob excludes (e.g. ``.inflight.log``)
+    and ``rename(2)`` it to its final name on close/rotation — rename
+    is atomic within a POSIX filesystem or an object-store prefix, so
+    the source sees only complete, immutable files. Hourly log
+    rotation (the layout ``with_file_date`` parses) satisfies this
+    naturally: only the closed hour's file carries the final name.
     """
     reader = (
         spark.readStream.format("text")

@@ -124,7 +124,10 @@ def stream_cusum(
     cusum_down, down_bucket, open_bucket)`` with peak values in count
     units and argmax buckets as timestamps — the latest row per key
     equals ``cusum_changepoints(target_rate=...)`` over that key's
-    closed buckets."""
+    closed buckets, INCLUDING the zero-peak case: when a drift never
+    rises above 0 the strictly-greater peak update never fires, the
+    bucket stays NULL, and the batch operator agrees (its argmax is
+    gated on ``peak > 0``), so stream≡batch is unconditional."""
     if target_rate != int(target_rate):
         raise ValueError(
             f"target_rate must be an integer; got {target_rate!r}"

@@ -68,6 +68,55 @@ def test_pagerank_known_structures(spark):
     assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 3
 
 
+def _py_pagerank_exact(edges, scale, d=0.85, iters=5):
+    """The scaled-BIGINT recurrence, replayed in pure Python ints —
+    every op (integral division, integer sums, one float multiply,
+    floor) mirrors the exact_scale loop term for term."""
+    import math
+
+    verts = sorted({u for e in edges for u in e})
+    n = len(verts)
+    out = Counter(s for s, _ in edges)
+    base_s = round((1.0 - d) * scale)
+    r = {v: scale for v in verts}
+    for _ in range(iters):
+        dang = sum(r[v] for v in verts if out[v] == 0)
+        contrib = defaultdict(int)
+        for s, t in edges:
+            contrib[t] += r[s] // out[s]
+        r = {
+            v: base_s + math.floor(d * (contrib[v] + dang // n))
+            for v in verts
+        }
+    return {v: rv / scale for v, rv in r.items()}
+
+
+def test_pagerank_exact_scale_matches_python_integer_recurrence(spark):
+    """exact_scale runs the ENTIRE iteration in scaled-BIGINT
+    arithmetic: equality vs the pure-Python integer recurrence is
+    ==, not approx — bit-stability is the mode's contract."""
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    got = {
+        r.vertex: r.rank
+        for r in pagerank(df, max_iter=5, exact_scale=10**9).collect()
+    }
+    expect = _py_pagerank_exact(EDGES, 10**9, d=0.85, iters=5)
+    assert got == expect
+    # quantization truncation only loses < 1/scale per edge term: the
+    # exact fixpoint tracks the float one to ~1e-6 on this graph
+    flt = _py_pagerank(EDGES, d=0.85, iters=5)
+    for v in flt:
+        assert got[v] == pytest.approx(flt[v], abs=1e-6), v
+
+
+def test_pagerank_exact_scale_validation(spark):
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pagerank(df, round_dp=9, exact_scale=10**9)
+    with pytest.raises(ValueError, match="positive integer"):
+        pagerank(df, exact_scale=0)
+
+
 def test_pagerank_tol_early_stop_matches_long_run(spark):
     df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
     converged = {

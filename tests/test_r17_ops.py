@@ -131,11 +131,23 @@ def test_benford_digit_extraction_and_exclusions(spark):
     ]
     df = spark.createDataFrame(rows, "id long, v double")
     got = {r.digit: r for r in benford_audit(df, value_col="v").collect()}
-    assert {d: r.n_obs for d, r in got.items()} == {1: 2, 2: 1, 3: 1, 9: 1}
+    # full 1..9 domain: absent digits emit n_obs=0 rows (their n*p_d
+    # chi2 terms count — r12 advice #1)
+    assert set(got) == set(range(1, 10))
+    assert {d: r.n_obs for d, r in got.items() if r.n_obs} == {
+        1: 2, 2: 1, 3: 1, 9: 1,
+    }
+    assert got[4].n_obs == 0 and got[4].obs_share == 0.0
     assert got[1].obs_share == pytest.approx(0.4, abs=1e-6)
     assert got[1].benford_share == BENFORD_SHARES[1]
     # chi2 identical on every row of the (single) group
     assert len({r.chi2 for r in got.values()}) == 1
+    # ... and includes the absent digits' n*p terms: chi2 >= n * sum of
+    # missing shares (each missing digit contributes exactly n*p_d)
+    missing_mass = sum(
+        BENFORD_SHARES[d] for d in range(1, 10) if got[d].n_obs == 0
+    )
+    assert got[1].chi2 > 5 * missing_mass
     assert got[1].chi2 > 0
 
 

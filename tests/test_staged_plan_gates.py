@@ -49,10 +49,13 @@ def test_single_scan_window_keys(spark):
 def test_benford_is_one_scan_one_counting_exchange(spark):
     plan = _plan(spark, q_dq_benford)
     assert plan.count("FileScan parquet") == 1
-    # exactly two hash exchanges: the counting aggregation (the only
-    # one that sees event volume) and the share/χ² window's group
-    # re-partition of the 27-row counted relation
-    assert plan.count("Exchange hashpartitioning") == 2
+    # exactly ONE hash exchange: the conditional 9-column counting
+    # aggregation (the only operator that sees event volume). The
+    # full-domain fill, n_total, χ² and the 9-row explode are pure
+    # projections over the O(groups)-row wide relation (r13: the
+    # former domain-join formulation cost a second exchange + window)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
     _no_python_no_cartesian(plan)
 
 

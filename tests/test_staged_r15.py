@@ -1,22 +1,20 @@
-"""The r15 staged-registration gate (the staging protocol that drained
-green in r10, r11 and r12): every (query, oracle) pair waiting in
-``plans/staged_r15.py`` for an r13 window slot is replayed against
-DuckDB TODAY, exactly the way the driver will run it — hash parity AND
-the non-vacuity check — so the queue cannot rot while it waits. Also
-pins no-shadowing against the live registry (these keys must NOT be
-registered yet; registering one means moving it out of the staged
-batch) and detection non-vacuity for the two audit relations (a
-planted burst that flags nothing, or a calibration table with zero
-duplicates, would hash-match a broken detector — the dq_freshness
-planted-defect rule)."""
+"""The r15 staged→live merge gate. The r15 staging batch
+(``plans/staged_r15.py``) went LIVE in the r13 drain: hash parity +
+non-vacuity are covered per-key by ``tests/test_oracle_parity.py``
+like any other registration. What remains pinned here is the merge
+itself (every staged key must resolve in the live registry to the
+IDENTICAL callable and oracle string — a divergent copy would
+silently shadow the tested object with an untested one) and detection
+non-vacuity for the audit relations (a planted burst that flags
+nothing, or a calibration table with zero duplicates, would
+hash-match a broken detector — the dq_freshness planted-defect
+rule)."""
 
 from __future__ import annotations
 
-import pytest
 from conftest import SF_DIR
-from oracle_utils import assert_parity
 
-from flink_audit_sessions_example_spark.plans import QUERIES
+from flink_audit_sessions_example_spark.plans import ORACLES, QUERIES
 from flink_audit_sessions_example_spark.plans.staged_r15 import (
     STAGED_R15_ORACLES,
     STAGED_R15_QUERIES,
@@ -25,14 +23,17 @@ from flink_audit_sessions_example_spark.plans.staged_r15 import (
 
 def test_staged_r15_sets_are_consistent():
     assert set(STAGED_R15_QUERIES) == set(STAGED_R15_ORACLES)
-    shadowed = set(STAGED_R15_QUERIES) & set(QUERIES)
-    assert not shadowed, f"staged r15 keys already live: {shadowed}"
 
 
-@pytest.mark.parametrize("key", sorted(STAGED_R15_QUERIES))
-def test_staged_r15_pair_matches_duckdb_and_is_nonvacuous(spark, key):
-    df = STAGED_R15_QUERIES[key](spark, SF_DIR)
-    assert_parity(df, STAGED_R15_ORACLES[key], SF_DIR, min_rows=1)
+def test_staged_r15_keys_are_live_and_identical():
+    for key, fn in STAGED_R15_QUERIES.items():
+        assert key in QUERIES, f"staged key not drained into registry: {key}"
+        assert QUERIES[key] is fn, f"live registry shadows staged query: {key}"
+    for key, sql in STAGED_R15_ORACLES.items():
+        assert key in ORACLES, f"staged oracle not drained: {key}"
+        assert ORACLES[key] is sql, (
+            f"live registry shadows staged oracle: {key}"
+        )
 
 
 def test_staged_r15_detection_is_nonvacuous(spark):

@@ -103,6 +103,24 @@ def test_batch_target_mode_matches_recursion(spark):
         cusum_changepoints(df, target_rate=2.5)
 
 
+def test_batch_zero_peak_has_null_bucket(spark):
+    """A series strictly below target never lifts S+ above 0: the up
+    peak is 0.0 and its bucket NULL (no meaningful argmax) — mirroring
+    the stream twin, whose strictly-greater update never fires."""
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (i * 10 + j, base + dt.timedelta(hours=i), "t")
+        for i, c in enumerate([1, 1, 2])
+        for j in range(c)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    r = cusum_changepoints(df, target_rate=5).collect()[0]
+    assert r.cusum_up == 0.0 and r.up_bucket is None
+    assert r.cusum_down > 0.0 and r.down_bucket is not None
+
+
 def test_stream_snapshot_equals_batch_over_closed_buckets(spark, tmp_path):
     """Two micro-batches over the real events table: each key's LAST
     snapshot must equal cusum_changepoints(target_rate=...) computed
@@ -162,7 +180,8 @@ def test_stream_snapshot_equals_batch_over_closed_buckets(spark, tmp_path):
         assert snap.n_closed == b.n_buckets, k
         assert snap.cusum_up == b.cusum_up, k
         assert snap.cusum_down == b.cusum_down, k
-        if b.cusum_up > 0:
-            assert snap.up_bucket == b.up_bucket, k
-        if b.cusum_down > 0:
-            assert snap.down_bucket == b.down_bucket, k
+        # unconditional: a zero peak is NULL on BOTH sides now (the
+        # batch argmax is gated on peak > 0, matching the stream's
+        # strictly-greater update that never fires)
+        assert snap.up_bucket == b.up_bucket, k
+        assert snap.down_bucket == b.down_bucket, k
