@@ -626,6 +626,48 @@ def kmv_intersect_estimate(
     )
 
 
+def kmv_difference_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    k: int,
+    out_col: str = "est_only_a",
+) -> DataFrame:
+    """Estimated |A \\ B| (theta-sketch A-not-B) from two UNGROUPED
+    :func:`kmv_table` sketches built with the same (k, seed): below
+    theta = min(theta_a, theta_b) the two sketches hold uniform
+    hash-samples of their sets over the SAME region, so A's sub-theta
+    hashes absent from B's sub-theta hashes are a uniform sample of
+    A \\ B and est = |a_below \\ b_below| / theta — one LEFT ANTI join
+    between two ≤ k-row relations; like the intersect estimator,
+    estimation never touches the original data. The churn/attrition
+    question the intersect can't answer directly (how much of last
+    year's assortment was DROPPED), and together with it the full
+    inclusion–exclusion triple: |A∪B| = |A∩B| + |A\\B| + |B\\A|."""
+    ta = a.agg(
+        _theta().alias("_t"), F.count(F.lit(1)).alias("_n")
+    ).collect()[0]
+    tb = b.agg(
+        _theta().alias("_t"), F.count(F.lit(1)).alias("_n")
+    ).collect()[0]
+    spark = a.sparkSession
+    if ta["_n"] == 0:
+        return spark.createDataFrame([(0,)], f"{out_col} bigint")
+    theta = min(
+        float(ta["_t"]) if ta["_n"] >= k else 1.0,
+        float(tb["_t"]) if tb["_n"] >= k else 1.0,
+    )
+    cut = min(int(theta * 2.0**64 - 2.0**63), 2**63 - 1)
+    only_a = (
+        a.where(F.col("hv") <= cut)
+        .join(b.where(F.col("hv") <= cut), "hv", "left_anti")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(round(only_a / theta)),)], f"{out_col} bigint"
+    )
+
+
 # -- bottom-k quantile sketch (mergeable sample) ----------------------------
 
 #: quantile_sketch row cap — the per-group sample size. 1024 gives
