@@ -39,19 +39,21 @@ from .staged_r21 import STAGED_R21_ORACLES, STAGED_R21_QUERIES
 #: the keys rotated OUT of the N-1 window), computed from
 #: CORRECTNESS_r{N-1}.json keys — the ground truth, not registry order.
 #:
-#: DRAIN PLAN (r12 ladder — the registry exceeds 3×window so strict
+#: DRAIN PLAN (r13 ladder — the registry exceeds 3×window so strict
 #: 2-round rotation is arithmetically impossible; r8 verdict #4, r10
 #: verdict #1): §2 / reference-surface keys KEEP the 2-round invariant;
 #: extended keys stretch as their green driver-row STREAK deepens —
-#: the four-rung ladder ``window_math.LADDER``: streak ≥1 → 3-round
-#: cycle, ≥3 → 4-round, ≥5 → 5-round, ≥7 → 6-round. RE-CALIBRATED r12
+#: the four-rung ladder ``window_math.LADDER``: streak ≥1 → 4-round
+#: cycle, ≥3 → 4-round, ≥5 → 6-round, ≥7 → 7-round. RE-CALIBRATED r13
 #: by ``scripts/simulate_rotation.py`` (staleness-greedy windows with
 #: pull-forward, replayed against the real CORRECTNESS history): at
-#: 166 keys (r12 drain + dedup_incremental + the staged r15 AND r16
-#: queues, which consume future slots the moment they register) the
-#: r11 two-rung ladder slips 55 key-rounds over 9 rounds, a three-rung
-#: ladder still slips 8, while this four-rung ladder slips ZERO over
-#: 12 simulated rounds. The ≥1 rung is sound: driver-vs-local divergence for a
+#: the 201-key horizon (the 191-key live registry after this round's
+#: seven-queue drain + the staged r22/r23 queues, which consume future
+#: slots the moment they register) the r12 ladder slips 23 key-rounds
+#: over 9 rounds — the 35-key drain cohort re-verifies as one
+#: synchronized wave — and stretching the two DEEP rungs one round
+#: each (≥5 → 6, ≥7 → 7) de-phases it to ZERO, the smallest candidate
+#: that does. Every rung is sound: driver-vs-local divergence for a
 #: (plan, oracle) pair only surfaces on its FIRST driver row (r10's
 #: sole red — the HUGEINT oracle typing — was exactly that) or after
 #: the pair CHANGES, and changed keys re-front-load as new while red

@@ -67,10 +67,14 @@ def q_rel_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", spread=False)
     cdisc = F.round(F.col("l_discount") * 100).cast("bigint")
     rev = _cents("l_extendedprice") * (F.lit(100) - cdisc)
+    # pin the O(parts) aggregate: the global total and the filter are
+    # two consumers, and unpinned each would re-run the lineitem scan
+    # (the r9 doubly-consumed rule — measured 2 scans before the pin)
     per_part = (
         li.where(F.col("l_partkey").isNotNull())
         .groupBy("l_partkey")
         .agg(F.sum(rev).alias("_r4"))
+        .localCheckpoint(eager=False)
     )
     total = per_part.agg(
         F.sum("_r4").alias("_t4"), F.count(F.lit(1)).alias("_np")
@@ -137,6 +141,9 @@ def q_rel_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("_close"))
     )
+    # pin the O(orders) span relation: the +1 and −1 legs are two
+    # consumers — unpinned, the orders⨝lineitem join runs twice
+    # (measured 4 scans before the pin)
     span = orders.join(
         close, F.col("o_orderkey") == F.col("l_orderkey")
     ).select(
@@ -144,7 +151,7 @@ def q_rel_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("date")
         .alias("_d0"),
         F.date_trunc("day", F.col("_close")).cast("date").alias("_d1"),
-    )
+    ).localCheckpoint(eager=False)
     deltas = (
         span.select(F.col("_d0").alias("day"), F.lit(1).alias("_delta"))
         .unionByName(

@@ -225,16 +225,23 @@ def q_dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection from exact integers — no cross-row float sum exists,
     so cross-engine parity needs no summation-order argument at all.
 
-    Scale: the min/max day scalar is one map-side-collapsing
-    aggregate re-attached broadcast; the per-(type, half) counts
-    collapse map-side to O(types); shares and contributions ride
-    O(types) rows as projections (windows over a bounded relation)."""
+    Scale: ONE scan collapses event volume map-side into the
+    O(types × days) daily relation, which is pinned and serves BOTH
+    consumers (the min/max bounds scalar and the half counts) — the
+    naive formulation re-scans events for the bounds aggregate; every
+    share/contribution rides O(types) rows as projections (windows
+    over a bounded relation)."""
     ev = load_table(spark, sf_dir, "events", spread=False).where(
         F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     )
     day = F.date_trunc("day", F.col("ts")).cast("date")
-    bounds = ev.agg(
-        F.min(day).alias("_d0"), F.max(day).alias("_d1")
+    daily = (
+        ev.groupBy("event_type", day.alias("_day"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(
+        F.min("_day").alias("_d0"), F.max("_day").alias("_d1")
     )
     # FLOOR the half-range on both engines: Spark's cast-to-int
     # truncates where DuckDB's CAST rounds — integer floor division is
@@ -246,13 +253,15 @@ def q_dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
     )
     counted = (
-        ev.crossJoin(F.broadcast(bounds))
+        daily.crossJoin(F.broadcast(bounds))
         .groupBy("event_type")
         .agg(
-            F.sum(F.when(day < mid, 1).otherwise(0))
+            F.sum(F.when(F.col("_day") < mid, F.col("_n")).otherwise(0))
             .cast("bigint")
             .alias("n_first"),
-            F.sum(F.when(day >= mid, 1).otherwise(0))
+            F.sum(
+                F.when(F.col("_day") >= mid, F.col("_n")).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_second"),
         )
@@ -338,7 +347,13 @@ def q_multimodal_audio_silence(
     re-attach is a window keyed by doc, the run id one row_number
     subtraction, the rollup one counting aggregation — all on that
     bounded relation, zero additional scans of the payload."""
-    feat = q_multimodal_audio_energy(spark, sf_dir)
+    # pin the frame relation: the totals and the quiet-run legs are
+    # two consumers, and unpinned the Arrow WAV-decode pass would run
+    # TWICE (the pinned-single-tokenizer rule, applied to the audio
+    # modality — measured 2 MapInPandas nodes before the pin)
+    feat = q_multimodal_audio_energy(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     per_doc = Window.partitionBy("doc_id")
     with_tot = feat.select(
         "doc_id",

@@ -163,6 +163,7 @@ def generate() -> None:
         columns=[
             "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
             "l_extendedprice", "l_returnflag", "l_shipdate",
+            "l_discount",
         ],
     ).to_pydict()
     baskets: dict[int, set] = {}
@@ -242,10 +243,20 @@ def generate() -> None:
                     pa.string(),
                 ),
                 "l_shipdate": pa.array(shipdates, pa.timestamp("us")),
+                "l_discount": pa.array(
+                    rng.choice(
+                        np.array(li_src["l_discount"], dtype=np.float64),
+                        okeys.size,
+                    ),
+                    pa.float64(),
+                ),
             }
         ),
         os.path.join(OUT, "lineitem.parquet"),
     )
+    # supplier at 10× with a nation leg, plus customer at 10× and the
+    # FIXED nation/region dims copied verbatim — the r22/r23 relational
+    # arms (market_share, important_stock) join all five
     pq.write_table(
         pa.table(
             {
@@ -256,15 +267,47 @@ def generate() -> None:
                     [f"Supplier#{i:09d}" for i in range(n_supp)],
                     pa.string(),
                 ),
+                "s_nationkey": pa.array(
+                    rng.integers(0, 25, n_supp).astype(np.int32),
+                    pa.int32(),
+                ),
             }
         ),
         os.path.join(OUT, "supplier.parquet"),
     )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(
+                    np.arange(n_cust, dtype=np.int64), pa.int64()
+                ),
+                "c_name": pa.array(
+                    [f"Customer#{i:09d}" for i in range(n_cust)],
+                    pa.string(),
+                ),
+                "c_nationkey": pa.array(
+                    rng.integers(0, 25, n_cust).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        ),
+        os.path.join(OUT, "customer.parquet"),
+    )
+    for dim in ("nation", "region"):
+        pq.write_table(
+            pq.read_table(os.path.join(SF01, f"{dim}.parquet")),
+            os.path.join(OUT, f"{dim}.parquet"),
+        )
 
     emb_src = pq.read_table(os.path.join(SF01, "embeddings.parquet"))
     em = np.array(emb_src.column("embedding").to_pylist(), dtype=np.float32)
+    src_labels = np.array(emb_src.column("label").to_pylist(), dtype=np.int32)
     idx = rng.integers(0, len(em), N_VECS)
     vecs = em[idx] + rng.normal(0, 0.05, (N_VECS, em.shape[1])).astype(np.float32)
+    # each sf1 vector keeps its source vector's label (the jitter stays
+    # within-cluster, so the label remains meaningful for the
+    # centroid-assignment arm); the planted near-copies keep their own
+    labels = src_labels[idx]
     for i in range(N_VECS // 50):  # planted near-copies
         vecs[N_VECS - 1 - i] = vecs[int(rng.integers(N_VECS - N_VECS // 50))] * 1.01
     pq.write_table(
@@ -272,6 +315,7 @@ def generate() -> None:
             {
                 "vec_id": pa.array(range(N_VECS), pa.int64()),
                 "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
             }
         ),
         os.path.join(OUT, "embeddings.parquet"),
@@ -367,6 +411,9 @@ _REQUIRED_FILES = (
     "lineitem.parquet",
     "orders.parquet",
     "supplier.parquet",
+    "customer.parquet",
+    "nation.parquet",
+    "region.parquet",
 )
 
 if __name__ == "__main__":

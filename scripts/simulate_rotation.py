@@ -126,8 +126,13 @@ def main() -> None:
         ("r11 two-rung", ((4, 4), (1, 3))),
         ("three-rung", ((5, 5), (3, 4), (1, 3))),
         ("four-rung >=8->6", ((8, 6), (5, 5), (3, 4), (1, 3))),
-        ("ADOPTED four-rung >=7->6", LADDER),
+        ("r12 four-rung >=7->6", ((7, 6), (5, 5), (3, 4), (1, 4))),
+        ("ADOPTED four-rung", LADDER),
         ("five-rung >=9->7", ((9, 7), (7, 6), (5, 5), (3, 4), (1, 3))),
+        ("stretch A >=7->7", ((7, 7), (5, 5), (3, 4), (1, 4))),
+        ("stretch B >=7->7,5->6", ((7, 7), (5, 6), (3, 4), (1, 4))),
+        ("stretch C >=7->8,5->6", ((7, 8), (5, 6), (3, 5), (1, 4))),
+        ("stretch D >=9->8", ((9, 8), (7, 7), (5, 6), (3, 5), (1, 4))),
     ]
     for name, ladder in candidates:
         total = simulate(

@@ -61,17 +61,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW = 50
 #: (min_green_streak, cycle_rounds), descending by streak — a key takes
 #: the FIRST rung its streak reaches; below every rung = strict 2-round.
-#: r12 RE-CALIBRATION (simulate_rotation.py at 186 keys — the r12 live
-#: registry + the five staged queues r15–r20): the r12 ladder's
-#: (1, 3) first rung slipped 100 key-rounds over 9 rounds because each
-#: ~10-key drain cohort re-verifies as a synchronized 3-round wave;
-#: stretching ONLY that rung to (1, 4) de-phases the waves — 2 slipped
-#: key-rounds, and every deeper candidate tied at 2. Soundness is the
-#: same first-row argument: a (plan, oracle) divergence surfaces on
-#: the key's FIRST driver row or when the pair changes (changed keys
-#: re-front-load as new), and every unchanged pair still replays
+#: r13 RE-CALIBRATION (simulate_rotation.py at 201 keys — the r13 live
+#: registry of 191 after the seven-queue drain + the staged r22/r23
+#: queues): the r12 ladder ((7,6),(5,5),(3,4),(1,4)) slips 23
+#: key-rounds over 9 rounds at this horizon — the 35-key r13 drain
+#: cohort re-verifies as one synchronized wave the 4/5/6 cycles can't
+#: absorb. Stretching the TWO deep rungs one round each — ≥7-streak →
+#: 7-round cycle, ≥5 → 6 — de-phases it completely: ZERO slipped
+#: key-rounds, the smallest candidate that does (the full table is in
+#: simulate_rotation.py; deeper stretches tie at zero but verify
+#: less). Soundness is the same first-row argument: a (plan, oracle)
+#: divergence surfaces on the key's FIRST driver row or when the pair
+#: changes (changed keys re-front-load as new), deep-streak keys are
+#: the least likely to change, and every unchanged pair still replays
 #: against DuckDB on every suite run and before every commit.
-LADDER: "tuple[tuple[int, int], ...]" = ((7, 6), (5, 5), (3, 4), (1, 4))
+LADDER: "tuple[tuple[int, int], ...]" = ((7, 7), (5, 6), (3, 4), (1, 4))
 
 #: reference-surface (§2) keys — never stretched past 2 rounds
 CORE_KEYS = frozenset(

@@ -88,3 +88,70 @@ def test_lm_tiers_stays_jvm_side(spark):
 def test_degree_stats_no_cartesian(spark):
     plan = _plan(spark, q_graph_degree_stats)
     _no_python_no_cartesian(plan)
+
+
+# -- r22/r23 staged keys (added r13) ----------------------------------------
+
+
+def test_top_terms_compiles_to_window_group_limit(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r22 import (
+        q_text_top_terms,
+    )
+
+    plan = _plan(spark, q_text_top_terms)
+    # the per-doc top-k prunes partial-side: rank never materializes
+    # the full per-doc term list post-shuffle
+    assert "WindowGroupLimit" in plan
+    _no_python_no_cartesian(plan)
+
+
+def test_greedy_acc_broadcasts_the_modal_table(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r22 import (
+        q_lm_greedy_acc,
+    )
+
+    plan = _plan(spark, q_lm_greedy_acc)
+    # the vocabulary-relation trick: the corpus-side bigram explode
+    # joins the modal table BROADCAST — the corpus never reshuffles on
+    # a token key
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    _no_python_no_cartesian(plan)
+
+
+def test_important_stock_attaches_scalar_broadcast(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r22 import (
+        q_rel_important_stock,
+    )
+
+    plan = _plan(spark, q_rel_important_stock)
+    # the global total re-attaches as a broadcast 1-row relation, never
+    # a shuffle of the per-part aggregate
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    _no_python_no_cartesian(plan)
+
+
+def test_market_share_broadcasts_every_dim(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r23 import (
+        q_rel_market_share,
+    )
+
+    plan = _plan(spark, q_rel_market_share)
+    # customer, both nation legs, region and supplier all broadcast
+    assert plan.count("BroadcastHashJoin") >= 5
+    _no_python_no_cartesian(plan)
+
+
+def test_centroid_assign_broadcasts_centroids_and_stays_jvm(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r23 import (
+        q_sim_centroid_assign,
+    )
+
+    plan = _plan(spark, q_sim_centroid_assign)
+    # the O(labels) centroid relation broadcasts against the vector
+    # relation; the distance fold is JVM higher-order functions, not
+    # Python
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" not in plan
+    _no_python_no_cartesian(plan)

@@ -119,14 +119,15 @@ def test_never_verified_detected_and_ordering():
     assert not failed
 
 
-def test_r12_four_rung_ladder_depths():
-    """The adopted LADDER: streak 1/3/5/7 -> cycles 4/4/5/6 (the r12
-    re-calibration stretched the first rung 3 -> 4: drain cohorts
-    re-verified as synchronized 3-round waves — 100 slipped key-rounds
-    at 186 keys — and the 4-round first cycle de-phases them to 2; see
-    simulate_rotation.py); a key takes the FIRST rung its streak
-    reaches, exclusively."""
-    assert LADDER == ((7, 6), (5, 5), (3, 4), (1, 4))
+def test_r13_four_rung_ladder_depths():
+    """The adopted LADDER: streak 1/3/5/7 -> cycles 4/4/6/7 (the r13
+    re-calibration stretched the two DEEP rungs one round each: the
+    35-key r13 drain cohort re-verifies as one synchronized wave that
+    slipped 23 key-rounds at the 201-key horizon under the r12 ladder,
+    and ≥5→6 / ≥7→7 de-phase it to ZERO — the smallest candidate that
+    does; see simulate_rotation.py); a key takes the FIRST rung its
+    streak reaches, exclusively."""
+    assert LADDER == ((7, 7), (5, 6), (3, 4), (1, 4))
     registry = [f"s{n}" for n in (0, 1, 3, 5, 7)]
     history = {}
     # build exact streaks: key s{n} gets n consecutive green rows ending
@@ -134,7 +135,7 @@ def test_r12_four_rung_ladder_depths():
     for n in (1, 3, 5, 7):
         for r in range(9 - n, 9):
             history.setdefault(r, {})[f"s{n}"] = G
-    expected_cycle = {"s1": 4, "s3": 4, "s5": 5, "s7": 6}
+    expected_cycle = {"s1": 4, "s3": 4, "s5": 6, "s7": 7}
     for key, cyc in expected_cycle.items():
         # one round BEFORE the deadline: not due anywhere
         dues, _, _ = classify(
