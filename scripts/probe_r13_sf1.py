@@ -50,6 +50,17 @@ ARMS = {
                       ["documents"], False),
     "centroid_assign": (("staged_r23", "q_sim_centroid_assign"),
                         ["embeddings"], False),
+    # r24
+    "disjunctive_revenue": (("staged_r24", "q_rel_disjunctive_revenue"),
+                            ["lineitem", "part"], False),
+    "session_lengths": (("staged_r24", "q_win_session_lengths"),
+                        ["events"], False),
+    "ngram_coverage": (("staged_r24", "q_text_ngram_coverage"),
+                       ["documents"], False),
+    "top_parts_concat": (("staged_r24", "q_rel_top_parts_concat"),
+                         ["lineitem", "supplier"], False),
+    "norm_hist": (("staged_r24", "q_embed_norm_hist"),
+                  ["embeddings"], False),
 }
 
 

@@ -114,7 +114,7 @@ def generate() -> None:
     # match density then scales like the real catalog's
     part_src = pq.read_table(
         os.path.join(SF01, "part.parquet"),
-        columns=["p_name", "p_brand", "p_type"],
+        columns=["p_name", "p_brand", "p_type", "p_size"],
     ).to_pylist()
     adjs = sorted({r["p_name"].split()[0] for r in part_src})
     nouns = sorted({r["p_name"].split()[-1] for r in part_src})
@@ -146,6 +146,18 @@ def generate() -> None:
                         for _ in range(n_part)
                     ],
                     pa.string(),
+                ),
+                # p_size resampled from the real domain (the Q19
+                # bracket arm filters on it)
+                "p_size": pa.array(
+                    rng.choice(
+                        np.array(
+                            [r["p_size"] for r in part_src],
+                            dtype=np.int32,
+                        ),
+                        n_part,
+                    ),
+                    pa.int32(),
                 ),
             }
         ),

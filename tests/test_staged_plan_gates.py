@@ -155,3 +155,68 @@ def test_centroid_assign_broadcasts_centroids_and_stays_jvm(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "MapInPandas" not in plan
     _no_python_no_cartesian(plan)
+
+
+# -- r24 staged keys (added r13) ----------------------------------------
+
+
+def test_disjunctive_revenue_pushes_or_into_one_broadcast_join(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r24 import (
+        q_rel_disjunctive_revenue,
+    )
+
+    plan = _plan(spark, q_rel_disjunctive_revenue)
+    # ONE broadcast join with the whole OR-of-ANDs as its filter — the
+    # naive per-bracket UNION would scan lineitem three times
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("FileScan parquet") == 2
+    _no_python_no_cartesian(plan)
+
+
+def test_session_lengths_single_scan_stacked_windows(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r24 import (
+        q_win_session_lengths,
+    )
+
+    plan = _plan(spark, q_win_session_lengths)
+    assert plan.count("FileScan parquet") == 1
+    # the lag break and the island prefix sum share the user
+    # partitioning: one user exchange + the O(lengths) histogram
+    assert plan.count("Exchange hashpartitioning") == 2
+    _no_python_no_cartesian(plan)
+
+
+def test_ngram_coverage_heads_are_per_task_heaps(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r24 import (
+        COVERAGE_KS,
+        q_text_ngram_coverage,
+    )
+
+    plan = _plan(spark, q_text_ngram_coverage)
+    # every k head compiles to TakeOrderedAndProject — never a global
+    # sort of the counted-trigram relation
+    assert plan.count("TakeOrderedAndProject") == len(COVERAGE_KS)
+    assert "Sort " not in plan or "TakeOrdered" in plan
+    _no_python_no_cartesian(plan)
+
+
+def test_top_parts_concat_prunes_topk_partial_side(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r24 import (
+        q_rel_top_parts_concat,
+    )
+
+    plan = _plan(spark, q_rel_top_parts_concat)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    _no_python_no_cartesian(plan)
+
+
+def test_norm_hist_is_one_scan_one_exchange(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r24 import (
+        q_embed_norm_hist,
+    )
+
+    plan = _plan(spark, q_embed_norm_hist)
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    _no_python_no_cartesian(plan)
