@@ -86,11 +86,18 @@ from .staged_r21 import STAGED_R21_ORACLES, STAGED_R21_QUERIES
 #: Plus 10 pull-forwards of r14's oldest due keys. 5 + 35 + 10 = 50
 #: exactly.
 #:
-#: The staged pipeline is EMPTY after this drain (186 live keys, all
-#: oracled); new queues stage as ``plans/staged_r<N>.py`` and are
-#: glob-discovered by ``plans/staging.py``, so the HUGEINT oracle
-#: gate, window math, the partition sweep and the capacity simulator
-#: cover them automatically the moment they land.
+#: The drain empties the pre-r13 backlog (191 live keys, all oracled);
+#: the pipeline was REFILLED the same round with three new queues —
+#: ``plans/staged_r22.py`` (Q11 important-stock, sweep-line backlog,
+#: theta-sketch A-not-B, greedy next-token accuracy, top-k terms),
+#: ``staged_r23.py`` (Q8 market share, hapax tail, χ² category drift,
+#: audio silence runs, exact-integer nearest-centroid assignment) and
+#: ``staged_r24.py`` (Q19 disjunction, session-length histogram,
+#: trigram head coverage, ordered string agg, embedding-norm QA) — 15
+#: staged pairs, each queue parity+content gated every suite run,
+#: glob-discovered by ``plans/staging.py`` so the HUGEINT oracle gate,
+#: window math, the partition sweep and the capacity simulator cover
+#: them automatically.
 #: Every name in _FRONT_KEYS MUST resolve in _ALL_QUERIES — enforced
 #: below; add keys only after their q_/oracle entries land (r6 lesson:
 #: phantom names silently lose their slot). test_staged_registrations

@@ -8,6 +8,7 @@ sink dispatch (console / Kafka / memory), and the query lifecycle
 """
 
 from .attribution import stream_first_touch
+from .backlog import stream_backlog
 from .cdc import (
     make_cdc_batch_applier,
     materialize_cdc_stream,
@@ -27,12 +28,15 @@ from .pipeline import (
     write_kafka,
     write_memory,
 )
+from .cusum import stream_cusum
 from .quantile_sketch import stream_quantile_sketch
 from .time_decay import stream_time_decay
 from .transitions import stream_transitions
 
 __all__ = [
     "stream_quantile_sketch",
+    "stream_cusum",
+    "stream_backlog",
     "audit_denied_sessions_custom_state",
     "stream_first_touch",
     "stream_heavy_hitters",
