@@ -136,3 +136,50 @@ def test_kmv_plan_window_group_limit(spark):
     )
     assert "WindowGroupLimit" in plan
     assert ", Partial" in plan
+
+
+def test_kmv_difference_exact_when_unsaturated(spark):
+    """Both sketches unsaturated (theta = 1, whole hash space): the
+    A-not-B estimate IS the exact |A \\ B| — sketches hold the full
+    sets. Constructed overlap: A = 0..59, B = 40..99 -> |A\\B| = 40."""
+    from flink_audit_sessions_example_spark.operators.sketches import (
+        kmv_difference_estimate,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(60)], "v bigint")
+    b = spark.createDataFrame([(i,) for i in range(40, 100)], "v bigint")
+    est = kmv_difference_estimate(
+        kmv_table(a, "v", k=K), kmv_table(b, "v", k=K), k=K
+    ).collect()[0][0]
+    assert est == 40
+    # empty A -> 0, regardless of B
+    empty = spark.createDataFrame([], "v bigint")
+    est0 = kmv_difference_estimate(
+        kmv_table(empty, "v", k=K), kmv_table(b, "v", k=K), k=K
+    ).collect()[0][0]
+    assert est0 == 0
+
+
+def test_kmv_inclusion_exclusion_consistency(spark):
+    """Saturated regime on the real part baskets: the estimated
+    |A∩B| + |A\\B| must reconstruct |A| within the combined estimator
+    noise (both estimates read the SAME sub-theta sample, so their sum
+    telescopes to |a_below| / theta = the KMV |A| estimate)."""
+    from flink_audit_sessions_example_spark.operators.sketches import (
+        kmv_difference_estimate,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    a = li.where("l_partkey % 3 != 0").select("l_partkey").distinct()
+    b = li.where("l_partkey % 3 != 1").select("l_partkey").distinct()
+    n_a = a.count()
+    sk_a, sk_b = kmv_table(a, "l_partkey", k=K), kmv_table(b, "l_partkey", k=K)
+    inter = kmv_intersect_estimate(sk_a, sk_b, k=K).collect()[0][0]
+    diff = kmv_difference_estimate(sk_a, sk_b, k=K).collect()[0][0]
+    est_a = kmv_estimate(sk_a, k=K).collect()[0][0]
+    # telescoping: same theta, same sample -> sum within rounding of
+    # the |A| estimate, and the |A| estimate within 5 sigma of truth
+    assert abs((inter + diff) - est_a) <= 2
+    import math
+
+    assert abs(est_a - n_a) <= 5 * n_a / math.sqrt(K - 2) + 2

@@ -135,3 +135,65 @@ def test_stream_equals_batch_sweep_over_closed_days(spark, tmp_path):
         if r.day < open_day
     }
     assert got == batch
+
+
+def test_state_fn_matches_python_sweep_under_arbitrary_chunking():
+    """Property: for ANY ordered delta sequence and ANY micro-batch
+    chunking, the concatenated closed-day emissions equal the one-shot
+    Python sweep over all-but-the-last day — chunk boundaries must be
+    invisible (the cross-batch-carry contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def _scenario(draw):
+        n = draw(st.integers(min_value=1, max_value=40))
+        days = sorted(
+            draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=15),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+        deltas = draw(
+            st.lists(
+                st.sampled_from([-1, 1]), min_size=n, max_size=n
+            )
+        )
+        cuts = sorted(
+            draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=n),
+                    min_size=0,
+                    max_size=3,
+                )
+            )
+        )
+        return list(zip(days, deltas)), cuts
+
+    @given(_scenario())
+    @settings(max_examples=200, deadline=None)
+    def run(scenario):
+        pairs, cuts = scenario
+        chunks, prev = [], 0
+        for c in cuts + [len(pairs)]:
+            if c > prev:
+                chunks.append(pairs[prev:c])
+                prev = c
+        if not chunks:
+            chunks = [pairs]
+        got, _ = _drive(chunks)
+        # reference: one-shot sweep, all days except the open last one
+        agg: dict = {}
+        for d, x in pairs:
+            agg[d] = agg.get(d, 0) + x
+        days = sorted(agg)
+        expect, run_sum = [], 0
+        for d in days[:-1]:
+            run_sum += agg[d]
+            expect.append((d * DAY_US, agg[d], run_sum))
+        assert got == expect
+
+    run()
