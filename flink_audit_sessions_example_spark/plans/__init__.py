@@ -43,17 +43,17 @@ from .staged_r21 import STAGED_R21_ORACLES, STAGED_R21_QUERIES
 #: 2-round rotation is arithmetically impossible; r8 verdict #4, r10
 #: verdict #1): §2 / reference-surface keys KEEP the 2-round invariant;
 #: extended keys stretch as their green driver-row STREAK deepens —
-#: the four-rung ladder ``window_math.LADDER``: streak ≥1 → 4-round
-#: cycle, ≥3 → 4-round, ≥5 → 6-round, ≥7 → 7-round. RE-CALIBRATED r13
+#: the four-rung ladder ``window_math.LADDER``: streak ≥1 → 5-round
+#: cycle, ≥3 → 5-round, ≥5 → 6-round, ≥7 → 8-round. RE-CALIBRATED r13
 #: by ``scripts/simulate_rotation.py`` (staleness-greedy windows with
 #: pull-forward, replayed against the real CORRECTNESS history): at
-#: the 201-key horizon (the 191-key live registry after this round's
-#: seven-queue drain + the staged r22/r23 queues, which consume future
-#: slots the moment they register) the r12 ladder slips 23 key-rounds
-#: over 9 rounds — the 35-key drain cohort re-verifies as one
-#: synchronized wave — and stretching the two DEEP rungs one round
-#: each (≥5 → 6, ≥7 → 7) de-phases it to ZERO, the smallest candidate
-#: that does. Every rung is sound: driver-vs-local divergence for a
+#: the TRUE shipped horizon of 206 keys (the 191-key live registry
+#: after this round's seven-queue drain + the staged r22/r23/r24
+#: queues, which consume future slots the moment they register) the
+#: r12 ladder slips 49 key-rounds over 9 rounds — the 35-key drain
+#: cohort re-verifies as one synchronized wave — every one-rung
+#: stretch still slips 4–15, and this all-rung stretch is the
+#: candidate table's only ZERO. Every rung is sound: driver-vs-local divergence for a
 #: (plan, oracle) pair only surfaces on its FIRST driver row (r10's
 #: sole red — the HUGEINT oracle typing — was exactly that) or after
 #: the pair CHANGES, and changed keys re-front-load as new while red

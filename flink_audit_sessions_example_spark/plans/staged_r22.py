@@ -79,11 +79,19 @@ def q_rel_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_part.agg(
         F.sum("_r4").alias("_t4"), F.count(F.lit(1)).alias("_np")
     )
+    # DECIMAL(38,0), not BIGINT, for the cross-multiplied comparison:
+    # r4·n_parts·DEN is cent²·count arithmetic that exceeds 2^63 well
+    # below the 100 TB regime (Spark would wrap silently, DuckDB would
+    # raise); 38 digits hold every realistic scale exactly, so the
+    # threshold stays an exact integer comparison on both engines
+    d38 = "decimal(38,0)"
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(
-            F.col("_r4") * F.col("_np") * F.lit(IMPORTANT_DEN)
-            > F.col("_t4") * F.lit(IMPORTANT_NUM)
+            F.col("_r4").cast(d38)
+            * F.col("_np").cast(d38)
+            * F.lit(IMPORTANT_DEN)
+            > F.col("_t4").cast(d38) * F.lit(IMPORTANT_NUM)
         )
         .select(
             "l_partkey",
@@ -109,7 +117,8 @@ WITH pv AS (
 )
 SELECT l_partkey, ROUND(r4 / 10000.0, 6) AS stock_value
 FROM pv, tot
-WHERE r4 * np * {IMPORTANT_DEN} > t4 * {IMPORTANT_NUM}
+WHERE CAST(r4 AS HUGEINT) * np * {IMPORTANT_DEN}
+      > CAST(t4 AS HUGEINT) * {IMPORTANT_NUM}
 """
 
 # --------------------------------------------------------------------------

@@ -26,15 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.text import pattern_tokens
+from ..operators.text import TOKEN_PATTERN, pattern_tokens
 from ..sources.tables import load_table
 from .extended import _cents
 from .staged_r20 import (
-    AUDIO_FRAME,
     _MULTIMODAL_AUDIO_ENERGY_ORACLE,
     q_multimodal_audio_energy,
 )
-from .staged_r22 import TOKEN_PATTERN
 
 # --------------------------------------------------------------------------
 # rel_market_share — the TPC-H Q8 shape (local-content variant)

@@ -25,10 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.text import pattern_tokens
+from ..operators.text import TOKEN_PATTERN, pattern_tokens
 from ..sources.tables import load_table
 from .extended import _SQL_DOT, _cents
-from .staged_r22 import TOKEN_PATTERN
 
 # --------------------------------------------------------------------------
 # rel_disjunctive_revenue — the TPC-H Q19 shape

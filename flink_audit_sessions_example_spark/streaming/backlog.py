@@ -47,7 +47,10 @@ def _make_backlog_fn():
         rows = []
         for pdf in pdfs:
             for us, d in zip(pdf["_dus"], pdf["_delta"]):
-                if us is None or pd.isna(us):
+                # guard BOTH columns: a non-castable delta upstream
+                # (cast -> NULL -> NaN in the long column) would
+                # otherwise raise in int(d) and kill the query
+                if us is None or pd.isna(us) or d is None or pd.isna(d):
                     continue
                 rows.append((int(us), int(d)))
         if not rows:

@@ -133,6 +133,10 @@ def main() -> None:
         ("stretch B >=7->7,5->6", ((7, 7), (5, 6), (3, 4), (1, 4))),
         ("stretch C >=7->8,5->6", ((7, 8), (5, 6), (3, 5), (1, 4))),
         ("stretch D >=9->8", ((9, 8), (7, 7), (5, 6), (3, 5), (1, 4))),
+        ("stretch E >=7->8,5->7", ((7, 8), (5, 7), (3, 5), (1, 4))),
+        ("stretch F >=7->9,5->6", ((7, 9), (5, 6), (3, 5), (1, 4))),
+        ("ADOPTED r13 stretch G", ((7, 8), (5, 6), (3, 5), (1, 5))),
+        ("stretch H >=9->9", ((9, 9), (7, 8), (5, 6), (3, 5), (1, 4))),
     ]
     for name, ladder in candidates:
         total = simulate(

@@ -9,18 +9,15 @@ next round's ``_FRONT_KEYS`` is computed, not hand-derived:
 - Extended keys stretch to longer cycles as their green driver-row
   STREAK deepens, per ``LADDER`` — ``((min_streak, cycle), ...)``
   descending; a key takes the first rung its streak reaches, and a key
-  below every rung stays strict-2. The r12 ladder is
-  (≥7 → 6-round, ≥5 → 5, ≥3 → 4, ≥1 → 3): the registry reached 166
-  keys (r12 drain + dedup_incremental + the staged r15/r16 queues —
-  staged keys consume future slots the moment they register), and at
-  that size the r11 two-rung ladder slips 55 key-rounds over 9 rounds,
-  three rungs still slip 8, while this four-rung ladder slips ZERO
-  over 12 simulated rounds (table in simulate_rotation.py). Each rung
-  is sound for the same reason as the first: divergence only surfaces
-  on a pair's FIRST driver row or after it changes, deep-streak keys
-  are the least likely to change, and every unchanged pair replays
-  against DuckDB on every local suite run regardless of its driver
-  cadence.
+  below every rung stays strict-2. The r13 ladder is
+  (≥7 → 8-round, ≥5 → 6, ≥3 → 5, ≥1 → 5) — see the LADDER comment
+  below for the calibration history (166-key r12 horizon → the r12
+  ladder; 206-key r13 horizon after the seven-queue drain + the
+  staged r22/r23/r24 queues → this one). Each rung is sound for the
+  same reason as the first: divergence only surfaces on a pair's
+  FIRST driver row or after it changes, deep-streak keys are the
+  least likely to change, and every unchanged pair replays against
+  DuckDB on every local suite run regardless of its driver cadence.
 - Slots left over go first to queue registrations, then to PULL-FORWARD
   of next round's oldest due keys (printed below) — verifying them a
   round early desynchronizes the drain cohorts, whose synchronized
@@ -61,21 +58,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW = 50
 #: (min_green_streak, cycle_rounds), descending by streak — a key takes
 #: the FIRST rung its streak reaches; below every rung = strict 2-round.
-#: r13 RE-CALIBRATION (simulate_rotation.py at 201 keys — the r13 live
-#: registry of 191 after the seven-queue drain + the staged r22/r23
-#: queues): the r12 ladder ((7,6),(5,5),(3,4),(1,4)) slips 23
-#: key-rounds over 9 rounds at this horizon — the 35-key r13 drain
-#: cohort re-verifies as one synchronized wave the 4/5/6 cycles can't
-#: absorb. Stretching the TWO deep rungs one round each — ≥7-streak →
-#: 7-round cycle, ≥5 → 6 — de-phases it completely: ZERO slipped
-#: key-rounds, the smallest candidate that does (the full table is in
-#: simulate_rotation.py; deeper stretches tie at zero but verify
-#: less). Soundness is the same first-row argument: a (plan, oracle)
-#: divergence surfaces on the key's FIRST driver row or when the pair
-#: changes (changed keys re-front-load as new), deep-streak keys are
-#: the least likely to change, and every unchanged pair still replays
-#: against DuckDB on every suite run and before every commit.
-LADDER: "tuple[tuple[int, int], ...]" = ((7, 7), (5, 6), (3, 4), (1, 4))
+#: r13 RE-CALIBRATION (simulate_rotation.py at the TRUE shipped
+#: horizon of 206 keys — the 191-key live registry after the
+#: seven-queue drain + the staged r22/r23/r24 queues, all
+#: glob-discovered): the r12 ladder ((7,6),(5,5),(3,4),(1,4)) slips 49
+#: key-rounds over 9 rounds here — the 35-key r13 drain cohort
+#: re-verifies as one synchronized wave the short cycles can't absorb
+#: — and every one-rung stretch still slips 4–15. The adopted ladder
+#: stretches all four rungs (≥7-streak → 8-round cycle, ≥5 → 6,
+#: ≥3 → 5, ≥1 → 5): ZERO slipped key-rounds, the only zero in the
+#: candidate table (simulate_rotation.py). Soundness is the same
+#: first-row argument: a (plan, oracle) divergence surfaces on the
+#: key's FIRST driver row or when the pair changes (changed keys
+#: re-front-load as new), deep-streak keys are the least likely to
+#: change, and every unchanged pair still replays against DuckDB on
+#: every suite run and before every commit.
+LADDER: "tuple[tuple[int, int], ...]" = ((7, 8), (5, 6), (3, 5), (1, 5))
 
 #: reference-surface (§2) keys — never stretched past 2 rounds
 CORE_KEYS = frozenset(

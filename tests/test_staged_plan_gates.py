@@ -194,9 +194,10 @@ def test_ngram_coverage_heads_are_per_task_heaps(spark):
 
     plan = _plan(spark, q_text_ngram_coverage)
     # every k head compiles to TakeOrderedAndProject — never a global
-    # sort of the counted-trigram relation
+    # sort of the counted-trigram relation (a global sort would show
+    # up as a range-partitioned exchange)
     assert plan.count("TakeOrderedAndProject") == len(COVERAGE_KS)
-    assert "Sort " not in plan or "TakeOrdered" in plan
+    assert "rangepartitioning" not in plan
     _no_python_no_cartesian(plan)
 
 

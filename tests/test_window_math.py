@@ -120,14 +120,14 @@ def test_never_verified_detected_and_ordering():
 
 
 def test_r13_four_rung_ladder_depths():
-    """The adopted LADDER: streak 1/3/5/7 -> cycles 4/4/6/7 (the r13
-    re-calibration stretched the two DEEP rungs one round each: the
-    35-key r13 drain cohort re-verifies as one synchronized wave that
-    slipped 23 key-rounds at the 201-key horizon under the r12 ladder,
-    and ≥5→6 / ≥7→7 de-phase it to ZERO — the smallest candidate that
-    does; see simulate_rotation.py); a key takes the FIRST rung its
-    streak reaches, exclusively."""
-    assert LADDER == ((7, 7), (5, 6), (3, 4), (1, 4))
+    """The adopted LADDER: streak 1/3/5/7 -> cycles 5/5/6/8 (the r13
+    re-calibration at the TRUE shipped horizon of 206 glob-discovered
+    keys: the 35-key r13 drain cohort re-verifies as one synchronized
+    wave that slips 49 key-rounds under the r12 ladder and 4-15 under
+    every one-rung stretch; this all-rung stretch is the candidate
+    table's only ZERO — see simulate_rotation.py); a key takes the
+    FIRST rung its streak reaches, exclusively."""
+    assert LADDER == ((7, 8), (5, 6), (3, 5), (1, 5))
     registry = [f"s{n}" for n in (0, 1, 3, 5, 7)]
     history = {}
     # build exact streaks: key s{n} gets n consecutive green rows ending
@@ -135,7 +135,7 @@ def test_r13_four_rung_ladder_depths():
     for n in (1, 3, 5, 7):
         for r in range(9 - n, 9):
             history.setdefault(r, {})[f"s{n}"] = G
-    expected_cycle = {"s1": 4, "s3": 4, "s5": 6, "s7": 7}
+    expected_cycle = {"s1": 5, "s3": 5, "s5": 6, "s7": 8}
     for key, cyc in expected_cycle.items():
         # one round BEFORE the deadline: not due anywhere
         dues, _, _ = classify(
