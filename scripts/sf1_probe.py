@@ -114,7 +114,8 @@ def generate() -> None:
     # match density then scales like the real catalog's
     part_src = pq.read_table(
         os.path.join(SF01, "part.parquet"),
-        columns=["p_name", "p_brand", "p_type", "p_size"],
+        columns=["p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
     ).to_pylist()
     adjs = sorted({r["p_name"].split()[0] for r in part_src})
     nouns = sorted({r["p_name"].split()[-1] for r in part_src})
@@ -148,7 +149,9 @@ def generate() -> None:
                     pa.string(),
                 ),
                 # p_size resampled from the real domain (the Q19
-                # bracket arm filters on it)
+                # bracket arm filters on it); p_retailprice likewise
+                # (the r25 Q9 profit arm's cost leg — the p_size
+                # lesson repeating one column later, again)
                 "p_size": pa.array(
                     rng.choice(
                         np.array(
@@ -158,6 +161,16 @@ def generate() -> None:
                         n_part,
                     ),
                     pa.int32(),
+                ),
+                "p_retailprice": pa.array(
+                    rng.choice(
+                        np.array(
+                            [r["p_retailprice"] for r in part_src],
+                            dtype=np.float64,
+                        ),
+                        n_part,
+                    ),
+                    pa.float64(),
                 ),
             }
         ),
@@ -195,7 +208,8 @@ def generate() -> None:
     # and delay rates match the real table's at 10× volume.
     o_src = pq.read_table(
         os.path.join(SF01, "orders.parquet"),
-        columns=["o_orderkey", "o_orderdate", "o_orderstatus", "o_custkey"],
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus",
+                 "o_custkey", "o_orderpriority"],
     ).to_pydict()
     real_dates = np.array(o_src["o_orderdate"], dtype="datetime64[us]")
     odates = rng.choice(real_dates, n_orders)
@@ -213,6 +227,13 @@ def generate() -> None:
                 "o_orderdate": pa.array(odates, pa.timestamp("us")),
                 "o_orderstatus": pa.array(
                     rng.choice(statuses, n_orders), pa.string()
+                ),
+                # resampled priorities (the r25 Q12 arm's CASE counts)
+                "o_orderpriority": pa.array(
+                    rng.choice(
+                        np.array(o_src["o_orderpriority"]), n_orders
+                    ),
+                    pa.string(),
                 ),
             }
         ),

@@ -1,0 +1,234 @@
+"""The partitioned (MERGE-INTO-shaped) CDC materializer
+(``streaming/cdc.py::make_partitioned_cdc_batch_applier`` — the
+production path the r13 verdict asked for): cross-micro-batch equality
+vs the batch ``cdc_apply`` replay AND vs the full-rewrite twin, the
+touched-buckets-only write-set bound (per-batch rewrite bytes bounded
+by touched partitions, not table size), batch-id fencing, the frozen
+``n_buckets`` contract, and manifest GC."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from flink_audit_sessions_example_spark.operators.dedup import cdc_apply
+from flink_audit_sessions_example_spark.streaming.cdc import (
+    make_partitioned_cdc_batch_applier,
+    materialize_cdc_stream_partitioned,
+    read_materialized_partitioned,
+)
+from test_stream_cdc import (
+    B1,
+    B2,
+    B3,
+    EXPECTED,
+    _snapshot_df,
+    _write_batches,
+)
+
+CHANGELOG_SCHEMA = "k bigint, seq bigint, op string, v string"
+N_BUCKETS = 8
+
+
+def _versioned_buckets(target: str) -> "dict[int, list[int]]":
+    """version → sorted bucket ids physically present on disk."""
+    out: "dict[int, list[int]]" = {}
+    for vname in os.listdir(target):
+        m = re.fullmatch(r"v(\d+)", vname)
+        if not m:
+            continue
+        out[int(m.group(1))] = sorted(
+            int(bm.group(1))
+            for bm in (
+                re.fullmatch(r"_bucket=(\d+)", n)
+                for n in os.listdir(os.path.join(target, vname))
+            )
+            if bm
+        )
+    return out
+
+
+def test_partitioned_stream_matches_batch_replay(spark, tmp_path):
+    src = str(tmp_path / "log")
+    _write_batches(src)
+    target = str(tmp_path / "target")
+    stream = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = materialize_cdc_stream_partitioned(
+        stream,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        snapshot=_snapshot_df(spark),
+        n_buckets=N_BUCKETS,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.k: (r.seq, r.v)
+        for r in read_materialized_partitioned(spark, target).collect()
+    }
+    assert got == EXPECTED
+    batch = {
+        r.k: (r.seq, r.v)
+        for r in cdc_apply(
+            _snapshot_df(spark),
+            spark.read.parquet(src),
+            key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        ).collect()
+    }
+    assert got == batch
+    # the deleted key stays out of the view (tombstone semantics hold
+    # across bucket boundaries)
+    assert 1 not in got
+
+
+def test_rewrite_set_is_touched_buckets_only(spark, tmp_path):
+    """The MERGE bound: a single-key batch writes that key's bucket
+    and nothing else — untouched buckets stay at their old version."""
+    target = str(tmp_path / "target")
+    apply_batch = make_partitioned_cdc_batch_applier(
+        spark,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=target,
+        snapshot=None,
+        n_buckets=N_BUCKETS,
+    )
+    # seed: keys spread across many buckets
+    seed = [(k, 10, "U", f"v{k}") for k in range(1, 33)]
+    apply_batch(spark.createDataFrame(seed, CHANGELOG_SCHEMA), 0)
+    v0 = _versioned_buckets(target)
+    assert len(v0[0]) > 1, "seed landed in one bucket — test is vacuous"
+
+    # single-key update: exactly ONE bucket may be rewritten
+    apply_batch(
+        spark.createDataFrame([(7, 20, "U", "v7b")], CHANGELOG_SCHEMA), 1
+    )
+    vb = _versioned_buckets(target)
+    assert len(vb[1]) == 1, f"single-key batch rewrote buckets {vb[1]}"
+    # untouched buckets still live at v0
+    assert set(vb[0]) >= set(v0[0]) - set(vb[1])
+
+    got = {
+        r.k: (r.seq, r.v)
+        for r in read_materialized_partitioned(spark, target).collect()
+    }
+    want = {k: (10, f"v{k}") for k in range(1, 33)}
+    want[7] = (20, "v7b")
+    assert got == want
+
+
+def test_partitioned_fencing_and_frozen_buckets(spark, tmp_path):
+    target = str(tmp_path / "target")
+    apply_batch = make_partitioned_cdc_batch_applier(
+        spark,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=target,
+        snapshot=None,
+        n_buckets=N_BUCKETS,
+    )
+    apply_batch(spark.createDataFrame(B1, CHANGELOG_SCHEMA), 0)
+    before = {
+        r.k: (r.seq, r.v)
+        for r in read_materialized_partitioned(spark, target).collect()
+    }
+    # at-least-once redelivery: same batch_id is a no-op even with
+    # different (corrupt/partial) content
+    apply_batch(
+        spark.createDataFrame([(1, 99, "D", None)], CHANGELOG_SCHEMA), 0
+    )
+    after = {
+        r.k: (r.seq, r.v)
+        for r in read_materialized_partitioned(spark, target).collect()
+    }
+    assert after == before == {1: (10, "a"), 2: (10, "b"), 3: (10, "c")}
+    # checkpoint reset (lower batch_id) must raise, not silently skip
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        apply_batch(
+            spark.createDataFrame([(9, 1, "U", "x")], CHANGELOG_SCHEMA), -1
+        )
+    # n_buckets is frozen at table creation
+    mismatched = make_partitioned_cdc_batch_applier(
+        spark,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=target,
+        snapshot=None,
+        n_buckets=N_BUCKETS * 2,
+    )
+    with pytest.raises(ValueError, match="rebucketing"):
+        mismatched(
+            spark.createDataFrame([(9, 1, "U", "x")], CHANGELOG_SCHEMA), 1
+        )
+
+
+def test_partitioned_gc_keeps_two_generations(spark, tmp_path):
+    """After repeated rewrites of the SAME bucket, only the current and
+    the immediately-previous generation of that bucket survive."""
+    target = str(tmp_path / "target")
+    apply_batch = make_partitioned_cdc_batch_applier(
+        spark,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=target,
+        snapshot=None,
+        n_buckets=N_BUCKETS,
+    )
+    for i in range(4):
+        apply_batch(
+            spark.createDataFrame(
+                [(7, 10 + i, "U", f"gen{i}")], CHANGELOG_SCHEMA
+            ),
+            i,
+        )
+    vb = _versioned_buckets(target)
+    # key 7's bucket was rewritten at v0..v3; only v2 (prev) + v3
+    # (current) survive GC
+    assert sorted(vb) == [2, 3]
+    got = {
+        r.k: (r.seq, r.v)
+        for r in read_materialized_partitioned(spark, target).collect()
+    }
+    assert got == {7: (13, "gen3")}
+
+
+def test_partitioned_matches_full_rewrite_twin(spark, tmp_path):
+    """Same log, both materializers, identical readable views — the
+    partitioned path is an OPTIMIZATION, never a semantics change."""
+    from flink_audit_sessions_example_spark.streaming.cdc import (
+        make_cdc_batch_applier,
+        read_materialized,
+    )
+
+    t_full = str(tmp_path / "full")
+    t_part = str(tmp_path / "part")
+    full = make_cdc_batch_applier(
+        spark,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=t_full,
+        snapshot=_snapshot_df(spark),
+    )
+    part = make_partitioned_cdc_batch_applier(
+        spark,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=t_part,
+        snapshot=_snapshot_df(spark),
+        n_buckets=3,  # deliberately tiny: forces multi-key buckets
+    )
+    for i, rows in enumerate((B1, B2, B3)):
+        df = spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+        full(df, i)
+        part(df, i)
+    got_full = {
+        r.k: (r.seq, r.v)
+        for r in read_materialized(spark, t_full).collect()
+    }
+    got_part = {
+        r.k: (r.seq, r.v)
+        for r in read_materialized_partitioned(spark, t_part).collect()
+    }
+    assert got_full == got_part == EXPECTED

@@ -778,3 +778,86 @@ def test_processing_time_multi_trigger_watermark_drops_late_event(
     # mega-batch): alice can only flush once the trigger-1 watermark is
     # applied, carol only after trigger 2's clock advances it again
     assert len(got) == 2
+
+
+def test_watermark_boundary_drop_keep_parity(spark, tmp_path):
+    """Out-of-order replay STRADDLING the 2-day watermark boundary
+    (``App.java:55-59`` — r13 verdict action 8): run 1 anchors the
+    checkpointed watermark at max event − 2 days = 9/27 12:00; run 2
+    replays three out-of-order users straight at that frontier.
+
+    Drop/keep parity with Flink's bounded-out-of-orderness semantics
+    is EXACT (mod Flink's 1 ms watermark offset), because Spark's
+    session-window late filter is WINDOW-END based, same as Flink's
+    (drop iff ``window.end ≤ wm``, window = [ts, ts+gap)) — not the
+    row-level ``ts < wm`` rule plain windowed aggregates use:
+
+    - **AT the watermark** (dave, ts == 9/27 12:00): KEPT by both.
+    - **1 min below it** (erin): window end = wm + 19 min > wm — KEPT
+      by both engines, and free to merge into any still-open session.
+      A row-level engine would have dropped her; this assert is the
+      parity witness.
+    - **A gap + 10 min below** (frank, window end = wm − 10 min):
+      DROPPED by both.
+    """
+    from flink_audit_sessions_example_spark.streaming.pipeline import (
+        stream_denied_sessions,
+        write_foreach_batch,
+    )
+
+    d1 = tmp_path / "20220926"
+    d1.mkdir()
+    (d1 / "a.log").write_text(
+        # allowed-only clock event: after run 1 the checkpointed
+        # watermark is 2022-09-27 12:00:00
+        _line("clock", 1, 1, "2022-09-29 12:00:00.000") + "\n"
+    )
+    ckpt = str(tmp_path / "wm-ckpt")
+    cfg = _cfg(tmp_path)  # gap = 1200 s
+
+    def collect_into(bucket):
+        def fn(batch_df, batch_id):
+            bucket.extend(
+                (r["reqUser"], r["denies"]) for r in batch_df.collect()
+            )
+
+        return fn
+
+    run1: list = []
+    q1 = write_foreach_batch(
+        stream_denied_sessions(spark, cfg),
+        collect_into(run1),
+        checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q1.awaitTermination(120)
+    assert run1 == []  # the clock event is allowed-only: no session
+
+    d2 = tmp_path / "20220930"
+    d2.mkdir()
+    (d2 / "b.log").write_text(
+        "\n".join(
+            [
+                # dave: exactly AT the frontier — kept by both engines
+                _line("dave", 0, 6, "2022-09-27 12:00:00.000"),
+                # erin: 1 min below it, inside the divergence band —
+                # Spark drops row-level; Flink would merge her
+                _line("erin", 0, 8, "2022-09-27 11:59:00.000"),
+                # frank: a gap + 10 min below — dropped by both rules
+                _line("frank", 0, 9, "2022-09-27 11:30:00.000"),
+                # flush: advance the watermark past every session end
+                _line("clock", 1, 1, "2022-10-05 12:00:00.000"),
+            ]
+        )
+        + "\n"
+    )
+    run2: list = []
+    q2 = write_foreach_batch(
+        stream_denied_sessions(spark, cfg),
+        collect_into(run2),
+        checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert set(run2) == {("dave", 6), ("erin", 8)}, run2
+    assert len(run2) == 2, run2  # frank never emits, nobody doubles
