@@ -82,10 +82,18 @@ def q_rel_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(qty).alias("_q"))
+        # TWO consumers (the totals re-aggregation and the dominance
+        # join probe) — unpinned, the whole lineitem⨝part subtree
+        # plans twice (observed: two fact scans); the pin is the
+        # rel_important_stock two-consumer rule
+        .localCheckpoint(eager=False)
     )
     tot = per.groupBy("l_partkey").agg(F.sum("_q").alias("_tot"))
     dominant = (
-        per.join(tot, "l_partkey")
+        # the totals side is O(name-filtered parts) — a dimension-sized
+        # relation at any SF, so the dominance probe never shuffles the
+        # per-(supplier, part) aggregate
+        per.join(F.broadcast(tot), "l_partkey")
         .where(
             F.col("_q") * 100 > F.lit(Q20_DOMINANT_PCT) * F.col("_tot")
         )
@@ -159,6 +167,10 @@ def q_lm_freq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # TWO consumers (the vocab re-aggregation and the decile join
+        # probe) — unpinned, the tokenize pass plans twice (observed:
+        # two documents scans; the rel_part_promotion two-consumer rule)
+        .localCheckpoint(eager=False)
     )
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     w = Window.orderBy(F.desc("cnt"), F.asc("term"))
@@ -240,25 +252,35 @@ def q_text_zipf_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
         "cnt",
     )
-    ks = spark.createDataFrame(
-        [(k,) for k in ZIPF_KS], "k bigint"
+    # BOTH legs fold in ONE conditional aggregation over the ≤2·max(k)
+    # head rows — a second consumer of `ranked` (the join formulation)
+    # re-plans the whole tokenize + TakeOrdered subtree (observed: two
+    # documents scans), and a pin would hide the plan the gate checks
+    wide = ranked.agg(
+        *[
+            F.max(F.when(F.col("rank") == n, F.col("cnt"))).alias(
+                f"_f{n}"
+            )
+            for n in sorted({*ZIPF_KS, *(2 * k for k in ZIPF_KS)})
+        ]
     )
-    fk = ranked.withColumnRenamed("cnt", "f_k")
-    f2k = ranked.select(
-        (F.col("rank") / 2).cast("bigint").alias("_half"),
-        F.col("cnt").alias("f_2k"),
-    ).where(F.col("rank") % 2 == 0)
-    return (
-        ks.join(fk, ks.k == fk.rank)
-        .join(f2k, ks.k == f2k._half)
-        .select(
-            "k",
-            "f_k",
-            "f_2k",
+    rows = [
+        F.struct(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col(f"_f{k}").alias("f_k"),
+            F.col(f"_f{2 * k}").alias("f_2k"),
             F.round(
-                F.col("f_k") / F.col("f_2k").cast("double"), 6
+                F.col(f"_f{k}") / F.col(f"_f{2 * k}").cast("double"), 6
             ).alias("ratio"),
         )
+        for k in ZIPF_KS
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("_e"))
+        .select("_e.k", "_e.f_k", "_e.f_2k", "_e.ratio")
+        # absent ranks (vocabulary smaller than 2k) yield no row — the
+        # join formulation's inner-join semantics, kept identical
+        .where(F.col("f_k").isNotNull() & F.col("f_2k").isNotNull())
     )
 
 
