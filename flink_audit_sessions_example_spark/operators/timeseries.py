@@ -1027,3 +1027,95 @@ def ewma_smooth(
             F.round(fold, 6).alias("ewma"),
         )
     )
+
+
+def holt_smooth(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    alpha: float = 0.25,
+    beta: float = 0.25,
+    window: int = 12,
+) -> DataFrame:
+    """Holt linear (double-exponential) smoothing of each key's
+    bucketed count series: ``(key_col, bucket, n, level, trend)`` —
+    the trend-aware telemetry smoother (level l and trend b:
+    ``l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})``,
+    ``b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}``, seeded l₁ = x₁,
+    b₁ = 0) over the same BOUNDED trailing frame as
+    :func:`ewma_smooth`, so the recursion is a finite left fold.
+
+    Cross-engine exactness is the ewma argument extended to a STRUCT
+    accumulator: both engines fold the identical frame list in the
+    identical order with the identical op sequence (the l′ expression
+    is repeated verbatim inside the trend update on both sides rather
+    than referenced, so the IEEE op streams match term for term), and
+    the default α = β = 0.25 are exact binary fractions — the
+    smoothing literals carry no decimal-parse drift at all.
+
+    Scale shape: identical to :func:`ewma_smooth` — event volume
+    collapses map-side to O(keys × buckets); frame/collect/fold ride
+    that bounded relation with per-row array state capped at
+    ``window`` elements.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0 <= beta <= 1:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if bucket not in _STEPS:
+        raise ValueError(
+            f"bucket must be one of {sorted(_STEPS)}; got {bucket!r}"
+        )
+    counts = (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+        )
+        .groupBy(
+            F.col(key_col).alias("_k"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    frame = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    arr = F.collect_list(F.col("_x").cast("double")).over(frame)
+
+    def _merge(acc, x):
+        new_l = x * F.lit(alpha) + (acc["l"] + acc["b"]) * F.lit(
+            1.0 - alpha
+        )
+        # l' recomputed verbatim (not referenced) inside the trend
+        # update — the oracle repeats the same expression, keeping the
+        # two engines' IEEE op streams identical term for term
+        new_l2 = x * F.lit(alpha) + (acc["l"] + acc["b"]) * F.lit(
+            1.0 - alpha
+        )
+        new_b = (new_l2 - acc["l"]) * F.lit(beta) + acc["b"] * F.lit(
+            1.0 - beta
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    seed = F.struct(
+        F.element_at(F.col("_l"), 1).alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("_l"), 2, F.size(F.col("_l")) - 1), seed, _merge
+    )
+    return (
+        counts.withColumn("_l", arr)
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_b").alias("bucket"),
+            F.col("_x").alias("n"),
+            F.round(fold["l"], 6).alias("level"),
+            F.round(fold["b"], 6).alias("trend"),
+        )
+    )

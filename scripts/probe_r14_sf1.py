@@ -49,6 +49,24 @@ ARMS = {
                   ["embeddings"]),
     "dedup_prefix": (("staged_r26", "q_dedup_prefix"),
                      ["documents"]),
+    # r27
+    "count_of_counts": (("staged_r27", "q_lm_count_of_counts"),
+                        ["documents"]),
+    "seasonal_error": (("staged_r27", "q_win_seasonal_error"),
+                       ["events"]),
+    "quantize_error": (("staged_r27", "q_embed_quantize_error"),
+                       ["embeddings"]),
+    "dedup_suffix": (("staged_r27", "q_dedup_suffix"),
+                     ["documents"]),
+    "order_gap_median": (("staged_r27", "q_rel_order_gap_median"),
+                         ["orders"]),
+    # r28
+    "holt": (("staged_r28", "q_win_holt"), ["events"]),
+    "burstiness": (("staged_r28", "q_win_burstiness"), ["events"]),
+    "pareto_share": (("staged_r28", "q_rel_pareto_share"), ["orders"]),
+    "wordset": (("staged_r28", "q_dedup_wordset"), ["documents"]),
+    "length_gini": (("staged_r28", "q_corpus_length_gini"),
+                    ["documents"]),
 }
 
 

@@ -209,7 +209,7 @@ def generate() -> None:
     o_src = pq.read_table(
         os.path.join(SF01, "orders.parquet"),
         columns=["o_orderkey", "o_orderdate", "o_orderstatus",
-                 "o_custkey", "o_orderpriority"],
+                 "o_custkey", "o_orderpriority", "o_totalprice"],
     ).to_pydict()
     real_dates = np.array(o_src["o_orderdate"], dtype="datetime64[us]")
     odates = rng.choice(real_dates, n_orders)
@@ -234,6 +234,14 @@ def generate() -> None:
                         np.array(o_src["o_orderpriority"]), n_orders
                     ),
                     pa.string(),
+                ),
+                # resampled prices (the r28 Pareto arm's cent revenue)
+                "o_totalprice": pa.array(
+                    rng.choice(
+                        np.array(o_src["o_totalprice"], dtype=np.float64),
+                        n_orders,
+                    ),
+                    pa.float64(),
                 ),
             }
         ),

@@ -73,6 +73,11 @@ WINDOW = 50
 #: re-front-load as new), deep-streak keys are the least likely to
 #: change, and every unchanged pair still replays against DuckDB on
 #: every suite run and before every commit.
+#: r14 RE-CHECK (simulate_rotation.py at the 221-key horizon — the
+#: 206-key live registry after the r14 drain + the staged r25/r26/r27
+#: queues): this ladder STILL scores 0 slipped key-rounds over 9
+#: rounds and remains the candidate table's only zero (next best:
+#: stretch E at 29). No recalibration needed.
 LADDER: "tuple[tuple[int, int], ...]" = ((7, 8), (5, 6), (3, 5), (1, 5))
 
 #: reference-surface (§2) keys — never stretched past 2 rounds

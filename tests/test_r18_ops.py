@@ -187,3 +187,73 @@ def test_profile_drift_empty_half_yields_null_rates(spark):
     assert r.n_rows_new == 0
     assert r.null_rate_new is None
     assert r.null_rate_delta is None
+
+
+# ----------------------------------------------------------------- Holt
+
+
+def _py_holt(xs, alpha, beta, window):
+    out = []
+    for t in range(len(xs)):
+        frame = xs[max(0, t - window + 1): t + 1]
+        lev, tr = float(frame[0]), 0.0
+        for x in frame[1:]:
+            nl = x * alpha + (lev + tr) * (1 - alpha)
+            tr = (nl - lev) * beta + tr * (1 - beta)
+            lev = nl
+        out.append((lev, tr))
+    return out
+
+
+@pytest.mark.parametrize("window", [3, 12])
+def test_holt_matches_direct_recursion(spark, window):
+    from flink_audit_sessions_example_spark.operators.timeseries import (
+        holt_smooth,
+    )
+
+    counts = [5, 8, 2, 9, 9, 1, 7, 3, 6, 4]
+    got = sorted(
+        holt_smooth(
+            _hourly(spark, counts), alpha=0.25, beta=0.25, window=window
+        ).collect(),
+        key=lambda r: r.bucket,
+    )
+    expect = _py_holt(counts, 0.25, 0.25, window)
+    assert [r.n for r in got] == counts
+    for r, (lev, tr) in zip(got, expect):
+        assert r.level == pytest.approx(lev, abs=1e-6)
+        assert r.trend == pytest.approx(tr, abs=1e-6)
+
+
+def test_holt_constant_series_has_zero_trend(spark):
+    from flink_audit_sessions_example_spark.operators.timeseries import (
+        holt_smooth,
+    )
+
+    got = holt_smooth(_hourly(spark, [4] * 6), alpha=0.25).collect()
+    assert all(r.level == 4.0 and r.trend == 0.0 for r in got)
+
+
+def test_holt_partition_invariant_and_validation(spark):
+    from flink_audit_sessions_example_spark.operators.timeseries import (
+        holt_smooth,
+    )
+
+    df = _hourly(spark, [5, 8, 2, 9, 9, 1, 7, 3, 6, 4])
+    one = {
+        (r.bucket): (r.level, r.trend)
+        for r in holt_smooth(df.coalesce(1)).collect()
+    }
+    seven = {
+        (r.bucket): (r.level, r.trend)
+        for r in holt_smooth(df.repartition(7)).collect()
+    }
+    assert one == seven
+    with pytest.raises(ValueError, match="alpha"):
+        holt_smooth(df, alpha=0.0)
+    with pytest.raises(ValueError, match="beta"):
+        holt_smooth(df, beta=1.5)
+    with pytest.raises(ValueError, match="window"):
+        holt_smooth(df, window=0)
+    with pytest.raises(ValueError, match="bucket"):
+        holt_smooth(df, bucket="decade")

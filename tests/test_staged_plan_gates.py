@@ -430,3 +430,65 @@ def test_order_gap_median_single_exchange_stacked_windows(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     _no_python_no_cartesian(plan)
+
+
+def test_holt_single_scan(spark):
+    """win_holt (r28): the ewma class — one events scan collapsed
+    map-side to O(types × hours); frame/collect/fold ride it."""
+    from flink_audit_sessions_example_spark.plans.staged_r28 import (
+        q_win_holt,
+    )
+
+    plan = _plan(spark, q_win_holt)
+    assert plan.count("FileScan parquet") == 1
+    _no_python_no_cartesian(plan)
+
+
+def test_burstiness_single_scan_no_window(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r28 import (
+        q_win_burstiness,
+    )
+
+    plan = _plan(spark, q_win_burstiness)
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+    _no_python_no_cartesian(plan)
+
+
+def test_pareto_share_windows_ride_the_dimension(spark):
+    """rel_pareto_share (r28): orders scanned once and collapsed to
+    O(customers) BEFORE the single-partition rank window (the
+    documented rel_quantiles_dist class — the global sort touches the
+    dimension-sized aggregate, never the fact table)."""
+    from flink_audit_sessions_example_spark.plans.staged_r28 import (
+        q_rel_pareto_share,
+    )
+
+    plan = _plan(spark, q_rel_pareto_share)
+    assert plan.count("FileScan parquet") == 1
+    _no_python_no_cartesian(plan)
+
+
+def test_wordset_one_scan_one_exchange(spark):
+    from flink_audit_sessions_example_spark.plans.staged_r28 import (
+        q_dedup_wordset,
+    )
+
+    plan = _plan(spark, q_dedup_wordset)
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    _no_python_no_cartesian(plan)
+
+
+def test_length_gini_single_exchange_stacked(spark):
+    """corpus_length_gini (r28): the rank window, the count window and
+    the closing aggregate all ride ONE source-keyed exchange."""
+    from flink_audit_sessions_example_spark.plans.staged_r28 import (
+        q_corpus_length_gini,
+    )
+
+    plan = _plan(spark, q_corpus_length_gini)
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    _no_python_no_cartesian(plan)
