@@ -84,14 +84,16 @@ from .staged_r24 import STAGED_R24_ORACLES, STAGED_R24_QUERIES
 #: floor ≥ r10). 11 + 15 + 24 = 50 exactly.
 #:
 #: The drain brings the live registry to 206 keys, all oracled; the
-#: pipeline was REFILLED the same round with three new queues —
+#: pipeline was REFILLED the same round with four new queues —
 #: ``plans/staged_r25.py`` (the remaining TPC-H multi-join star
 #: shapes: Q5 local volume, Q7 shipping volume, Q9 product profit,
 #: Q12 ship-delay priority, Q15 top supplier), ``staged_r26.py``
 #: (Q20 part promotion semi-join plus LLM-pipeline ops: frequency
 #: deciles, Zipf head ratios, embedding dim moments, prefix dups)
-#: and ``staged_r27.py`` (count-of-counts, seasonal-naive audit,
-#: quantization residuals, suffix dups, order-gap median) — each queue
+#: ``staged_r27.py`` (count-of-counts, seasonal-naive audit,
+#: quantization residuals, suffix dups, order-gap median) and
+#: ``staged_r28.py`` (Holt exact fold, Fano factor, Pareto shares,
+#: word-set dedup, length Gini) — each queue
 #: parity+content gated every suite run, glob-discovered by
 #: ``plans/staging.py`` so the HUGEINT oracle gate, window math, the
 #: partition sweep and the capacity simulator cover them
