@@ -232,3 +232,63 @@ def test_partitioned_matches_full_rewrite_twin(spark, tmp_path):
         for r in read_materialized_partitioned(spark, t_part).collect()
     }
     assert got_full == got_part == EXPECTED
+
+
+def test_partitioned_slicing_invariance(spark, tmp_path):
+    """Batch-boundary invariance: the SAME seeded changelog applied
+    under three different micro-batch slicings (one shot, three
+    chunks, five chunks) yields the identical readable view, equal to
+    the whole-log ``cdc_apply`` replay — the associative-max merge
+    contract stated by the module docstring, exercised across bucket
+    boundaries (tiny n_buckets forces multi-key buckets)."""
+    import random
+
+    rng = random.Random(1404)
+    log = []
+    for seq in range(60):
+        k = rng.randrange(12)
+        op = "D" if rng.random() < 0.25 else "U"
+        log.append((k, seq, op, None if op == "D" else f"v{seq}"))
+    rng.shuffle(log)  # out-of-order arrival; ORDER is seq, not position
+
+    def run(slices, tag):
+        target = str(tmp_path / tag)
+        apply_batch = make_partitioned_cdc_batch_applier(
+            spark,
+            key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+            target_dir=target,
+            snapshot=None,
+            n_buckets=4,
+        )
+        for i, chunk in enumerate(slices):
+            apply_batch(
+                spark.createDataFrame(chunk, CHANGELOG_SCHEMA), i
+            )
+        return {
+            r.k: (r.seq, r.v)
+            for r in read_materialized_partitioned(
+                spark, target
+            ).collect()
+        }
+
+    def split(n):
+        size = (len(log) + n - 1) // n
+        return [log[i:i + size] for i in range(0, len(log), size)]
+
+    one = run(split(1), "one")
+    three = run(split(3), "three")
+    five = run(split(5), "five")
+    batch = {
+        r.k: (r.seq, r.v)
+        for r in cdc_apply(
+            spark.createDataFrame([], "k bigint, v string"),
+            spark.createDataFrame(log, CHANGELOG_SCHEMA),
+            key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        ).collect()
+    }
+    assert one == three == five == batch
+    # tombstoned keys are really absent from every view
+    dead = {k for k, seq, op, _ in log
+            if (seq, op) == max((s, o) for kk, s, o, _ in log if kk == k)
+            and op == "D"}
+    assert dead.isdisjoint(one)
