@@ -257,3 +257,32 @@ def test_holt_partition_invariant_and_validation(spark):
         holt_smooth(df, window=0)
     with pytest.raises(ValueError, match="bucket"):
         holt_smooth(df, bucket="decade")
+
+
+def test_holt_beta_zero_is_exactly_ewma(spark):
+    """Algebraic law: with β = 0 the trend stays at its 0 seed, so the
+    level recursion degenerates to the EWMA recursion — the two
+    operators must agree BIT-FOR-BIT (same fold machinery, same frame,
+    same literals), not approximately. A tolerance here would hide a
+    divergence in either fold's op stream."""
+    from flink_audit_sessions_example_spark.operators.timeseries import (
+        ewma_smooth,
+        holt_smooth,
+    )
+
+    df = _hourly(spark, [5, 8, 2, 9, 9, 1, 7, 3, 6, 4])
+    ew = {
+        r.bucket: r.ewma
+        for r in ewma_smooth(df, alpha=0.25, window=12).collect()
+    }
+    ho = {
+        r.bucket: (r.level, r.trend)
+        for r in holt_smooth(
+            df, alpha=0.25, beta=0.0, window=12
+        ).collect()
+    }
+    assert set(ew) == set(ho)
+    for b, e in ew.items():
+        lev, tr = ho[b]
+        assert tr == 0.0
+        assert lev == e  # exact equality, no approx
