@@ -126,14 +126,32 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(payload))
-    # self-record: the driver's BENCH artifact keeps only the LAST
-    # ~2,000 chars of stdout, which truncates the per-query map past
-    # ~60 keys (r10 verdict watch item) — the full JSON is therefore
-    # also written into the repo so cross-round per-key comparison
-    # never depends on the truncated artifact. SF-suffixed so a quick
-    # sf0.01 iteration run can never clobber the sf0.1 anchor (review
-    # r11c); the sf0.1 record is committed at end of round.
+    # The PRINTED line must survive the driver's ~2,000-char stdout
+    # tail (BENCH_rN.json's `parsed` has been null since r4 because the
+    # full 200+-key map is ~6 KB and truncation breaks the JSON — r14
+    # verdict #3). Print a COMPACT line with the same schema: total,
+    # sf, query count, and only the top-10 most expensive queries in
+    # the `queries` map; the complete per-query dict still goes to
+    # BENCH_SELF_sf{sf}.json below (the committed cross-round record).
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": "total_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": top10,
+        "n_queries": len(timings),
+        "queries_omitted": len(timings) - len(top10),
+        "full_record": f"BENCH_SELF_sf{sf}.json",
+        "sf": payload["sf"],
+    }
+    print(json.dumps(compact))
+    # self-record: the full JSON is written into the repo so
+    # cross-round per-key comparison never depends on the driver
+    # artifact. SF-suffixed so a quick sf0.01 iteration run can never
+    # clobber the sf0.1 anchor (review r11c); the sf0.1 record is
+    # committed at end of round.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
