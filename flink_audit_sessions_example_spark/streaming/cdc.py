@@ -43,6 +43,7 @@ retention, order-based merge, batch-id fencing) are identical —
 
 from __future__ import annotations
 
+import abc
 import json
 import os
 
@@ -167,30 +168,64 @@ def _bucket_col(key_cols: "list[str]", n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), n_buckets)
 
 
-def make_partitioned_cdc_batch_applier(
-    spark: SparkSession,
-    *,
-    key_cols: "list[str]",
-    order_cols: "list[str]",
-    payload_cols: "list[str]",
-    op_col: str = "op",
-    target_dir: str,
-    snapshot: "DataFrame | None" = None,
-    n_buckets: int = 16,
-):
-    """The MERGE-INTO-shaped materializer (the production path named
-    by the module docstring): per-key state lives hash-bucketed on
-    ``pmod(xxhash64(key), n_buckets)`` and each micro-batch rewrites
-    ONLY the buckets its keys touch.
+class MergeIntoTarget(abc.ABC):
+    """The adapter seam between the CDC merge LAW and the storage
+    transaction (r14 verdict #8). The applier owns the semantics —
+    epoch/order-based ``max(struct)`` folding, snapshot seeding,
+    at-least-once fencing by batch id — and hands each micro-batch's
+    per-key state delta to the target, which owns atomicity and
+    layout.
+
+    :class:`BucketParquetTarget` below is the in-repo implementation
+    (copy-on-write bucket parquet + pointer manifest). An ACID table
+    format drops in by implementing :meth:`merge` as one transactional
+    statement::
+
+        MERGE INTO target t USING updates u ON <key_cols equal>
+        WHEN MATCHED THEN UPDATE SET state = greatest(t.state, u.state)
+        WHEN NOT MATCHED THEN INSERT *
+
+    (with ``state`` the ``struct(_epoch, *order_cols, op, *payload)``
+    the law folds over) plus its own durable applied-batch watermark
+    backing :meth:`last_applied`. The law-side tests
+    (``tests/test_stream_cdc_partitioned.py``: batch-replay equality,
+    slicing invariance) run through this interface, so a new target
+    inherits them unchanged."""
+
+    @abc.abstractmethod
+    def last_applied(self) -> "int | None":
+        """Last batch id durably merged, or ``None`` for a fresh
+        target. The applier fences on it: an equal id is skipped
+        (at-least-once redelivery), a lower id raises."""
+
+    @abc.abstractmethod
+    def merge(self, updates: DataFrame, batch_id: int) -> None:
+        """Atomically fold ``updates`` — ONE state row per key, the
+        per-key ``max(struct)`` of this batch, with columns
+        ``key_cols + [_epoch, *order_cols, op_col, *payload_cols]`` —
+        into the stored per-key state under the same max(struct) law,
+        recording ``batch_id`` durably in the same transaction. Must
+        be all-or-nothing: a crash mid-merge leaves the previous state
+        readable (and ``last_applied`` unchanged)."""
+
+    @abc.abstractmethod
+    def read(self) -> DataFrame:
+        """The readable view: live rows only (tombstones filtered),
+        internal columns dropped."""
+
+
+class BucketParquetTarget(MergeIntoTarget):
+    """Plain-parquet :class:`MergeIntoTarget`: per-key state lives
+    hash-bucketed on ``pmod(xxhash64(key), n_buckets)`` and each merge
+    rewrites ONLY the buckets its keys touch.
 
     Layout: ``target_dir/v<version>/_bucket=<b>/...`` — one version
     directory per applied batch holding ONLY that batch's touched
     buckets; the pointer manifest maps every bucket to the version
     that last rewrote it (a table format's copy-on-write manifest at
-    partition granularity, in one JSON file). The merge itself is the
-    same associative ``max(struct(epoch, order, op, payload))`` as the
-    full-rewrite twin, so any batch slicing of the log yields the
-    batch-replay answer, per bucket.
+    partition granularity, in one JSON file). The pointer flips
+    atomically (tmp + rename) AFTER the new version directory is fully
+    written, so a crash mid-merge leaves the previous state current.
 
     100 TB honesty: per-batch I/O = (read + write) of touched buckets
     only — for a trickle changelog over a huge table that is
@@ -199,31 +234,57 @@ def make_partitioned_cdc_batch_applier(
     pressure and manifest size (more buckets); at real scale pick
     ``n_buckets ≈ table_bytes / target_rewrite_bytes``. Bucket counts
     are FROZEN at table creation (the pointer records it and the
-    applier refuses a mismatch) — rebucketing is a full rewrite, the
+    merge refuses a mismatch) — rebucketing is a full rewrite, the
     same contract every hash-bucketed table format has."""
-    if "://" in target_dir:
-        raise ValueError(
-            f"target_dir must be a local filesystem path, got {target_dir!r}"
-            " (the pointer manifest uses driver-local atomic rename;"
-            " remote stores need a transactional catalog)"
-        )
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    os.makedirs(target_dir, exist_ok=True)
-    cdc_cols = dict(
-        key_cols=key_cols,
-        order_cols=order_cols,
-        payload_cols=payload_cols,
-        op_col=op_col,
-    )
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.dedup import (
-            cdc_epoch0_rows,
-            cdc_epoch1_rows,
-            max_struct_state,
+    def __init__(
+        self,
+        spark: SparkSession,
+        target_dir: str,
+        *,
+        key_cols: "list[str]",
+        order_cols: "list[str]",
+        payload_cols: "list[str]",
+        op_col: str = "op",
+        n_buckets: int = 16,
+    ) -> None:
+        if "://" in target_dir:
+            raise ValueError(
+                f"target_dir must be a local filesystem path, got "
+                f"{target_dir!r} (the pointer manifest uses driver-local "
+                "atomic rename; remote stores need a transactional catalog)"
+            )
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        os.makedirs(target_dir, exist_ok=True)
+        self.spark = spark
+        self.target_dir = target_dir
+        self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols)
+        self.payload_cols = list(payload_cols)
+        self.op_col = op_col
+        self.n_buckets = n_buckets
+
+    def __repr__(self) -> str:  # pragma: no cover - diagnostics only
+        return f"BucketParquetTarget({self.target_dir!r})"
+
+    def last_applied(self) -> "int | None":
+        meta = _read_pointer(self.target_dir)
+        return None if meta is None else meta["batch_id"]
+
+    def read(self) -> DataFrame:
+        return read_materialized_partitioned(
+            self.spark, self.target_dir, op_col=self.op_col
         )
 
+    def merge(self, updates: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import max_struct_state
+
+        spark, target_dir = self.spark, self.target_dir
+        key_cols, n_buckets = self.key_cols, self.n_buckets
+        state_cols = [
+            "_epoch", *self.order_cols, self.op_col, *self.payload_cols
+        ]
         meta = _read_pointer(target_dir)
         if meta is not None and meta.get("n_buckets") != n_buckets:
             raise ValueError(
@@ -232,59 +293,60 @@ def make_partitioned_cdc_batch_applier(
                 f"with {n_buckets}: rebucketing requires a full rewrite "
                 "to a fresh target"
             )
-        if meta is not None and batch_id < meta["batch_id"]:
-            raise RuntimeError(
-                f"batch_id {batch_id} < last applied {meta['batch_id']} in "
-                f"{target_dir!r}: streaming checkpoint was reset against an "
-                "existing target. Point the query at a fresh target_dir or "
-                "restore the original checkpoint."
+
+        new = updates.withColumn("_bucket", _bucket_col(key_cols, n_buckets))
+        # `new` feeds two actions per batch — the touched-bucket collect
+        # and the state write — so persist once (the plans' two-consumer
+        # rule); without it the batch transform (and the epoch-0
+        # snapshot scan on the seed batch) is evaluated twice.
+        new = new.persist()
+        try:
+            # touched set is ≤ n_buckets rows — a bounded driver collect
+            touched = sorted(
+                r._bucket
+                for r in new.select("_bucket").distinct().collect()
             )
-        if meta is not None and batch_id == meta["batch_id"]:
-            return  # fenced: at-least-once redelivery of the applied batch
-
-        new = cdc_epoch1_rows(batch_df, **cdc_cols)
-        if meta is None and snapshot is not None:
-            # the seed epoch writes every snapshot bucket once
-            new = cdc_epoch0_rows(
-                snapshot, batch_df.schema, **cdc_cols
-            ).unionByName(new)
-        new = new.withColumn("_bucket", _bucket_col(key_cols, n_buckets))
-
-        # the touched set is ≤ n_buckets rows — a bounded driver collect
-        touched = sorted(
-            r._bucket
-            for r in new.select("_bucket").distinct().collect()
-        )
-        buckets: "dict[str, int]" = dict(meta["buckets"]) if meta else {}
-        version = 0 if meta is None else meta["version"] + 1
-        if touched:
-            base_paths = [
-                os.path.join(
-                    target_dir, f"v{buckets[str(b)]}", f"_bucket={b}"
+            buckets: "dict[str, int]" = dict(meta["buckets"]) if meta else {}
+            version = 0 if meta is None else meta["version"] + 1
+            if touched:
+                base_paths = [
+                    os.path.join(
+                        target_dir, f"v{buckets[str(b)]}", f"_bucket={b}"
+                    )
+                    for b in touched
+                    if str(b) in buckets
+                ]
+                union = new.drop("_bucket")
+                if base_paths:
+                    # leaf-directory reads carry no partition column; the
+                    # bucket is re-derived from the key itself (_bucket_col),
+                    # so the files stay pure data
+                    base = spark.read.parquet(*base_paths)
+                    union = base.unionByName(union)
+                state = max_struct_state(
+                    union,
+                    key_cols=key_cols,
+                    field_cols=state_cols,
+                ).withColumn("_bucket", _bucket_col(key_cols, n_buckets))
+                (
+                    state.repartition(len(touched), "_bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("_bucket")
+                    .parquet(os.path.join(target_dir, f"v{version}"))
                 )
-                for b in touched
-                if str(b) in buckets
-            ]
-            union = new.drop("_bucket")
-            if base_paths:
-                # leaf-directory reads carry no partition column; the
-                # bucket is re-derived from the key itself (_bucket_col),
-                # so the files stay pure data
-                base = spark.read.parquet(*base_paths)
-                union = base.unionByName(union)
-            state = max_struct_state(
-                union,
-                key_cols=key_cols,
-                field_cols=["_epoch", *order_cols, op_col, *payload_cols],
-            ).withColumn("_bucket", _bucket_col(key_cols, n_buckets))
-            (
-                state.repartition(len(touched), "_bucket")
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(os.path.join(target_dir, f"v{version}"))
-            )
-            for b in touched:
-                buckets[str(b)] = version
+                for b in touched:
+                    buckets[str(b)] = version
+                state_schema = state.drop("_bucket").schema.json()
+            else:
+                # empty batch (no snapshot): record the state SCHEMA in
+                # the pointer so the reader can return an empty view —
+                # the full-rewrite twin writes an empty v0 parquet and
+                # reads back empty; the partitioned twin must not
+                # diverge (r14 advice). Schema derivation is analysis
+                # only, no action.
+                state_schema = new.drop("_bucket").schema.json()
+        finally:
+            new.unpersist()
         prev = dict(meta["buckets"]) if meta else {}
         _write_pointer(
             target_dir,
@@ -294,6 +356,7 @@ def make_partitioned_cdc_batch_applier(
                 "n_buckets": n_buckets,
                 "buckets": buckets,
                 "prev_buckets": prev,
+                "state_schema": state_schema,
             },
         )
         # GC: a bucket directory is live iff the CURRENT or the
@@ -324,6 +387,82 @@ def make_partitioned_cdc_batch_applier(
             ):
                 shutil.rmtree(vdir, ignore_errors=True)
 
+
+def make_partitioned_cdc_batch_applier(
+    spark: SparkSession,
+    *,
+    key_cols: "list[str]",
+    order_cols: "list[str]",
+    payload_cols: "list[str]",
+    op_col: str = "op",
+    target_dir: "str | None" = None,
+    snapshot: "DataFrame | None" = None,
+    n_buckets: int = 16,
+    target: "MergeIntoTarget | None" = None,
+):
+    """The MERGE-INTO-shaped materializer (the production path named
+    by the module docstring). This function owns the merge LAW —
+    epoch/order encoding, per-key ``max(struct)`` folding, snapshot
+    seeding on the first batch, at-least-once fencing — and delegates
+    storage to a :class:`MergeIntoTarget` (default: a
+    :class:`BucketParquetTarget` over ``target_dir``; pass ``target=``
+    to drop in an ACID table format). The merge is the same
+    associative ``max(struct(epoch, order, op, payload))`` as the
+    full-rewrite twin, so any batch slicing of the log yields the
+    batch-replay answer regardless of the target."""
+    if target is None:
+        if target_dir is None:
+            raise ValueError("provide target_dir or an explicit target")
+        target = BucketParquetTarget(
+            spark,
+            target_dir,
+            key_cols=key_cols,
+            order_cols=order_cols,
+            payload_cols=payload_cols,
+            op_col=op_col,
+            n_buckets=n_buckets,
+        )
+    cdc_cols = dict(
+        key_cols=key_cols,
+        order_cols=order_cols,
+        payload_cols=payload_cols,
+        op_col=op_col,
+    )
+    state_cols = ["_epoch", *order_cols, op_col, *payload_cols]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import (
+            cdc_epoch0_rows,
+            cdc_epoch1_rows,
+            max_struct_state,
+        )
+
+        last = target.last_applied()
+        if last is not None and batch_id < last:
+            raise RuntimeError(
+                f"batch_id {batch_id} < last applied {last} for "
+                f"{target!r}: streaming checkpoint was reset against an "
+                "existing target. Point the query at a fresh target_dir or "
+                "restore the original checkpoint."
+            )
+        if last is not None and batch_id == last:
+            return  # fenced: at-least-once redelivery of the applied batch
+
+        new = cdc_epoch1_rows(batch_df, **cdc_cols)
+        if last is None and snapshot is not None:
+            # the seed epoch writes every snapshot key once
+            new = cdc_epoch0_rows(
+                snapshot, batch_df.schema, **cdc_cols
+            ).unionByName(new)
+        # the per-batch delta the seam hands over: ONE row per key (the
+        # batch-local max-struct) — folding it into stored state is the
+        # target's transaction; associativity of max makes the two-step
+        # fold equal to the whole-log fold.
+        updates = max_struct_state(
+            new, key_cols=key_cols, field_cols=state_cols
+        )
+        target.merge(updates, batch_id)
+
     return apply_batch
 
 
@@ -340,9 +479,11 @@ def materialize_cdc_stream_partitioned(
     n_buckets: int = 16,
     available_now: bool = True,
     poll_seconds: "int | None" = None,
+    target: "MergeIntoTarget | None" = None,
 ):
     """Start the partitioned (MERGE-shaped) materializer; returns the
-    StreamingQuery. Read with :func:`read_materialized_partitioned`."""
+    StreamingQuery. Read with :func:`read_materialized_partitioned`
+    (or ``target.read()`` for a custom :class:`MergeIntoTarget`)."""
     from .pipeline import write_foreach_batch
 
     fn = make_partitioned_cdc_batch_applier(
@@ -354,6 +495,7 @@ def materialize_cdc_stream_partitioned(
         target_dir=target_dir,
         snapshot=snapshot,
         n_buckets=n_buckets,
+        target=target,
     )
     return write_foreach_batch(
         changelog,
@@ -384,9 +526,22 @@ def read_materialized_partitioned(
         for b, v in sorted(meta["buckets"].items(), key=lambda kv: int(kv[0]))
     ]
     if not paths:
-        raise FileNotFoundError(
-            f"pointer in {target_dir!r} references no buckets"
+        # an applied-but-empty first batch materializes no bucket, only
+        # the pointer; the full-rewrite twin returns an empty view here
+        # (it wrote an empty v0 parquet), so this twin does too, from
+        # the state schema the applier recorded in the pointer.
+        schema_json = meta.get("state_schema")
+        if schema_json is None:
+            raise FileNotFoundError(
+                f"pointer in {target_dir!r} references no buckets and "
+                "records no state schema (pre-r15 target): nothing to read"
+            )
+        from pyspark.sql.types import StructType
+
+        df = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
         )
+        return df.where(F.col(op_col) != "D").drop("_epoch", op_col)
     df = spark.read.parquet(*paths)
     return df.where(F.col(op_col) != "D").drop("_epoch", op_col)
 

@@ -292,3 +292,139 @@ def test_partitioned_slicing_invariance(spark, tmp_path):
             if (seq, op) == max((s, o) for kk, s, o, _ in log if kk == k)
             and op == "D"}
     assert dead.isdisjoint(one)
+
+
+def test_empty_first_batch_reads_empty_like_full_rewrite_twin(
+    spark, tmp_path
+):
+    """An applied-but-EMPTY first batch (no snapshot) must leave both
+    twins readable as an empty view with the state columns — the
+    full-rewrite twin writes an empty v0 parquet; the partitioned twin
+    materializes no bucket, so its reader reconstructs the empty view
+    from the state schema the pointer records (r14 advice: the
+    FileNotFoundError here was the twins' only behavioral asymmetry)."""
+    from flink_audit_sessions_example_spark.streaming.cdc import (
+        make_cdc_batch_applier,
+        read_materialized,
+    )
+
+    empty = spark.createDataFrame([], CHANGELOG_SCHEMA)
+
+    t_full = str(tmp_path / "full")
+    make_cdc_batch_applier(
+        spark,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=t_full,
+        snapshot=None,
+    )(empty, 0)
+    full_view = read_materialized(spark, t_full)
+
+    t_part = str(tmp_path / "part")
+    make_partitioned_cdc_batch_applier(
+        spark,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=t_part,
+        snapshot=None,
+        n_buckets=N_BUCKETS,
+    )(empty, 0)
+    part_view = read_materialized_partitioned(spark, t_part)
+
+    assert part_view.count() == full_view.count() == 0
+    assert part_view.columns == full_view.columns
+    # and the empty target still accepts + serves the NEXT batch
+    make_partitioned_cdc_batch_applier(
+        spark,
+        key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        target_dir=t_part,
+        snapshot=None,
+        n_buckets=N_BUCKETS,
+    )(spark.createDataFrame(B1, CHANGELOG_SCHEMA), 1)
+    assert read_materialized_partitioned(spark, t_part).count() == 3
+
+
+def test_custom_merge_target_inherits_law(spark, tmp_path):
+    """The adapter seam (MergeIntoTarget): a from-scratch target that
+    implements only the interface contract — fold the per-key delta
+    under max(struct-order), durably record batch_id, serve the live
+    view — gets batch-replay equality and slicing invariance for free,
+    because the applier owns the law. This is the drop-in shape an
+    ACID table format's MERGE INTO would take."""
+    import random
+
+    from flink_audit_sessions_example_spark.streaming.cdc import (
+        MergeIntoTarget,
+    )
+
+    class InMemoryMergeTarget(MergeIntoTarget):
+        """Driver-side dict emulation of MERGE INTO (test-scale only):
+        WHEN MATCHED AND u.order > t.order THEN UPDATE, WHEN NOT
+        MATCHED THEN INSERT. Order = (_epoch, seq), unique per key in
+        this log, so the tie-breaking tail of the struct never
+        decides."""
+
+        def __init__(self, spark):
+            self.spark = spark
+            self.state = {}
+            self.batch_id = None
+
+        def last_applied(self):
+            return self.batch_id
+
+        def merge(self, updates, batch_id):
+            for r in updates.collect():
+                cur = self.state.get(r.k)
+                if cur is None or (r._epoch, r.seq) > (cur[0], cur[1]):
+                    self.state[r.k] = (r._epoch, r.seq, r.op, r.v)
+            self.batch_id = batch_id
+
+        def read(self):
+            live = [
+                (k, seq, v)
+                for k, (_e, seq, op, v) in self.state.items()
+                if op != "D"
+            ]
+            return self.spark.createDataFrame(
+                live, "k bigint, seq bigint, v string"
+            )
+
+    rng = random.Random(2026)
+    log = []
+    for seq in range(40):
+        k = rng.randrange(9)
+        op = "D" if rng.random() < 0.3 else "U"
+        log.append((k, seq, op, None if op == "D" else f"v{seq}"))
+    rng.shuffle(log)
+
+    def run(n_slices):
+        mem = InMemoryMergeTarget(spark)
+        apply_batch = make_partitioned_cdc_batch_applier(
+            spark,
+            key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+            snapshot=None,
+            target=mem,
+        )
+        size = (len(log) + n_slices - 1) // n_slices
+        for i, lo in enumerate(range(0, len(log), size)):
+            apply_batch(
+                spark.createDataFrame(
+                    log[lo:lo + size], CHANGELOG_SCHEMA
+                ),
+                i,
+            )
+            # redelivery of the same id must be a no-op here too
+            apply_batch(
+                spark.createDataFrame([(0, 999, "U", "boom")],
+                                      CHANGELOG_SCHEMA),
+                i,
+            )
+        return {r.k: (r.seq, r.v) for r in mem.read().collect()}
+
+    batch = {
+        r.k: (r.seq, r.v)
+        for r in cdc_apply(
+            spark.createDataFrame([], "k bigint, v string"),
+            spark.createDataFrame(log, CHANGELOG_SCHEMA),
+            key_cols=["k"], order_cols=["seq"], payload_cols=["v"],
+        ).collect()
+    }
+    assert run(1) == run(4) == batch

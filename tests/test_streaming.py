@@ -840,8 +840,9 @@ def test_watermark_boundary_drop_keep_parity(spark, tmp_path):
             [
                 # dave: exactly AT the frontier — kept by both engines
                 _line("dave", 0, 6, "2022-09-27 12:00:00.000"),
-                # erin: 1 min below it, inside the divergence band —
-                # Spark drops row-level; Flink would merge her
+                # erin: 1 min below the frontier but their session END
+                # is above the watermark — kept by BOTH engines (the
+                # late filter is window-end-based, not row-based)
                 _line("erin", 0, 8, "2022-09-27 11:59:00.000"),
                 # frank: a gap + 10 min below — dropped by both rules
                 _line("frank", 0, 9, "2022-09-27 11:30:00.000"),
