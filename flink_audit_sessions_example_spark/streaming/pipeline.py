@@ -29,6 +29,7 @@ Streaming semantics notes (SURVEY.md §4 deltas):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..config import AppConfig
@@ -107,6 +108,23 @@ def kafka_sink_options(
     }
 
 
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """The EXACT projection the Kafka sink serializes — Spark's Kafka
+    sink contract: a required ``value`` column plus an optional ``key``
+    (message key → partition routing), both cast to string here. The
+    reference serializes value-only (``App.java:89-96``, a
+    SimpleStringSchema over the formatted result). Shared by
+    :func:`write_kafka` and the no-broker file twin
+    (:func:`write_kafka_file_twin`) so the two payloads can never
+    drift — the twin's e2e test therefore pins the real sink's wire
+    schema."""
+    cols = []
+    if "key" in df.columns:
+        cols.append(F.col("key").cast("string").alias("key"))
+    cols.append(F.col("value").cast("string").alias("value"))
+    return df.select(*cols)
+
+
 def write_kafka(
     df: DataFrame,
     *,
@@ -118,15 +136,16 @@ def write_kafka(
 ) -> StreamingQuery:
     """``snk_kafka`` (``App.java:79-110``): at-least-once Kafka sink.
 
-    ``df`` must carry a single string ``value`` column (the formatted
-    result). Options come from :func:`kafka_sink_options` (verbatim
-    ``kafka.``-prefix pass-through). At-least-once comes from checkpointed
-    offsets + non-transactional producer — the same guarantee as
+    ``df`` must carry a string ``value`` column (the formatted result;
+    an optional ``key`` column becomes the message key). Options come
+    from :func:`kafka_sink_options` (verbatim ``kafka.``-prefix
+    pass-through). At-least-once comes from checkpointed offsets +
+    non-transactional producer — the same guarantee as
     ``DeliveryGuarantee.AT_LEAST_ONCE``. See README for a manual broker
     smoke recipe (no broker exists in CI).
     """
     writer = (
-        df.selectExpr("CAST(value AS STRING) AS value")
+        kafka_payload(df)
         .writeStream.format("kafka")
         .options(
             **kafka_sink_options(
@@ -139,6 +158,46 @@ def write_kafka(
     )
     writer = _with_trigger(writer, poll_seconds, available_now)
     return writer.start()
+
+
+def write_kafka_file_twin(
+    df: DataFrame,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+    poll_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """No-broker end-to-end twin of :func:`write_kafka` (the one
+    reference surface — ``App.java:79-110`` — a brokerless sandbox
+    cannot drive for real): the IDENTICAL payload projection
+    (:func:`kafka_payload`) rides the identical delivery machinery
+    (checkpointed source offsets + a per-micro-batch producer, here
+    ``foreachBatch``) into parquet instead of a topic.
+
+    Each micro-batch lands in ``out_dir/batch_id=<id>`` with
+    mode=overwrite — the filesystem analog of the at-least-once
+    contract: a batch redelivered after a crash/restart rewrites its
+    own directory (idempotent), so the union view over ``out_dir``
+    loses nothing across a checkpoint restart and duplicates nothing
+    on replay. ``tests/test_sinks.py`` drives this twin through the
+    full reference pipeline, including a restart from the same
+    checkpoint."""
+    import os
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        kafka_payload(batch_df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write_foreach_batch(
+        df,
+        _emit,
+        checkpoint_dir=checkpoint_dir,
+        poll_seconds=poll_seconds,
+        available_now=available_now,
+        output_mode="append",
+    )
 
 
 def write_memory(

@@ -147,3 +147,113 @@ def test_write_sized_parquet_bounds_files_per_partition(spark, tmp_path):
     with pytest.raises(ValueError, match="files_per_partition"):
         write_sized_parquet(docs, str(tmp_path / "x"), bucket_key="doc_id",
                             files_per_partition=0)
+
+
+def test_kafka_payload_schema(spark):
+    """The wire contract of Spark's Kafka sink: required string
+    ``value``, optional string ``key`` — and nothing else reaches the
+    topic."""
+    from flink_audit_sessions_example_spark.streaming.pipeline import (
+        kafka_payload,
+    )
+
+    keyed = spark.createDataFrame([(7, "a")], "key int, value string")
+    out = kafka_payload(keyed)
+    assert out.columns == ["key", "value"]
+    assert [t for _, t in out.dtypes] == ["string", "string"]
+
+    value_only = spark.createDataFrame([(5,)], "value int")
+    out2 = kafka_payload(value_only)
+    assert out2.columns == ["value"]
+    assert out2.dtypes == [("value", "string")]
+
+
+def test_kafka_file_twin_end_to_end_checkpoint_restart(spark, tmp_path):
+    """The no-broker e2e for ``snk_kafka`` (App.java:79-110): the full
+    reference pipeline (file monitor → parse → filter → watermark →
+    session → aggregate → format) delivered through the EXACT Kafka
+    payload projection and the same checkpointed at-least-once
+    machinery, into per-batch files. A restart from the same
+    checkpoint must deliver the new session without losing or
+    duplicating the old one."""
+    import re as _re
+
+    from flink_audit_sessions_example_spark.config import AppConfig
+    from flink_audit_sessions_example_spark.functions.formatting import (
+        format_session_result,
+    )
+    from flink_audit_sessions_example_spark.streaming.pipeline import (
+        stream_denied_sessions,
+        write_kafka_file_twin,
+    )
+
+    def line(user, result, ts):
+        return json.dumps(
+            {"reqUser": user, "evtTime": ts, "result": result,
+             "event_count": 1, "seq_num": 1}
+        )
+
+    src = tmp_path / "audit"
+    d1 = src / "20240110"
+    d1.mkdir(parents=True)
+    (d1 / "a.log").write_text(
+        "\n".join(
+            line("u", 0, f"2024-01-10 09:{m:02d}:00.000") for m in range(3)
+        )
+        + "\n"
+    )
+    flush1 = src / "20240120"
+    flush1.mkdir()
+    # allowed-only → its own session is filtered by flt_nonzero; it
+    # exists to push the watermark past u's session end
+    (flush1 / "flush.log").write_text(
+        line("clock", 1, "2024-01-20 09:00:00.000") + "\n"
+    )
+
+    out, ckpt = str(tmp_path / "kafka-out"), str(tmp_path / "ckpt")
+    cfg = AppConfig(
+        audit_path=str(src),
+        audit_min_date="20240101",
+        session_gap_seconds=1200,
+        session_output="kafka",
+    )
+
+    def run_once():
+        q = write_kafka_file_twin(
+            format_session_result(
+                stream_denied_sessions(spark, cfg, max_files_per_trigger=1)
+            ),
+            out_dir=out,
+            checkpoint_dir=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    view = spark.read.parquet(out)
+    # exact wire schema inside each batch directory: value only (plus
+    # the batch_id partition column the layout adds on the way back in)
+    assert sorted(view.columns) == ["batch_id", "value"]
+    payloads = [r.value for r in view.collect()]
+    assert len(payloads) == 1
+    assert _re.fullmatch(r"user='u' denies=3 start=\d+ end=\d+", payloads[0])
+
+    # restart from the SAME checkpoint: only the new files process
+    d2 = src / "20240121"
+    d2.mkdir()
+    (d2 / "b.log").write_text(
+        "\n".join(
+            line("v", 0, f"2024-01-21 09:{m:02d}:00.000") for m in range(2)
+        )
+        + "\n"
+    )
+    flush2 = src / "20240201"
+    flush2.mkdir()
+    (flush2 / "flush.log").write_text(
+        line("clock", 1, "2024-02-01 09:00:00.000") + "\n"
+    )
+    run_once()
+    payloads = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert len(payloads) == 2, "restart lost or duplicated a session"
+    assert _re.fullmatch(r"user='u' denies=3 start=\d+ end=\d+", payloads[0])
+    assert _re.fullmatch(r"user='v' denies=2 start=\d+ end=\d+", payloads[1])
