@@ -31,8 +31,9 @@ from .staging import staged_queues
 #: staged rounds NOT yet promoted into the live registry (their gate
 #: test still runs the full parity replay and pins no-shadowing).
 #: Promotion = remove the round number here + flip its gate test to
-#: the merge-identity shape. Empty right now: r25–r28 drained in r15.
-_HELD_ROUNDS: frozenset = frozenset()
+#: the merge-identity shape. r25–r28 drained in r15; r29/r30 queued
+#: for the r16 window.
+_HELD_ROUNDS: frozenset = frozenset({29, 30})
 
 #: The driver's correctness gate covers a bounded prefix of the registry
 #: (observed: the first 50 entries), so keys that have not yet earned a

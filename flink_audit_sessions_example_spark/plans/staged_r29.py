@@ -1,0 +1,449 @@
+"""Staged registrations for the r29 window — five new capabilities
+queued behind the r28 batch per the staging protocol that drained
+green in r10–r15: ``tests/test_staged_r29.py`` replays every
+(query, oracle) pair with hash parity + non-vacuity on every suite
+run, so the queue cannot rot while it waits.
+
+Families: the last two TPC-H shapes (Q21 waiting-supplier
+EXISTS/NOT-EXISTS double correlation, Q22 scalar-average +
+anti-join acquisition screen) — with these the registry covers all
+22 TPC-H query archetypes — a two-leg trade-balance star (per-nation
+export vs import revenue, the canonical "same fact, two dimension
+paths" shape), temperature-scaled corpus mixing weights (the
+LLM-data sampling formula: w ∝ p^(1/T), here T=2 so the exponent is
+an IEEE-exact sqrt), and per-language token entropy (corpus Shannon
+entropy + normalized type diversity, the standard LM
+corpus-statistics probe).
+
+Schema adaptations (this star has no l_commitdate/l_receiptdate or
+c_phone): Q21's "kept waiting" = ship-delay > ``Q21_LATE_DAYS`` days
+(the ``rel_shipdelay_priority`` delay convention); Q22's "no recent
+order" leg = no order above ``Q22_BIG_ORDER`` (anti-join shape
+preserved; the phone-prefix grouping becomes ``c_mktsegment``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import pattern_tokens, TOKEN_PATTERN
+from ..sources.tables import load_table
+
+
+def _cents(c: str) -> F.Column:
+    """Lossless cent-scaling of a 2-decimal double column (SCALING.md
+    "Exact-integer money math")."""
+    return F.round(F.col(c) * 100).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# rel_waiting_suppliers — the TPC-H Q21 shape
+# --------------------------------------------------------------------------
+
+#: A line is "kept waiting" when it shipped more than this many days
+#: after the order date (the ``rel_shipdelay_priority`` convention —
+#: this star carries no commit/receipt dates). 365 sits between the
+#: observed p50 (76d) and p90 (1400d) of the delay distribution, so
+#: both the late and on-time legs are populated at every SF.
+Q21_LATE_DAYS = 365
+
+
+def q_rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_waiting_suppliers`` — the TPC-H Q21 shape: suppliers who
+    were the ONLY late supplier in a multi-supplier order, with how
+    many such orders each has. Q21's correlated EXISTS (another
+    supplier shares the order) + NOT EXISTS (no OTHER supplier was
+    late) is re-expressed as one per-order aggregate — ``n_supp > 1
+    AND n_late = 1`` — which Spark executes as two groupBys and one
+    self-join instead of two correlated subquery scans.
+
+    100 TB plan: one lineitem ⨝ orders shuffle on orderkey (both
+    scans pruned to 3 columns), then (orderkey, suppkey) and
+    (orderkey) aggregates that REUSE the orderkey clustering
+    (map-side partials; the second agg and the pair⨝order join
+    shuffle only the deduped pair relation, not lines), and a
+    broadcast of the supplier dim onto the O(suppliers) result. No
+    correlated per-row probing anywhere."""
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
+    orders = load_table(spark, sf_dir, "orders", spread=False)
+    supplier = load_table(spark, sf_dir, "supplier", spread=False)
+    lines = li.join(
+        orders, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > Q21_LATE_DAYS
+        ).alias("late"),
+    )
+    # `pairs` feeds BOTH the per-order rollup and the waiting join —
+    # without truncation the lineitem ⨝ orders shuffle plans (and
+    # runs) twice (the plans' two-consumer rule; lazy so construction
+    # stays action-free for the bench's exec-only timing class)
+    pairs = (
+        lines.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+        .localCheckpoint(eager=False)
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
+    )
+    waiting = (
+        pairs.where("late")
+        .join(
+            per_order.where("n_supp > 1 AND n_late = 1"),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+    return waiting.join(
+        F.broadcast(supplier),
+        waiting.l_suppkey == supplier.s_suppkey,
+    ).select("s_suppkey", "s_name", "numwait")
+
+
+_REL_WAITING_SUPPLIERS_ORACLE = f"""
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         datediff('day', o_orderdate, l_shipdate) > {Q21_LATE_DAYS} AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), pairs AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS late
+  FROM lines GROUP BY 1, 2
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_supp,
+         SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late
+  FROM pairs GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM pairs p
+JOIN per_order o ON p.l_orderkey = o.l_orderkey
+JOIN supplier ON s_suppkey = p.l_suppkey
+WHERE p.late AND o.n_supp > 1 AND o.n_late = 1
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# rel_cust_acquisition — the TPC-H Q22 shape
+# --------------------------------------------------------------------------
+
+#: The anti-join leg: "has never placed an order above this total".
+#: 450,000 sits near the observed order-total p90, so the NOT-EXISTS
+#: screen genuinely removes above-average-balance customers at every
+#: SF (23 qualify at sf0.001, 244 at sf0.01).
+Q22_BIG_ORDER = 450_000.0
+
+
+def q_rel_cust_acquisition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rel_cust_acquisition`` — the TPC-H Q22 shape: per market
+    segment, the count and total balance of customers whose balance
+    beats the POSITIVE-balance average but who never placed a big
+    order (anti join). The scalar-average threshold is evaluated in
+    exact integer cross-multiplication — ``cents · n_pos >
+    total_pos_cents`` — so no engine-dependent double average can
+    flip a boundary customer.
+
+    100 TB plan: the 1-row positive-balance aggregate broadcasts onto
+    the customer scan (map-side filter, no shuffle); the anti join
+    hashes only the DISTINCT big-order custkeys (filter pushed to the
+    orders scan); the final segment aggregate is O(segments).
+    Customer is the small fact here — at 100 TB of orders the orders
+    leg is one pushed-filter scan + semi-join-shaped exchange."""
+    customer = load_table(spark, sf_dir, "customer", spread=False)
+    orders = load_table(spark, sf_dir, "orders", spread=False)
+    cust = customer.select(
+        "c_custkey", "c_mktsegment", _cents("c_acctbal").alias("cents")
+    )
+    stats = cust.where("cents > 0").agg(
+        F.sum("cents").alias("pos_total"),
+        F.count("*").alias("n_pos"),
+    )
+    big = (
+        orders.where(F.col("o_totalprice") > Q22_BIG_ORDER)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .where(F.col("cents") * F.col("n_pos") > F.col("pos_total"))
+        .join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum("cents").alias("acctbal_cents"),
+        )
+    )
+
+
+_REL_CUST_ACQUISITION_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), stats AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS pos_total, COUNT(*) AS n_pos
+  FROM cust WHERE cents > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS acctbal_cents
+FROM cust, stats
+WHERE cents * n_pos > pos_total
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > {Q22_BIG_ORDER!r}
+  )
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# rel_nation_trade_balance — two-leg star: exports vs imports
+# --------------------------------------------------------------------------
+
+
+def q_rel_nation_trade_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``rel_nation_trade_balance`` — per nation, revenue earned by
+    its SUPPLIERS (exports) vs revenue spent by its CUSTOMERS
+    (imports) and the balance. The "same fact, two dimension paths"
+    shape: the two legs join lineitem through different keys, so they
+    are two independent aggregations reconciled on the nation dim —
+    and because every line has exactly one supplier nation and one
+    customer nation, the balances sum to EXACTLY zero corpus-wide
+    (the content gate pins it).
+
+    100 TB plan: export leg is lineitem ⨝ broadcast(supplier) →
+    O(nations) partial agg — no shuffle beyond the 25-row exchange;
+    import leg pays the one honest lineitem ⨝ orders shuffle, then
+    broadcast(customer-nation). Revenue is the exact cent-scaled
+    4-decimal BIGINT sum divided once — order-independent,
+    hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
+    orders = load_table(spark, sf_dir, "orders", spread=False)
+    customer = load_table(spark, sf_dir, "customer", spread=False)
+    supplier = load_table(spark, sf_dir, "supplier", spread=False)
+    nation = load_table(spark, sf_dir, "nation", spread=False)
+    cdisc = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev4 = _cents("l_extendedprice") * (F.lit(100) - cdisc)
+    exports = (
+        li.join(
+            F.broadcast(supplier),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_nationkey")
+        .agg(F.sum(rev4).alias("exp4"))
+    )
+    imports = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(customer),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum(rev4).alias("imp4"))
+    )
+    return (
+        nation.join(
+            exports, nation.n_nationkey == exports.s_nationkey, "left"
+        )
+        .join(imports, nation.n_nationkey == imports.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.round(
+                F.coalesce(F.col("exp4"), F.lit(0)) / F.lit(10000.0), 6
+            ).alias("export_rev"),
+            F.round(
+                F.coalesce(F.col("imp4"), F.lit(0)) / F.lit(10000.0), 6
+            ).alias("import_rev"),
+            F.round(
+                (
+                    F.coalesce(F.col("exp4"), F.lit(0))
+                    - F.coalesce(F.col("imp4"), F.lit(0))
+                )
+                / F.lit(10000.0),
+                6,
+            ).alias("balance"),
+        )
+    )
+
+
+_REL_NATION_TRADE_BALANCE_ORACLE = """
+WITH rev AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev4
+  FROM lineitem
+), exports AS (
+  SELECT s_nationkey AS nk, SUM(rev4) AS exp4
+  FROM rev JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY 1
+), imports AS (
+  SELECT c_nationkey AS nk, SUM(rev4) AS imp4
+  FROM rev
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT n_name,
+       ROUND(COALESCE(e.exp4, 0) / 10000.0, 6) AS export_rev,
+       ROUND(COALESCE(i.imp4, 0) / 10000.0, 6) AS import_rev,
+       ROUND((COALESCE(e.exp4, 0) - COALESCE(i.imp4, 0)) / 10000.0, 6)
+         AS balance
+FROM nation
+LEFT JOIN exports e ON e.nk = n_nationkey
+LEFT JOIN imports i ON i.nk = n_nationkey
+"""
+
+# --------------------------------------------------------------------------
+# corpus_temperature_mix — temperature-scaled language sampling weights
+# --------------------------------------------------------------------------
+
+#: Temperature T=2 ⇒ exponent 1/T = 0.5: the reweighting power is an
+#: IEEE-exact sqrt (correctly rounded on every engine), so the only
+#: cross-engine freedom is the 5-term normalizer sum — absorbed by
+#: ROUND 6 like every ratio output in the registry.
+TEMPERATURE = 2
+
+
+def q_corpus_temperature_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``corpus_temperature_mix`` — the multilingual-LLM sampling
+    formula: language weights ∝ p^(1/T) (T=2), flattening the natural
+    distribution so low-resource languages are upsampled. Since
+    w = √n / Σ√n, the corpus total cancels and the weights come
+    straight from the per-language counts. ``boost`` = w/p is the
+    effective over/under-sampling factor the mix applies.
+
+    100 TB plan: one O(languages) aggregate off the documents scan
+    (count only — no text column read), then a 1-row broadcast of the
+    normalizer. Nothing scales with corpus size but the pruned
+    count scan."""
+    docs = load_table(spark, sf_dir, "documents", spread=False)
+    per = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    norm = per.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("sum_sqrt"),
+    )
+    p = F.col("n_docs") / F.col("total")
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("sum_sqrt")
+    return per.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        F.round(p, 6).alias("p_natural"),
+        F.round(w, 6).alias("weight"),
+        F.round(w / p, 6).alias("boost"),
+    )
+
+
+_CORPUS_TEMPERATURE_MIX_ORACLE = """
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+), norm AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+         SUM(sqrt(CAST(n_docs AS DOUBLE))) AS sum_sqrt
+  FROM per
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(n_docs / CAST(total AS DOUBLE), 6) AS p_natural,
+       ROUND(sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt, 6) AS weight,
+       ROUND((sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt)
+             / (n_docs / CAST(total AS DOUBLE)), 6) AS boost
+FROM per, norm
+"""
+
+# --------------------------------------------------------------------------
+# text_token_entropy — per-language corpus Shannon entropy
+# --------------------------------------------------------------------------
+
+
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_token_entropy`` — per language: token count, vocabulary
+    size, corpus Shannon entropy in bits (H = log2 N − (Σ c·log2 c)/N
+    over token counts c — the identity keeps every log argument an
+    exact integer-valued double), and entropy normalized by the
+    vocabulary's log2 (type diversity in (0, 1]). The standard LM
+    corpus statistic: low entropy flags templated/repetitive corpora
+    before tokens are spent on them.
+
+    100 TB plan: tokenize is the pinned single scan-side pass
+    (``TOKEN_PATTERN``, JVM regex); the only real shuffle carries
+    (lang, token) partial counts — map-side combine collapses each
+    task to its distinct tokens — and the per-language reduction is
+    O(languages). Σ c·log2 c is a plain double sum; the ±1-ulp libm
+    freedom per term is absorbed by ROUND 6 (gate-replayed at two SFs
+    on every suite run)."""
+    docs = load_table(spark, sf_dir, "documents", spread=False)
+    toks = docs.select(
+        "lang", F.explode(pattern_tokens(F.col("text"))).alias("tok")
+    )
+    cnt = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    cd = F.col("c").cast("double")
+    per_lang = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(cd * F.log2(cd)).alias("sum_clog"),
+    )
+    h = F.log2(F.col("n_tokens").cast("double")) - F.col("sum_clog") / F.col(
+        "n_tokens"
+    )
+    return per_lang.select(
+        "lang",
+        "n_tokens",
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(
+            h / F.log2(F.col("n_distinct").cast("double")), 6
+        ).alias("norm_entropy"),
+    )
+
+
+_TEXT_TOKEN_ENTROPY_ORACLE = f"""
+WITH cnt AS (
+  SELECT lang, tok, COUNT(*) AS c
+  FROM (
+    SELECT lang,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+             AS tok
+    FROM documents
+  )
+  GROUP BY 1, 2
+), per_lang AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sum_clog
+  FROM cnt GROUP BY 1
+)
+SELECT lang, n_tokens, n_distinct,
+       ROUND(log2(CAST(n_tokens AS DOUBLE)) - sum_clog / n_tokens, 6)
+         AS entropy_bits,
+       ROUND((log2(CAST(n_tokens AS DOUBLE)) - sum_clog / n_tokens)
+             / log2(CAST(n_distinct AS DOUBLE)), 6) AS norm_entropy
+FROM per_lang
+"""
+
+
+STAGED_R29_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
+    "rel_waiting_suppliers": q_rel_waiting_suppliers,
+    "rel_cust_acquisition": q_rel_cust_acquisition,
+    "rel_nation_trade_balance": q_rel_nation_trade_balance,
+    "corpus_temperature_mix": q_corpus_temperature_mix,
+    "text_token_entropy": q_text_token_entropy,
+}
+
+STAGED_R29_ORACLES: "dict[str, str]" = {
+    "rel_waiting_suppliers": _REL_WAITING_SUPPLIERS_ORACLE,
+    "rel_cust_acquisition": _REL_CUST_ACQUISITION_ORACLE,
+    "rel_nation_trade_balance": _REL_NATION_TRADE_BALANCE_ORACLE,
+    "corpus_temperature_mix": _CORPUS_TEMPERATURE_MIX_ORACLE,
+    "text_token_entropy": _TEXT_TOKEN_ENTROPY_ORACLE,
+}
