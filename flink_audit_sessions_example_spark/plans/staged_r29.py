@@ -329,9 +329,20 @@ def q_corpus_temperature_mix(
     count scan."""
     docs = load_table(spark, sf_dir, "documents", spread=False)
     per = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # the normalizer folds the SORTED per-language sqrt list — a
+    # cross-row double SUM would accumulate in nondeterministic
+    # partial-merge order (run-to-run, not just cross-engine); the
+    # sorted sequential fold fixes the IEEE op stream on both engines
+    # (the win_holt determinism pattern)
     norm = per.agg(
         F.sum("n_docs").alias("total"),
-        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("sum_sqrt"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.sqrt(F.col("n_docs").cast("double")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_sqrt"),
     )
     p = F.col("n_docs") / F.col("total")
     w = F.sqrt(F.col("n_docs").cast("double")) / F.col("sum_sqrt")
@@ -348,8 +359,16 @@ _CORPUS_TEMPERATURE_MIX_ORACLE = """
 WITH per AS (
   SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
 ), norm AS (
+  -- sorted sequential fold, not SUM: fixes the accumulation order so
+  -- the double normalizer is bit-identical to Spark's array_sort +
+  -- aggregate fold (DuckDB's list_reduce seeds with the first
+  -- element; Spark seeds 0.0 + first — IEEE-identical since 0.0 + x
+  -- is exact)
   SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
-         SUM(sqrt(CAST(n_docs AS DOUBLE))) AS sum_sqrt
+         list_reduce(
+           list_sort(list(sqrt(CAST(n_docs AS DOUBLE)))),
+           (a, b) -> a + b
+         ) AS sum_sqrt
   FROM per
 )
 SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
@@ -367,42 +386,56 @@ FROM per, norm
 
 def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``text_token_entropy`` — per language: token count, vocabulary
-    size, corpus Shannon entropy in bits (H = log2 N − (Σ c·log2 c)/N
-    over token counts c — the identity keeps every log argument an
-    exact integer-valued double), and entropy normalized by the
-    vocabulary's log2 (type diversity in (0, 1]). The standard LM
-    corpus statistic: low entropy flags templated/repetitive corpora
-    before tokens are spent on them.
+    size, Rényi-2 (collision) entropy in bits, the effective
+    vocabulary (inverse Simpson index N²/Σc²: how many equally-likely
+    tokens this distribution is worth), and Simpson type diversity
+    (effective/actual vocabulary, in (0, 1]). The standard LM
+    corpus-repetitiveness probe: templated corpora collapse the
+    effective vocabulary long before the raw one shrinks.
+
+    Why Rényi-2 and not Shannon (the tfidf no-log rule, quantified):
+    Shannon needs Σ c·log2 c — and JVM vs DuckDB ``log2`` disagree by
+    1 ulp on **28% of integer inputs** (measured r15: 55,821 of the
+    first 200,000 — reproduce with a bit-compare of
+    ``spark.range`` vs ``generate_series`` log2), so a sum of
+    thousands of per-token logs accumulates ~1e-8 cross-engine drift
+    against a 5e-7 ROUND-6 boundary — a percent-level hash-flake per
+    value. Collision entropy needs only the EXACT BIGINT sum Σc² and
+    ONE log2 per output row on a bit-identical rational input: the
+    residual 1-ulp freedom (~1e-15 absolute) meets a ROUND-6 boundary
+    with probability ~1e-9. ``eff_vocab`` and ``diversity`` carry no
+    libm at all (exact integer ratios, one division each).
 
     100 TB plan: tokenize is the pinned single scan-side pass
     (``TOKEN_PATTERN``, JVM regex); the only real shuffle carries
     (lang, token) partial counts — map-side combine collapses each
     task to its distinct tokens — and the per-language reduction is
-    O(languages). Σ c·log2 c is a plain double sum; the ±1-ulp libm
-    freedom per term is absorbed by ROUND 6 (gate-replayed at two SFs
-    on every suite run)."""
+    exact integer moments, O(languages) rows. (At N beyond ~3e9 the
+    N² term needs DECIMAL(38) instead of BIGINT — a documented,
+    mechanical widening.)"""
     docs = load_table(spark, sf_dir, "documents", spread=False)
     toks = docs.select(
         "lang", F.explode(pattern_tokens(F.col("text"))).alias("tok")
     )
     cnt = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
-    cd = F.col("c").cast("double")
     per_lang = cnt.groupBy("lang").agg(
         F.sum("c").alias("n_tokens"),
         F.count("*").alias("n_distinct"),
-        F.sum(cd * F.log2(cd)).alias("sum_clog"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
     )
-    h = F.log2(F.col("n_tokens").cast("double")) - F.col("sum_clog") / F.col(
-        "n_tokens"
-    )
+    n2 = F.col("n_tokens") * F.col("n_tokens")
+    ratio = n2.cast("double") / F.col("sum_c2").cast("double")
     return per_lang.select(
         "lang",
         "n_tokens",
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
-        F.round(h, 6).alias("entropy_bits"),
+        F.round(F.log2(ratio), 6).alias("renyi2_bits"),
+        F.round(ratio, 6).alias("eff_vocab"),
         F.round(
-            h / F.log2(F.col("n_distinct").cast("double")), 6
-        ).alias("norm_entropy"),
+            n2.cast("double")
+            / (F.col("sum_c2") * F.col("n_distinct")).cast("double"),
+            6,
+        ).alias("diversity"),
     )
 
 
@@ -420,14 +453,16 @@ WITH cnt AS (
   SELECT lang,
          CAST(SUM(c) AS BIGINT) AS n_tokens,
          CAST(COUNT(*) AS BIGINT) AS n_distinct,
-         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sum_clog
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
   FROM cnt GROUP BY 1
 )
 SELECT lang, n_tokens, n_distinct,
-       ROUND(log2(CAST(n_tokens AS DOUBLE)) - sum_clog / n_tokens, 6)
-         AS entropy_bits,
-       ROUND((log2(CAST(n_tokens AS DOUBLE)) - sum_clog / n_tokens)
-             / log2(CAST(n_distinct AS DOUBLE)), 6) AS norm_entropy
+       ROUND(log2(CAST(n_tokens * n_tokens AS DOUBLE)
+                  / CAST(sum_c2 AS DOUBLE)), 6) AS renyi2_bits,
+       ROUND(CAST(n_tokens * n_tokens AS DOUBLE)
+             / CAST(sum_c2 AS DOUBLE), 6) AS eff_vocab,
+       ROUND(CAST(n_tokens * n_tokens AS DOUBLE)
+             / CAST(sum_c2 * n_distinct AS DOUBLE), 6) AS diversity
 FROM per_lang
 """
 

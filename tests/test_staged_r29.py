@@ -121,12 +121,76 @@ def test_staged_r29_content_is_nonvacuous(spark):
         r.lang for r in sorted(mix, key=lambda r: r.weight)
     ]
 
-    # entropy: 0 < H <= log2(vocab) and norm in (0, 1]
+    # collision entropy: 0 < H2 <= log2(vocab), 1 <= effective vocab
+    # <= actual vocab, diversity in (0, 1] — and the distribution is
+    # really non-uniform (eff_vocab strictly below n_distinct)
     ent = STAGED_R29_QUERIES["text_token_entropy"](
         spark, SF_DIR
     ).collect()
     assert len(ent) >= 2
     for r in ent:
         assert r.n_tokens > r.n_distinct > 1
-        assert 0 < r.entropy_bits <= math.log2(r.n_distinct) + 1e-9
-        assert 0 < r.norm_entropy <= 1.0
+        assert 0 < r.renyi2_bits <= math.log2(r.n_distinct) + 1e-9
+        assert 1.0 <= r.eff_vocab < r.n_distinct
+        assert 0 < r.diversity <= 1.0
+
+
+def test_log2_cross_engine_divergence_is_bounded_ulps(spark):
+    """The measured basis of the tfidf no-log rule AND of the Rényi-2
+    design's safety: JVM vs DuckDB ``log2`` DISAGREE on a large share
+    of integer inputs (measured r15: 55,821 of the first 200,000 —
+    which is why any Σ-of-logs oracle is barred: thousands of 1-ulp
+    terms accumulate past the ROUND-6 boundary), but every divergence
+    is a FEW ULPS at most (measured max: 2). That bound is what makes
+    a SINGLE log2 per output row over a bit-identical rational safe
+    under ROUND 6 (residual ~1e-15 vs a 5e-7 boundary). If an engine
+    upgrade ever widens the divergence materially, this fails with a
+    readable message instead of as an opaque driver hash mismatch."""
+    import math
+    import struct
+
+    import duckdb
+
+    def bits(x: float) -> int:
+        return struct.unpack("<q", struct.pack("<d", x))[0]
+
+    # IEEE doubles round-trip EXACTLY through both client paths
+    # (py4j/Arrow and duckdb's fetch), so bit comparison is faithful.
+    n = 200_000
+    spark_vals = [
+        r.v
+        for r in (
+            spark.range(1, n + 1)
+            .selectExpr("log2(cast(id as double)) AS v")
+            .orderBy("id")
+            .collect()
+        )
+    ]
+    con = duckdb.connect()
+    try:
+        duck_vals = [
+            row[0]
+            for row in con.sql(
+                f"""
+                SELECT log2(CAST(i AS DOUBLE))
+                FROM generate_series(1, {n}) t(i) ORDER BY i
+                """
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert len(spark_vals) == len(duck_vals) == n
+    worst = max(
+        abs(bits(a) - bits(b))
+        for a, b in zip(spark_vals, duck_vals)
+    )
+    assert worst <= 8, f"log2 diverges by {worst} ulps — ROUND-6 unsafe"
+    # sanity of the fold-free design constraint: both engines agree
+    # bit-for-bit on exact powers of two at least
+    for k in range(0, 17):
+        assert spark_vals[2**k - 1] == duck_vals[2**k - 1] == float(k)
+    # python's libm is a third, independent referee for the magnitude
+    assert all(
+        abs(a - math.log2(i + 1)) < 1e-12
+        for i, a in enumerate(spark_vals[:1000])
+    )
