@@ -78,6 +78,9 @@ WINDOW = 50
 #: queues): this ladder STILL scores 0 slipped key-rounds over 9
 #: rounds and remains the candidate table's only zero (next best:
 #: stretch E at 29). No recalibration needed.
+#: r15 RE-CHECK (236-key horizon — 226 live after the r15 drain + the
+#: staged r29/r30 queues): still 0 slipped key-rounds, still the only
+#: zero (next best: stretch E at 95). No recalibration needed.
 LADDER: "tuple[tuple[int, int], ...]" = ((7, 8), (5, 6), (3, 5), (1, 5))
 
 #: reference-surface (§2) keys — never stretched past 2 rounds
