@@ -316,6 +316,17 @@ def generate() -> None:
         ),
         os.path.join(OUT, "supplier.parquet"),
     )
+    # c_acctbal / c_mktsegment resampled from the real empirical
+    # domains (the p_retailprice pattern) — the r29 Q22 arm filters on
+    # the positive-balance average and groups by segment
+    cust_src = pq.read_table(
+        os.path.join(SF01, "customer.parquet"),
+        columns=["c_acctbal", "c_mktsegment"],
+    )
+    # SEPARATE rng: drawing these from the shared stream would shift
+    # every later table's randomness and silently regenerate a
+    # DIFFERENT corpus (breaking cross-round probe comparability)
+    rng_cust = np.random.default_rng(SEED + 29)
     pq.write_table(
         pa.table(
             {
@@ -329,6 +340,18 @@ def generate() -> None:
                 "c_nationkey": pa.array(
                     rng.integers(0, 25, n_cust).astype(np.int32),
                     pa.int32(),
+                ),
+                "c_acctbal": pa.array(
+                    rng_cust.choice(
+                        np.array(cust_src.column("c_acctbal")), n_cust
+                    ),
+                    pa.float64(),
+                ),
+                "c_mktsegment": pa.array(
+                    rng_cust.choice(
+                        np.array(cust_src.column("c_mktsegment")), n_cust
+                    ),
+                    pa.string(),
                 ),
             }
         ),
