@@ -83,7 +83,13 @@ def q_rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `pairs` feeds BOTH the per-order rollup and the waiting join —
     # without truncation the lineitem ⨝ orders shuffle plans (and
     # runs) twice (the plans' two-consumer rule; lazy so construction
-    # stays action-free for the bench's exec-only timing class)
+    # stays action-free for the bench's exec-only timing class).
+    # MEASURED ALTERNATIVE (r15): replacing rollup+join with a
+    # count/sum WINDOW over partitionBy(orderkey) removes the
+    # checkpoint and one exchange but is 3× slower at warmed sf0.1
+    # (3.35 s vs 0.92 s — the per-partition sort dominates at bench
+    # scale) for a ~1.4× cold-sf1 win inside single-shot noise; the
+    # hash-agg shape is kept.
     pairs = (
         lines.groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("late"))

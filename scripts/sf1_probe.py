@@ -94,12 +94,21 @@ def generate() -> None:
         docs[N_DOCS - n_exact - 1 - i] = " ".join(base)
 
     os.makedirs(OUT, exist_ok=True)
+    # lang resampled from the real sf0.1 distribution (SEPARATE rng —
+    # the rng_cust rule: the shared stream must stay byte-identical).
+    # A monolingual 'en' column made every lang-grouped arm degenerate
+    # at sf1 — text_lang_divergence's non-reference side was EMPTY, so
+    # its r15 probe timed a vacuous plan (caught in the r15 re-probe).
+    rng_lang = np.random.default_rng(SEED + 30)
+    lang_pool = np.array([r["lang"] for r in src])
     pq.write_table(
         pa.table(
             {
                 "doc_id": pa.array(range(N_DOCS), pa.int64()),
                 "text": pa.array(docs, pa.string()),
-                "lang": pa.array(["en"] * N_DOCS, pa.string()),
+                "lang": pa.array(
+                    rng_lang.choice(lang_pool, N_DOCS), pa.string()
+                ),
                 "source": pa.array(["gen"] * N_DOCS, pa.string()),
                 "n_chars": pa.array([len(t) for t in docs], pa.int64()),
             }
