@@ -59,15 +59,17 @@ subtree do NOT guarantee that: ``RangePartitioner`` seeds its boundary
 reservoir sample with the RDD id (``byteswap32(idx ^ (rdd.id << 16))``,
 ``Partitioner.scala``), which differs per materialization, so separate
 evaluations can pick different boundaries and silently misalign counts
-vs ranks. Correctness therefore rests on Spark DEDUPLICATING the two
-identical exchange subtrees into one physical exchange —
-``spark.sql.exchange.reuse`` (default true; AQE applies the same reuse
-via its stage cache), pinned by a ``ReusedExchange`` plan assertion in
-``tests/test_quantiles_dist.py``. When that conf is disabled the operator
-falls back to ``localCheckpoint``-pinning the ranged relation
-automatically; pass ``eager_checkpoint=True`` to force the pin for
-upstreams whose layout is nondeterministic in ways reuse cannot see
-(e.g. a source that returns different rows per scan).
+vs ranks. Since r15 the DEFAULT closes this structurally: the ranged
+relation is pinned with a lazy ``localCheckpoint``, so every consumer
+reads ONE materialization (and the huge repeated-subtree plans the
+unpinned form produced — see ``eager_checkpoint`` in
+:func:`exact_grouped_percentiles` — collapse to RDD-leaf reads).
+``eager_checkpoint=False`` restores the unpinned form, whose
+correctness rests on Spark DEDUPLICATING the two identical exchange
+subtrees into one physical exchange — ``spark.sql.exchange.reuse``
+(default true; AQE applies the same reuse via its stage cache), still
+pinned by a ``ReusedExchange`` plan assertion in
+``tests/test_quantiles_dist.py``.
 """
 
 from __future__ import annotations
@@ -97,14 +99,24 @@ def exact_grouped_percentiles(
     throughout, and the group universe is taken from ``df`` itself, not
     from the non-null value rows).
 
-    ``eager_checkpoint`` pins the range-partitioned relation with a
-    ``localCheckpoint``. Default ``None`` resolves automatically: pin
-    whenever ``spark.sql.exchange.reuse`` is disabled — with reuse off,
-    the two consumers of the ranged subtree would evaluate it twice
-    with differently-seeded range boundaries (see module docstring) and
-    silently corrupt the global ranks. Pass ``True`` to force the pin
-    (nondeterministic upstream), ``False`` only if you know the
-    exchange is reused.
+    ``eager_checkpoint`` controls how the range-partitioned relation is
+    pinned. Default ``None`` (r15): a LAZY ``localCheckpoint`` — the
+    ranged relation materializes once inside the first consuming job
+    and every consumer (chunk counts, ranked rows) reads that single
+    materialization, so the same-boundaries contract (module docstring)
+    holds BY CONSTRUCTION instead of relying on physical exchange
+    reuse. This also truncates the lineage: without it each of the
+    ~4 logical references to the ranged subtree re-embeds the whole
+    upstream plan (and a composition like :func:`mad_outliers`
+    multiplies that again — measured 97 Exchange nodes / 25 input-scan
+    nodes in ``dq_rate_anomaly``'s single pre-pin plan), which
+    Catalyst + AQE re-optimize on every stage boundary. Storage cost is
+    the projected ``(group, value, tiebreak)`` rows, MEMORY_AND_DISK —
+    the same bytes the reused exchange already held as shuffle files.
+    Pass ``True`` to force an EAGER pin (its own job, before the main
+    query), or ``False`` to skip the pin entirely and rely on physical
+    exchange reuse (requires ``spark.sql.exchange.reuse=true``; the
+    pre-r15 default, kept as an escape hatch and still plan-gated).
 
     ``include_empty_groups=False`` skips the extra full-input DISTINCT
     scan that exists only to surface all-NULL-value groups — pass it
@@ -118,11 +130,6 @@ def exact_grouped_percentiles(
         )
     spark = df.sparkSession
     n_parts = n_range_partitions or spark.sparkContext.defaultParallelism
-    if eager_checkpoint is None:
-        # correctness depends on the two consumers sharing ONE physical
-        # range exchange (module docstring); with reuse disabled, pin it
-        reuse = str(spark.conf.get("spark.sql.exchange.reuse", "true"))
-        eager_checkpoint = reuse.lower() != "true"
 
     # per-ROW tiebreak (NOT a value hash — identical values must be able
     # to land in different partitions, or a heavy constant run defeats
@@ -135,7 +142,9 @@ def exact_grouped_percentiles(
     ranged = vals.repartitionByRange(n_parts, "g", "v", "tb").withColumn(
         "pid", F.spark_partition_id()
     )
-    if eager_checkpoint:
+    if eager_checkpoint is None:
+        ranged = ranged.localCheckpoint(eager=False)
+    elif eager_checkpoint:
         ranged = ranged.localCheckpoint()
 
     chunk_counts = ranged.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -270,11 +279,19 @@ def winsorize(
             f"lo and hi collide after column naming ({lo_c}); "
             "use more separated percentiles"
         )
+    # include_empty_groups=False: the universe pass exists only to emit
+    # (g, NULL, NULL) bounds rows for groups whose values are ALL NULL —
+    # but this attach is a LEFT join and least/greatest ignore NULL
+    # bounds, so an ABSENT group clips identically to a NULL-bounds
+    # group. Skipping it removes one full input scan + one distinct
+    # shuffle from every winsorize (r15 optimization; output-identical,
+    # parity-gated).
     bounds = exact_grouped_percentiles(
         df,
         group_col=group_col,
         value_col=value_col,
         percentiles=[lo, hi],
+        include_empty_groups=False,
     ).select(
         F.col(group_col).alias("_wg"),
         F.col(lo_c).alias("_wlo"),
@@ -333,8 +350,20 @@ def mad_outliers(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     c = 1.4826 if scale_normal else 1.0
+    # Both internal passes skip the universe scan
+    # (include_empty_groups=False): med/MAD attach via LEFT joins, so a
+    # group absent from the relation (all values NULL) yields the same
+    # NULL _med/_mad downstream as the (g, NULL) row the universe pass
+    # would have emitted — and row membership of the OUTPUT comes from
+    # ``df`` itself, never from these relations. Saves two full input
+    # scans + two distinct shuffles per mad_outliers (r15 optimization;
+    # output-identical, parity-gated).
     med = exact_grouped_percentiles(
-        df, group_col=group_col, value_col=value_col, percentiles=[0.5]
+        df,
+        group_col=group_col,
+        value_col=value_col,
+        percentiles=[0.5],
+        include_empty_groups=False,
     ).select(F.col(group_col).alias("_mg"), F.col("p50").alias("_med"))
     with_dev = df.join(
         F.broadcast(med), F.col(group_col).eqNullSafe(F.col("_mg")), "left"
@@ -342,7 +371,11 @@ def mad_outliers(
         "_absdev", F.abs(F.col(value_col).cast("double") - F.col("_med"))
     )
     mad = exact_grouped_percentiles(
-        with_dev, group_col=group_col, value_col="_absdev", percentiles=[0.5]
+        with_dev,
+        group_col=group_col,
+        value_col="_absdev",
+        percentiles=[0.5],
+        include_empty_groups=False,
     ).select(F.col(group_col).alias("_dg"), F.col("p50").alias("_mad"))
     threshold = F.lit(float(k)) * F.lit(float(c)) * F.col("_mad")
     z = F.when(

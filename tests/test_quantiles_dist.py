@@ -97,13 +97,16 @@ def test_percentile_name_collisions_rejected(spark):
 def test_plan_range_partitions_and_chunk_bounded_window(spark):
     """The scale contract in the plan: a range exchange feeds the rank
     window, and the window partitions by (pid, group) — chunk-bounded —
-    never by the group alone."""
+    never by the group alone. Built with eager_checkpoint=False so the
+    range exchange is visible in THIS plan (the r15 default pins the
+    ranged relation behind a localCheckpoint, gated separately below)."""
     li = load_table(spark, SF_DIR, "lineitem")
     out = exact_grouped_percentiles(
         li,
         group_col="l_returnflag",
         value_col="l_extendedprice",
         percentiles=[0.5],
+        eager_checkpoint=False,
     )
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -133,7 +136,8 @@ def test_include_empty_groups_false_matches_on_nonnull_values(spark):
 
 
 def test_ranged_exchange_is_physically_reused(spark):
-    """The determinism contract (module docstring): the chunk-count and
+    """The determinism contract for the UNPINNED escape hatch
+    (eager_checkpoint=False, the pre-r15 default): the chunk-count and
     rank branches MUST share one physical range exchange — separate
     evaluations would sample range boundaries with different RDD-id
     seeds and silently misalign global ranks. Pin the guarantee by
@@ -144,16 +148,48 @@ def test_ranged_exchange_is_physically_reused(spark):
         group_col="l_returnflag",
         value_col="l_extendedprice",
         percentiles=[0.5],
+        eager_checkpoint=False,
     )
     out.collect()  # finalize the adaptive plan
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
 
 
-def test_reuse_disabled_auto_pins_and_stays_correct(spark):
-    """With spark.sql.exchange.reuse off, the default eager_checkpoint
-    resolution must pin the ranged relation (localCheckpoint) so the two
-    consumers cannot diverge — and results stay bit-equal to builtin."""
+def test_default_pins_ranged_relation(spark):
+    """r15 default: the ranged relation is a lazy localCheckpoint, so
+    every consumer reads ONE materialization (same-boundaries contract
+    by construction) and the plan collapses to RDD-leaf reads — no
+    range exchange, no repeated upstream subtree, in the main plan."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = exact_grouped_percentiles(
+        li,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        percentiles=[0.5],
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the range exchange lives INSIDE the checkpointed lineage; the
+    # outer plan consumes its RDD and must not re-derive the upstream
+    assert "rangepartitioning" not in plan
+    assert "Scan ExistingRDD" in plan
+    # and the window stays chunk-bounded (pid in its partition spec)
+    assert any(
+        "pid" in line
+        for line in plan.splitlines()
+        if "row_number()" in line and "windowspecdefinition" in line
+    )
+    # results bit-equal to builtin through the pinned path
+    got = {r["l_returnflag"]: r["p50"] for r in out.collect()}
+    want = {g: p[0] for g, p in _builtin(li, [0.5]).items()}
+    assert got == want
+
+
+def test_reuse_disabled_default_stays_correct(spark):
+    """With spark.sql.exchange.reuse off, the default (pinned) path is
+    immune by construction — results stay bit-equal to builtin."""
     li = load_table(spark, SF_DIR, "lineitem").limit(5000)
     try:
         spark.conf.set("spark.sql.exchange.reuse", "false")
