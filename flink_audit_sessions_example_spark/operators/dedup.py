@@ -1160,7 +1160,11 @@ def near_dup_clusters(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    # round 1, fused: label = min(id, min(direct neighbors)) in one agg
+    # round 1, fused: label = min(id, min(direct neighbors)) in one agg.
+    # LAZY checkpoint (r15): the first loop round's convergence count is
+    # the next action anyway — it materializes this RDD as its parent,
+    # so the eager pin's own job is pure overhead (one job per round
+    # saved; the RDD is still cached before round 2 reads it twice).
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nmin"))
@@ -1168,7 +1172,7 @@ def near_dup_clusters(
             F.col("src").alias("id"),
             F.least(F.col("src"), F.col("nmin")).alias("label"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters - 1):
         neighbor_min = (
@@ -1205,11 +1209,14 @@ def near_dup_clusters(
                 ).alias("new_label"),
                 "old_label",
             )
+        # lazy pin + count in ONE action: the count job materializes the
+        # checkpoint RDD (full rows cached; the `changed` filter applies
+        # above the cache), so each round costs one job, not two
         new_labels = prop.select(
             "id",
             F.col("new_label").alias("label"),
             (F.col("new_label") < F.col("old_label")).alias("changed"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = new_labels.where("changed").count()
         labels = new_labels.drop("changed")
         if changed == 0:
@@ -1729,6 +1736,20 @@ def incremental_minhash_pairs(
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     rows_per_band = num_hashes // bands
+
+    # Pin the increment's signature table (lazy localCheckpoint): the
+    # plan references it FOUR times — the bucket count pass, the posting
+    # build, the broadcast band keys, and the signature re-attach — and
+    # when the caller hands a COMPUTED relation (scan → tokenizer →
+    # signature Arrow pass, as the dedup_incremental registration does)
+    # each reference re-runs that whole pipeline (measured: 6 Python
+    # stages in one plan, r15). The increment is small by this
+    # operator's own contract (it is broadcast below), so the pin is
+    # O(increment), never O(corpus). History is deliberately NOT
+    # pinned: its two passes (hot-bucket count + candidate join) are
+    # the documented cost, and in production old_sigs is a bare parquet
+    # scan that must not be cached.
+    new_sigs = new_sigs.localCheckpoint(eager=False)
 
     def banded(sigs: DataFrame) -> DataFrame:
         return sigs.select(
