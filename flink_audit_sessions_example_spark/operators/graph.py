@@ -121,24 +121,33 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges annotated once with the source out-degree; checkpointed so
+    # every iteration reuses the materialized relation instead of
+    # re-deriving the join. Built FIRST (r15): vertices and the
+    # dangling set below derive from this pinned relation instead of
+    # from ``e`` — the caller's edge pipeline (often a join+distinct of
+    # its own) previously re-evaluated ~4x across the setup relations;
+    # now it runs once, here. ``ew`` keeps every edge (each edge's src
+    # has outdeg >= 1 by construction), so vertex derivation is
+    # unchanged.
+    ew = e.join(outdeg, "src").localCheckpoint()
     vertices = (
-        e.select(F.col("src").alias("vertex"))
-        .unionByName(e.select(F.col("dst").alias("vertex")))
+        ew.select(F.col("src").alias("vertex"))
+        .unionByName(ew.select(F.col("dst").alias("vertex")))
         .distinct()
         .localCheckpoint()
     )
     n = vertices.count()
     if n == 0:
         return vertices.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # edges annotated once with the source out-degree; checkpointed so
-    # every iteration reuses the materialized relation instead of
-    # re-deriving the join
-    ew = e.join(outdeg, "src").localCheckpoint()
     # the dangling-VERTEX set is static; compute it once instead of an
-    # anti-join per iteration
+    # anti-join per iteration (anti against the pinned edge relation —
+    # duplicates on src are irrelevant to an anti-join)
     dangling_verts = vertices.join(
-        outdeg, vertices["vertex"] == outdeg["src"], "left_anti"
+        ew.select(F.col("src").alias("_s")),
+        vertices["vertex"] == F.col("_s"),
+        "left_anti",
     ).localCheckpoint()
     # symmetric / out-degree-closed graphs have NO dangling vertices;
     # detect that once (one cheap action on the checkpointed relation)

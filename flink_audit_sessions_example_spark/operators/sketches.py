@@ -238,20 +238,30 @@ def heavy_hitters(
         raise ValueError(f"k must be >= 1, got {k}")
 
     def gen(batches):
-        counters: pd.Series | None = None
+        # dict-accumulate instead of pandas Series.add: the Series form
+        # rebuilds a union-indexed object array EVERY batch (O(summary +
+        # batch) allocations per batch); plain dict updates over the
+        # value_counts buffers touch only the batch's keys. Compression
+        # picks the (cap+1)-th largest weight with a heap select
+        # (O(m log cap)), subtracts it everywhere and drops the
+        # non-positive counters — same Misra-Gries step, same bounds
+        # (r15, per-task-work optimization; guide §4.2).
+        import heapq
+
+        counters: dict = {}
         n = 0
+        get = counters.get
         for pdf in batches:
             vc = pdf["_k"].value_counts()  # drops NULL keys
             n += int(vc.sum())
-            counters = (
-                vc if counters is None else counters.add(vc, fill_value=0)
-            )
+            for key, cnt in zip(vc.index.tolist(), vc.to_list()):
+                counters[key] = get(key, 0) + cnt
             if len(counters) > cap:
-                v = counters.nlargest(cap + 1).iloc[-1]
-                c = counters - v
-                counters = c[c > 0]
-        keys = [] if counters is None else list(counters.index)
-        ws = [] if counters is None else [int(x) for x in counters.values]
+                v = heapq.nlargest(cap + 1, counters.values())[-1]
+                counters = {k: c - v for k, c in counters.items() if c > v}
+                get = counters.get
+        keys = list(counters.keys())
+        ws = [int(x) for x in counters.values()]
         yield pd.DataFrame(
             {
                 "key": keys + [None],
