@@ -84,18 +84,26 @@ def association_rules(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
         .where(F.col("n_pair") >= min_pair_count)
     )
-    # directional: each unordered pair yields both rules
+    # directional: each unordered pair yields both rules. Emitted with
+    # ONE explode instead of a self-union (r15): the union form put two
+    # logical references on the pair-count subtree — exchange reuse
+    # dedups the shuffle, but the post-shuffle aggregation + filter ran
+    # once per branch and the plan carried the whole upstream twice.
     directed = pair_counts.select(
-        F.col("_a").alias("antecedent"),
-        F.col("_b").alias("consequent"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_a").alias("antecedent"),
+                    F.col("_b").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("_b").alias("antecedent"),
+                    F.col("_a").alias("consequent"),
+                ),
+            )
+        ).alias("_r"),
         "n_pair",
-    ).unionByName(
-        pair_counts.select(
-            F.col("_b").alias("antecedent"),
-            F.col("_a").alias("consequent"),
-            "n_pair",
-        )
-    )
+    ).select("_r.antecedent", "_r.consequent", "n_pair")
     ante = item_support.select(
         F.col("_item").alias("antecedent"),
         F.col("_n_item").alias("n_antecedent"),

@@ -1152,14 +1152,28 @@ def near_dup_clusters(
     Output: ``(doc_id, cluster_id)`` for every doc that appears in at
     least one pair (singletons are their own cluster trivially — left
     out so the output size is O(near-dups), not O(corpus))."""
-    e = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
     # checkpointed: the edge list joins into EVERY round — without this
-    # each round would re-run the (expensive) upstream pair pipeline
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # each round would re-run the (expensive) upstream pair pipeline.
+    # Symmetrized with ONE explode instead of a self-union (r15): the
+    # union form referenced the pair pipeline twice, re-running its
+    # post-shuffle tail (jaccard projection + threshold filter) once
+    # per branch during edge materialization.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .localCheckpoint()
+    )
     # round 1, fused: label = min(id, min(direct neighbors)) in one agg.
     # LAZY checkpoint (r15): the first loop round's convergence count is
     # the next action anyway — it materializes this RDD as its parent,

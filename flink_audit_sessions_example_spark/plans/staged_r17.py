@@ -79,11 +79,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # both directions via ONE explode (r15): the self-union form
+    # referenced the cp join+distinct subtree twice
     edges = cp.select(
-        F.col("cv").alias("src"), F.col("pv").alias("dst")
-    ).unionByName(
-        cp.select(F.col("pv").alias("src"), F.col("cv").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("cv").alias("src"), F.col("pv").alias("dst")),
+                F.struct(F.col("pv").alias("src"), F.col("cv").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     ranks = pagerank(
         edges,
         damping=PR_DAMPING,
