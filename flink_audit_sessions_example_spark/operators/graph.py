@@ -133,8 +133,9 @@ def pagerank(
     # unchanged.
     ew = e.join(outdeg, "src").localCheckpoint()
     vertices = (
-        ew.select(F.col("src").alias("vertex"))
-        .unionByName(ew.select(F.col("dst").alias("vertex")))
+        ew.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("vertex")
+        )
         .distinct()
         .localCheckpoint()
     )

@@ -94,8 +94,15 @@ def q_agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = parts.where(F.col("w") == "a").select("l_partkey")
     b = parts.where(F.col("w") == "b").select("l_partkey")
-    sk_a = kmv_table(a, "l_partkey", k=KMV_I_K)
-    sk_b = kmv_table(b, "l_partkey", k=KMV_I_K)
+    # BOTH sketches from one GROUPED build (r15): one distinct + one
+    # rank-window pass over the pinned parts relation instead of two
+    # per-side builds; the (<= 2k)-row grouped sketch is pinned so the
+    # per-side views are cache slices. Identical per-side hash sets.
+    sk = kmv_table(
+        parts, "l_partkey", group_cols=["w"], k=KMV_I_K
+    ).localCheckpoint(eager=False)
+    sk_a = sk.where(F.col("w") == "a").select("hv")
+    sk_b = sk.where(F.col("w") == "b").select("hv")
     est = kmv_intersect_estimate(sk_a, sk_b, k=KMV_I_K)
     exact = a.intersect(b).agg(
         F.count(F.lit(1)).alias("true_common")

@@ -314,9 +314,12 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # both vertex sides via ONE explode (r15): the self-union form
+    # referenced the cp join+distinct subtree twice
     deg = (
-        cp.select(F.col("cv").alias("vertex"))
-        .unionByName(cp.select(F.col("pv").alias("vertex")))
+        cp.select(
+            F.explode(F.array(F.col("cv"), F.col("pv"))).alias("vertex")
+        )
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("_deg"))
     )

@@ -245,8 +245,14 @@ def q_agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = parts.where(F.col("w") == "a").select("l_partkey")
     b = parts.where(F.col("w") == "b").select("l_partkey")
-    sk_a = kmv_table(a, "l_partkey", k=KMV_I_K)
-    sk_b = kmv_table(b, "l_partkey", k=KMV_I_K)
+    # BOTH sketches from one GROUPED build (r15) — the
+    # agg_kmv_intersect rationale: one distinct + one rank-window pass,
+    # pinned (<= 2k rows), per-side views are cache slices
+    sk = kmv_table(
+        parts, "l_partkey", group_cols=["w"], k=KMV_I_K
+    ).localCheckpoint(eager=False)
+    sk_a = sk.where(F.col("w") == "a").select("hv")
+    sk_b = sk.where(F.col("w") == "b").select("hv")
     est = kmv_difference_estimate(sk_a, sk_b, k=KMV_I_K)
     exact = a.join(b, "l_partkey", "left_anti").agg(
         F.count(F.lit(1)).alias("true_only_a")
