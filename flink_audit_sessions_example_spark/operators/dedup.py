@@ -31,6 +31,7 @@ from operator import and_
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._pins import pin
 from .text import (
     hashed_shingle_rows,
     minhash_doc_sigs,
@@ -1101,13 +1102,21 @@ def minhash_near_dup_pairs(
 
 
 
+#: Adaptive pointer-jumping trigger (``pointer_jumping=None``): if the
+#: labeling has not converged after this many propagation rounds, the
+#: graph is not the dense clique-ish near-dup shape the plain loop is
+#: tuned for — switch the remaining rounds to label-doubling. Dense
+#: graphs converge in 2-3 rounds and never reach the trigger.
+_JUMP_AFTER_ROUNDS = 3
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     *,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
-    pointer_jumping: bool = False,
+    pointer_jumping: "bool | None" = None,
 ) -> DataFrame:
     """``dedup_cluster`` — connected components over a near-dup pair
     graph: every doc in a component gets the component's MINIMUM doc id
@@ -1120,34 +1129,41 @@ def near_dup_clusters(
 
     Algorithm: iterative min-label propagation. Each round every node
     takes ``min(own label, min of neighbors' labels)``; converged when
-    a round changes nothing. Each round is ONE join (labels into the
-    symmetrized edge list, broadcast when the pair set is small) + ONE
-    min-aggregation — both keyed on doc id, so Catalyst reuses the
-    partitioning across rounds. Rounds needed = component diameter;
+    a round changes nothing. Rounds needed = component diameter;
     near-dup components are dense (clique-ish — members share most
     shingles), so 2-3 rounds in practice. The known pathological case —
-    a long chain, diameter ~n — needs ``pointer_jumping=True``: each
-    round then also compresses labels through themselves
-    (``label ← label(label(x))``, one extra self-join per round), which
-    halves the unresolved path length every round — O(log diameter)
-    rounds at 2× joins/round. Off by default because near-dup graphs
-    are dense and the extra join is pure overhead there; ``max_iters``
-    turns an unexpected chain into a loud error (naming this flag as
-    the remedy) instead of a silent wrong answer.
+    a long chain, diameter ~n — is handled by POINTER JUMPING
+    (label-doubling): a jumping round also compresses labels through
+    themselves (``label ← min(label, label(label(x)))``, one extra
+    O(|V|) self-join per round), which roughly halves the unresolved
+    path length every round — O(log diameter) total rounds.
+    ``pointer_jumping=None`` (default, r16) is ADAPTIVE: plain rounds
+    first, and if the labeling has not converged after
+    ``_JUMP_AFTER_ROUNDS`` propagation rounds (a dense graph is long
+    done by then) the remaining rounds jump — dense graphs never pay
+    the extra join, chain graphs degrade to O(log d) instead of O(d).
+    ``True`` jumps from round 2; ``False`` never jumps and relies on
+    ``max_iters`` to turn an unexpected chain into a loud error
+    instead of a silent wrong answer.
 
-    Cost model per round: ONE join (labels into the symmetrized edges,
-    keyed on doc id) + ONE min-aggregation; the convergence signal is a
-    ``changed`` flag FUSED into the same projection (labels only ever
-    decrease, so ``new < old`` is exact), counted with a cheap scan of
-    the just-checkpointed frame — no separate old-vs-new join. Round 1
-    is fused further: ``min(id, min(neighbors))`` is a single
-    aggregation over the edge list (every node appears as ``src`` in
-    the symmetrized edges), skipping the generic round's distinct +
-    two joins. Each round's labels are ``localCheckpoint``-ed: without
-    it round k re-evaluates all k-1 prior joins from scratch (lazy
-    lineage), turning the loop quadratic — the checkpoint makes every
-    round O(1) joins and bounds the plan depth, at the cost of caching
-    O(|V|) label rows per round.
+    Cost model per round (r16 shape): ONE join (labels into the
+    symmetrized edges, keyed on doc id) + ONE min-aggregation over the
+    joined rows UNIONED with the labels themselves — each vertex's own
+    label rides the aggregation as a tagged row, so ``min`` over the
+    group IS ``min(own, neighbors)`` and the round needs no second
+    re-attach join (the pre-r16 shape ran join → agg → left-join: one
+    more join, one more broadcast, one more AQE stage per round). The
+    convergence signal is a ``changed`` flag fused into the same
+    aggregation (labels only ever decrease, so ``new < old`` is exact;
+    ``old`` = the tagged own-label row), counted with a cheap scan of
+    the just-checkpointed frame. Round 1 is fused further:
+    ``min(id, min(neighbors))`` is a single aggregation over the edge
+    list (every node appears as ``src`` in the symmetrized edges).
+    Each round's labels are ``localCheckpoint``-ed: without it round k
+    re-evaluates all k-1 prior joins from scratch (lazy lineage),
+    turning the loop quadratic — the checkpoint makes every round O(1)
+    joins and bounds the plan depth, at the cost of caching O(|V|)
+    label rows per round.
 
     Output: ``(doc_id, cluster_id)`` for every doc that appears in at
     least one pair (singletons are their own cluster trivially — left
@@ -1157,7 +1173,19 @@ def near_dup_clusters(
     # Symmetrized with ONE explode instead of a self-union (r15): the
     # union form referenced the pair pipeline twice, re-running its
     # post-shuffle tail (jaccard projection + threshold filter) once
-    # per branch during edge materialization.
+    # per branch during edge materialization. Hash-partitioned by the
+    # JOIN key (``dst``) with an EXPLICIT partition count BEFORE the
+    # pin (r16, guide §2.4): ``localCheckpoint`` records the physical
+    # partitioning on the LogicalRDD, so every round's
+    # ``edges.dst == labels.id`` join sees the edge side already
+    # clustered and only ever moves the O(|V|) label side — without it
+    # each round re-shuffles the O(|E|) edge relation (per-round
+    # exchanges of the biggest relation in the loop, observed as one
+    # full cache scan + shuffle write per round). Explicit count: AQE
+    # would coalesce an unnumbered repartition, and a coalesced
+    # exchange reports no usable output partitioning. LAZY pin: the
+    # round-1 convergence count is the first action and materializes
+    # edges as its parent — an eager pin here is one whole extra job.
     edges = (
         pairs.select(
             F.explode(
@@ -1172,7 +1200,10 @@ def near_dup_clusters(
             ).alias("_e")
         )
         .select("_e.src", "_e.dst")
-        .localCheckpoint()
+        .repartition(
+            pairs.sparkSession.sparkContext.defaultParallelism, "dst"
+        )
+        .localCheckpoint(eager=False)
     )
     # round 1, fused: label = min(id, min(direct neighbors)) in one agg.
     # LAZY checkpoint (r15): the first loop round's convergence count is
@@ -1188,28 +1219,42 @@ def near_dup_clusters(
         )
         .localCheckpoint(eager=False)
     )
+    rounds_done = 1
     for _ in range(max_iters - 1):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+        jumping = (
+            pointer_jumping
+            if pointer_jumping is not None
+            else rounds_done >= _JUMP_AFTER_ROUNDS
         )
-        prop = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("new_label"),
-            F.col("label").alias("old_label"),
+        # ONE join + ONE aggregation: neighbors' labels and each
+        # vertex's own label meet in the same groupBy — `min` over the
+        # group is min(own, neighbors), and the tagged own-label row
+        # doubles as `old` for the fused convergence flag (labels only
+        # ever decrease, so new < old is exact). The pre-r16 shape
+        # re-attached `old` with a second (left) join per round.
+        neighbor_leg = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"), "label", F.lit(False).alias("own")
         )
-        if pointer_jumping:
+        self_leg = labels.select("id", "label", F.lit(True).alias("own"))
+        prop = (
+            neighbor_leg.unionByName(self_leg)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("new_label"),
+                F.max(F.when(F.col("own"), F.col("label"))).alias(
+                    "old_label"
+                ),
+            )
+        )
+        if jumping:
             # label ← label(label): every label is itself a node id, so
-            # chase it one hop through the propagated labels. The
-            # checkpoint pins `prop` so its two roles (relation + lookup
-            # side) evaluate once; unresolved path lengths halve per
-            # round ⇒ O(log diameter) total rounds.
-            prop = prop.localCheckpoint()
+            # chase it one hop through the propagated labels. The LAZY
+            # checkpoint pins `prop` so its two roles (relation +
+            # lookup side) evaluate once — materialized by the same
+            # count action as the round itself (no extra job; the
+            # pre-r16 eager pin cost one). Unresolved path lengths
+            # halve per round ⇒ O(log diameter) total rounds.
+            prop = prop.localCheckpoint(eager=False)
             lut = prop.select(
                 F.col("id").alias("_jid"), F.col("new_label").alias("_jlabel")
             )
@@ -1233,6 +1278,7 @@ def near_dup_clusters(
         ).localCheckpoint(eager=False)
         changed = new_labels.where("changed").count()
         labels = new_labels.drop("changed")
+        rounds_done += 1
         if changed == 0:
             break
     else:

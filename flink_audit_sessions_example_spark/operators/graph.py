@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._pins import pin
+
 
 def pagerank(
     edges: DataFrame,
@@ -131,14 +133,31 @@ def pagerank(
     # now it runs once, here. ``ew`` keeps every edge (each edge's src
     # has outdeg >= 1 by construction), so vertex derivation is
     # unchanged.
-    ew = e.join(outdeg, "src").localCheckpoint()
+    # Hash-partitioned by the per-iteration JOIN key (``src``) with an
+    # EXPLICIT count BEFORE the pin (r16, guide §2.4): localCheckpoint
+    # records the physical partitioning on the LogicalRDD, so every
+    # iteration's ``ranks.vertex == ew.src`` join sees the edge side
+    # already clustered and only moves the O(V) rank side — without it
+    # each iteration re-shuffled the O(E) edge relation (observed: one
+    # full ew-cache scan + shuffle write per iteration at sf0.1).
+    # Explicit count because AQE would coalesce an unnumbered
+    # repartition and a coalesced exchange reports no usable output
+    # partitioning.
+    ew = (
+        e.join(outdeg, "src")
+        .repartition(e.sparkSession.sparkContext.defaultParallelism, "src")
+    )
+    ew = pin(ew)
+    # lazy pin: the n-count below is the first action and computes every
+    # partition, which materializes the cache — an eager pin here is one
+    # whole extra job (r16)
     vertices = (
         ew.select(
             F.explode(F.array(F.col("src"), F.col("dst"))).alias("vertex")
         )
         .distinct()
-        .localCheckpoint()
     )
+    vertices = pin(vertices, eager=False)
     n = vertices.count()
     if n == 0:
         return vertices.withColumn("rank", F.lit(0.0))
@@ -149,7 +168,8 @@ def pagerank(
         ew.select(F.col("src").alias("_s")),
         vertices["vertex"] == F.col("_s"),
         "left_anti",
-    ).localCheckpoint()
+    )
+    dangling_verts = pin(dangling_verts)
     # symmetric / out-degree-closed graphs have NO dangling vertices;
     # detect that once (one cheap action on the checkpointed relation)
     # and skip the per-iteration dangling aggregate entirely — 5 of the
@@ -175,10 +195,13 @@ def pagerank(
                 "vertex",
                 F.coalesce(_init_expr, _one).alias("rank"),
             )
-            .localCheckpoint()
         )
+        ranks = pin(ranks, eager=False)
     else:
-        ranks = vertices.withColumn("rank", _one).localCheckpoint()
+        # lazy: iteration 1's first action (dangling collect or the
+        # new_ranks checkpoint) reads every rank partition and
+        # materializes the cache — no dedicated job needed (r16)
+        ranks = pin(vertices.withColumn("rank", _one), eager=False)
     for i in range(max_iter):
         # mass parked on vertices with no out-edges, redistributed
         # uniformly
@@ -225,15 +248,25 @@ def pagerank(
                     + F.lit(dangling / n)
                 )
             ).alias("rank")
+        # ONE join + ONE aggregation (r16): a zero-contribution row per
+        # vertex rides the same aggregation, so every vertex (including
+        # in-degree-0 ones) comes out of the groupBy and the pre-r16
+        # re-attach join (vertices LEFT JOIN contribs — one more join,
+        # one more broadcast, one more AQE stage per iteration) is
+        # gone. Exact: summing an extra 0 (long) / 0.0 never changes
+        # the value, so the recurrence is bit-identical in both the
+        # exact_scale and float paths.
+        zero_c = (
+            F.lit(0).cast("long") if scale is not None else F.lit(0.0)
+        )
         contribs = (
             ranks.join(ew, ranks["vertex"] == ew["src"])
             .select(F.col("dst").alias("vertex"), contrib_expr)
+            .unionByName(vertices.select("vertex", zero_c.alias("c")))
             .groupBy("vertex")
             .agg(F.sum("c").alias("c"))
         )
-        new_ranks = vertices.join(contribs, "vertex", "left").select(
-            "vertex", rank_expr
-        )
+        new_ranks = contribs.select("vertex", rank_expr)
         if round_dp is not None:
             new_ranks = new_ranks.withColumn(
                 "rank", F.round(F.col("rank"), round_dp)
@@ -246,7 +279,7 @@ def pagerank(
         # nested plan costs MORE in optimizer/AQE re-planning time than
         # the 5 shallow jobs it saves (8.7–42 s vs 7–8 s at sf0.1) —
         # keep the shallow-job shape.
-        new_ranks = new_ranks.localCheckpoint()
+        new_ranks = pin(new_ranks)
         if tol is not None:
             delta = (
                 ranks.join(

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._pins import pin
+
 
 def approx_distinct_by(
     df: DataFrame,
@@ -273,7 +275,7 @@ def heavy_hitters(
     summ = df.select(F.col(key_col).cast("string").alias("_k")).mapInPandas(
         gen, "key string, w long, n long"
     )
-    summ = summ.localCheckpoint(eager=False)
+    summ = pin(summ, eager=False)
     totals = summ.agg(F.sum("n").alias("_N"), F.sum("w").alias("_W"))
     est = (
         summ.where(F.col("key").isNotNull())
@@ -396,7 +398,8 @@ def cms_estimate(
     base = queries.select(
         F.monotonically_increasing_id().alias("_qid"),
         F.struct(*[F.col(c) for c in queries.columns]).alias("_q"),
-    ).localCheckpoint(eager=False)
+    )
+    base = pin(base, eager=False)
     probes = base.select(
         "_qid",
         "_q",
@@ -607,8 +610,8 @@ def _sketch_stats(a: DataFrame, b: DataFrame):
     build now runs once per side and the driver round-trips once, not
     twice. Estimates are unchanged — the sketch is a deterministic set.
     """
-    a = a.localCheckpoint(eager=False)
-    b = b.localCheckpoint(eager=False)
+    a = pin(a, eager=False)
+    b = pin(b, eager=False)
     side = F.lit("a")
     stats = {
         r["_s"]: r

@@ -59,6 +59,12 @@ def main() -> int:
     if args and args[0] == "--first":
         keys = sorted(QUERIES)[: int(args[1])]
     else:
+        unknown = sorted(set(args) - set(QUERIES))
+        if unknown:
+            # a typo must not yield a partial run that looks like a
+            # valid measurement (ADVICE r15)
+            print(f"unknown query keys: {unknown}", file=sys.stderr)
+            return 2
         keys = [k for k in sorted(QUERIES) if k in set(args)]
 
     timings = {}

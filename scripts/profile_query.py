@@ -85,7 +85,7 @@ def main() -> int:
 
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
 

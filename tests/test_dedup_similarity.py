@@ -428,12 +428,31 @@ def test_near_dup_clusters_pointer_jumping_resolves_long_chain(spark):
         [Row(id_a=i, id_b=i + 1) for i in range(n)]
     )
     with pytest.raises(RuntimeError, match="pointer_jumping"):
-        D.near_dup_clusters(pairs, max_iters=12)
+        D.near_dup_clusters(pairs, max_iters=12, pointer_jumping=False)
     out = {
         r.doc_id: r.cluster_id
         for r in D.near_dup_clusters(
             pairs, max_iters=12, pointer_jumping=True
         ).collect()
+    }
+    assert set(out) == set(range(n + 1))
+    assert set(out.values()) == {0}
+
+
+def test_near_dup_clusters_adaptive_default_resolves_long_chain(spark):
+    """The r16 default (``pointer_jumping=None``) is adaptive: plain
+    rounds until ``_JUMP_AFTER_ROUNDS``, label-doubling after — so a
+    100-node path resolves without the caller knowing its graph is a
+    chain, in far fewer than the ~100 plain rounds (12 suffices:
+    3 plain + log-ish jumping), while dense graphs (every other test
+    here) never reach the trigger."""
+    n = 100
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n)]
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in D.near_dup_clusters(pairs, max_iters=12).collect()
     }
     assert set(out) == set(range(n + 1))
     assert set(out.values()) == {0}
