@@ -1106,8 +1106,11 @@ def minhash_near_dup_pairs(
 #: labeling has not converged after this many propagation rounds, the
 #: graph is not the dense clique-ish near-dup shape the plain loop is
 #: tuned for — switch the remaining rounds to label-doubling. Dense
-#: graphs converge in 2-3 rounds and never reach the trigger.
-_JUMP_AFTER_ROUNDS = 3
+#: near-dup graphs converge in round 2 (round 1 is the fused
+#: min(id, neighbors) aggregation) and never reach the trigger; a
+#: graph still changing at round 3 pays one extra O(|V|) self-join
+#: per remaining round and halves its remaining diameter each round.
+_JUMP_AFTER_ROUNDS = 2
 
 
 def near_dup_clusters(

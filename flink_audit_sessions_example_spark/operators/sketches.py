@@ -597,35 +597,56 @@ def kmv_estimate(
     return agg.select(*g, F.round(est).cast("bigint").alias(out_col))
 
 
-def _sketch_stats(a: DataFrame, b: DataFrame):
-    """(theta, n) of two pinned sketches in ONE action.
+def _sketch_stats_relation(a: DataFrame, b: DataFrame, *, k: int):
+    """Pinned sketches + a LAZY one-row stats relation
+    ``(_theta, _cut)``.
 
-    r15 optimization: the estimators' three actions (theta-collect per
-    side + the final pair count) each re-evaluated the full sketch
-    BUILD — scan → distinct → WindowGroupLimit — because nothing pinned
-    the ≤ k-row sketch relations. Pin both with a lazy
-    ``localCheckpoint`` (bounded by construction: a kmv_table sketch
-    holds ≤ k rows, so the cache is O(k), never O(data)) and fuse the
-    two 1-row theta/count aggregates into a single union collect: the
-    build now runs once per side and the driver round-trips once, not
-    twice. Estimates are unchanged — the sketch is a deterministic set.
+    r15 pinned the ≤ k-row sketches and fused the two theta collects
+    into one action; r16 removes the driver round-trip ENTIRELY
+    (guide §5): theta and the hash-space cut are computed in-engine
+    from the two sides' one-row aggregates (a broadcast cross join),
+    so estimator construction runs ZERO actions — the whole estimate
+    evaluates inside the consumer's single job, with the sketch
+    builds materializing once through the lazy pins. The arithmetic
+    is the exact expression sequence the old driver-side Python ran —
+    IEEE doubles either way, ``cast(double as long)`` truncates
+    toward zero and saturates at ``2^63−1`` exactly like
+    ``min(int(...), 2**63-1)`` — so estimates are bit-identical.
+
+    An UNSATURATED side (n < k) covers its whole set: its theta is 1.
+    Empty sketches need no special case — ``max(hv)`` over zero rows
+    is NULL, n=0 < k routes to the theta=1 branch, and the downstream
+    count is 0, so the estimate is 0.
     """
     a = pin(a, eager=False)
     b = pin(b, eager=False)
-    side = F.lit("a")
-    stats = {
-        r["_s"]: r
-        for r in (
-            a.agg(_theta().alias("_t"), F.count(F.lit(1)).alias("_n"))
-            .select(side.alias("_s"), "_t", "_n")
-            .unionByName(
-                b.agg(_theta().alias("_t"), F.count(F.lit(1)).alias("_n"))
-                .select(F.lit("b").alias("_s"), "_t", "_n")
-            )
-            .collect()
-        )
-    }
-    return a, b, stats["a"], stats["b"]
+    sa = a.agg(_theta().alias("_ta"), F.count(F.lit(1)).alias("_na"))
+    sb = b.agg(_theta().alias("_tb"), F.count(F.lit(1)).alias("_nb"))
+    theta = F.least(
+        F.when(F.col("_na") >= k, F.col("_ta")).otherwise(F.lit(1.0)),
+        F.when(F.col("_nb") >= k, F.col("_tb")).otherwise(F.lit(1.0)),
+    )
+    stats = sa.crossJoin(sb).select(
+        theta.alias("_theta"),
+        F.least(
+            (theta * F.lit(2.0**64) - F.lit(2.0**63)).cast("long"),
+            F.lit(2**63 - 1),
+        ).alias("_cut"),
+    )
+    return a, b, stats
+
+
+def _scaled_count(counted: DataFrame, stats: DataFrame, out_col: str):
+    """``round(count / theta)`` as a one-row relation: global count of
+    ``counted`` (1 row even when empty) cross-joined with the one-row
+    stats; ``bround`` is HALF_EVEN — the same banker's rounding as the
+    Python ``round`` the r15 driver-side path used."""
+    cnt = counted.agg(F.count(F.lit(1)).alias("_common"))
+    return cnt.crossJoin(F.broadcast(stats)).select(
+        F.bround(F.col("_common") / F.col("_theta"), 0)
+        .cast("bigint")
+        .alias(out_col)
+    )
 
 
 def kmv_intersect_estimate(
@@ -641,28 +662,20 @@ def kmv_intersect_estimate(
     sketches are a uniform sample of the intersection, so
     est = |common below theta| / theta (exact when both sets fit their
     sketches). One broadcast-scale join between two ≤ k-row relations —
-    estimation never touches the original data."""
-    a, b, ta, tb = _sketch_stats(a, b)
-    if ta["_n"] == 0 or tb["_n"] == 0:
-        spark = a.sparkSession
-        return spark.createDataFrame([(0,)], f"{out_col} bigint")
-    # unsaturated sketch covers its whole set: theta = 1 for that side
-    theta = min(
-        float(ta["_t"]) if ta["_n"] >= k else 1.0,
-        float(tb["_t"]) if tb["_n"] >= k else 1.0,
-    )
-    # clamp: theta=1 (unsaturated side) reconstructs 2^63, one past the
-    # signed max — the clamp keeps the whole hash space included
-    cut = min(int(theta * 2.0**64 - 2.0**63), 2**63 - 1)
+    estimation never touches the original data, and since r16 never
+    touches the DRIVER either: theta/cut evaluate in-engine
+    (:func:`_sketch_stats_relation`), so the whole estimate is one
+    lazy plan with zero construction actions."""
+    a, b, stats = _sketch_stats_relation(a, b, k=k)
+    # join on hv first, cut after: the join key IS hv, so a matching
+    # pair is below the cut iff either side is — identical to the old
+    # both-sides pre-filter
     common = (
-        a.where(F.col("hv") <= cut)
-        .join(b.where(F.col("hv") <= cut), "hv")
-        .count()
+        a.join(b, "hv")
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("hv") <= F.col("_cut"))
     )
-    spark = a.sparkSession
-    return spark.createDataFrame(
-        [(int(round(common / theta)),)], f"{out_col} bigint"
-    )
+    return _scaled_count(common, stats, out_col)
 
 
 def kmv_difference_estimate(
@@ -682,24 +695,19 @@ def kmv_difference_estimate(
     estimation never touches the original data. The churn/attrition
     question the intersect can't answer directly (how much of last
     year's assortment was DROPPED), and together with it the full
-    inclusion–exclusion triple: |A∪B| = |A∩B| + |A\\B| + |B\\A|."""
-    a, b, ta, tb = _sketch_stats(a, b)
-    spark = a.sparkSession
-    if ta["_n"] == 0:
-        return spark.createDataFrame([(0,)], f"{out_col} bigint")
-    theta = min(
-        float(ta["_t"]) if ta["_n"] >= k else 1.0,
-        float(tb["_t"]) if tb["_n"] >= k else 1.0,
-    )
-    cut = min(int(theta * 2.0**64 - 2.0**63), 2**63 - 1)
+    inclusion–exclusion triple: |A∪B| = |A∩B| + |A\\B| + |B\\A|.
+    Zero construction actions since r16 (see the intersect
+    estimator)."""
+    a, b, stats = _sketch_stats_relation(a, b, k=k)
+    # anti-join against the UNFILTERED b side is equivalent to the old
+    # both-sides pre-filter: any b row matching an a row shares its hv,
+    # so it is below the cut exactly when the a row is
     only_a = (
-        a.where(F.col("hv") <= cut)
-        .join(b.where(F.col("hv") <= cut), "hv", "left_anti")
-        .count()
+        a.join(b, "hv", "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("hv") <= F.col("_cut"))
     )
-    return spark.createDataFrame(
-        [(int(round(only_a / theta)),)], f"{out_col} bigint"
-    )
+    return _scaled_count(only_a, stats, out_col)
 
 
 # -- bottom-k quantile sketch (mergeable sample) ----------------------------

@@ -97,6 +97,30 @@ def test_derived_range_partitions_tracks_input_size(spark):
     assert _derived_range_partitions(pinned) == dp
 
 
+def test_cooccurrence_hot_token_stays_linear(spark):
+    """Skew gate (VERDICT r15 item 6): a Zipf-degenerate document — one
+    token repeated n times — may NOT explode quadratically. Pair
+    emission is positional (each token pairs only with the next
+    ``window`` positions), so the hot token yields exactly
+    ``n·window − window·(window+1)/2`` self-pairs, all collapsing
+    map-side into ONE (w,w) group — never the n²/2 a posting-list
+    self-join would emit."""
+    from flink_audit_sessions_example_spark.operators.text import (
+        cooccurrence_pairs,
+    )
+
+    n, window = 1000, 3
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(["hot"] * n))]
+    )
+    rows = cooccurrence_pairs(
+        df, window=window, min_count=1
+    ).collect()
+    assert len(rows) == 1  # one (hot, hot) group, not a pair matrix
+    expected = n * window - window * (window + 1) // 2
+    assert rows[0].pair_count == expected
+
+
 def test_cc_union_round_and_pagerank_union_iteration(spark):
     """The r16 one-join round shapes are not silently wrong on the
     smallest interesting graphs: a vertex with no in-edges in the
